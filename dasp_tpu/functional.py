@@ -1,0 +1,690 @@
+"""Differentiable audio effects ("processors") as pure functions.
+
+TPU-native counterpart of the reference's dasp_pytorch/functional.py.
+Every effect is a pure function ``f(x, sample_rate, *params, ...)`` over
+arrays shaped ``(batch, channels, samples)``, built from jit/vmap/grad
+compatible primitives — gradients flow to the effect parameters as well
+as the audio. No host work, no data-dependent Python control flow; all
+branching is on static arguments only.
+
+API compatibility notes (parity verified against the reference in
+tests/test_parity.py, tolerance 1e-4):
+
+  * The reference's stubs ``advanced_distortion`` (functional.py:81-111),
+    ``graphic_eq`` (functional.py:114-115) and ``expander``
+    (functional.py:402-403) are fully implemented here.
+  * ``distortion`` broadcasts a per-item drive of shape (bs,) across
+    channels (the reference's ``.view(bs, chs, -1)`` raised on stereo
+    input — functional.py:78).
+  * ``stereo_widener`` accepts width of shape (bs,), (bs, 1) or scalar
+    (the reference's broadcasting raised for (bs,) with bs > 1 —
+    functional.py:597-598).
+  * ``noise_shaped_reverberation`` takes an explicit ``key`` (JAX PRNG)
+    instead of sampling hidden global RNG state (functional.py:548), or a
+    pre-drawn ``noise`` tensor for reproducibility/parity testing.
+  * ``compressor``/``expander`` offer true attack/release ballistics via
+    associative scans (``smoother="parallel"/"exact"``) in addition to the
+    reference's attack-only FSM smoothing (``smoother="fsm"``, the parity
+    default — the reference accepts ``release_ms`` but never uses it,
+    functional.py:340-344).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops.biquad import (
+    biquad,
+    one_pole_butter_highpass,
+    one_pole_butter_lowpass,
+)
+from .ops.fft_filter import lfilter_via_fsm, sosfilt_via_fsm
+from .ops.filterbank import NUM_OCTAVE_BANDS, octave_band_filterbank
+from .ops.fir import fft_conv_causal, fft_correlate_valid
+from .ops.iir import ballistics_smooth, onepole_exact
+
+__all__ = [
+    "gain",
+    "stereo_bus",
+    "distortion",
+    "advanced_distortion",
+    "graphic_eq",
+    "parametric_eq",
+    "compressor",
+    "expander",
+    "noise_shaped_reverberation",
+    "stereo_widener",
+    "stereo_panner",
+    "GRAPHIC_EQ_BANDS",
+]
+
+
+def _param(p, bs: int, dtype) -> jnp.ndarray:
+    """Canonicalize a parameter to shape (bs, 1, 1).
+
+    Accepts python scalars, 0-d arrays, and arrays of shape (bs,), (bs, 1),
+    (bs, 1, 1).
+    """
+    p = jnp.asarray(p, dtype=dtype)
+    if p.ndim == 0:
+        return jnp.broadcast_to(p, (bs, 1, 1))
+    return p.reshape(bs, 1, 1)
+
+
+def db_to_linear(db: jnp.ndarray) -> jnp.ndarray:
+    """Convert decibels to linear amplitude: 10 ** (db / 20)."""
+    return 10.0 ** (db / 20.0)
+
+
+# ---------------------------------------------------------------------------
+# level / routing effects
+# ---------------------------------------------------------------------------
+
+
+def gain(x: jnp.ndarray, sample_rate: int, gain_db) -> jnp.ndarray:
+    """Apply gain in dB; the same gain drives every channel.
+
+    Reference: dasp_pytorch/functional.py:10-29.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (unused; kept for the uniform
+            effect signature).
+        gain_db: gain in dB, shape (bs,).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs = x.shape[0]
+    gain_db = _param(gain_db, bs, x.dtype)
+    return x * db_to_linear(gain_db)
+
+
+def stereo_bus(x: jnp.ndarray, sample_rate: int, send_db) -> jnp.ndarray:
+    """Sum a stereo multitrack to a stereo bus with per-track send levels.
+
+    Reference: dasp_pytorch/functional.py:32-62.
+
+    Args:
+        x: input tracks, shape (bs, 2, tracks, seq_len).
+        sample_rate: audio sample rate (unused).
+        send_db: per-track send levels in dB, shape (bs, tracks) or
+            (bs, tracks, 1).
+
+    Returns:
+        Stereo bus, shape (bs, 2, seq_len).
+    """
+    bs, chs, tracks, seq_len = x.shape
+    assert chs == 2, "Input tensor must have shape (bs, 2, tracks, seq_len)"
+    sends_lin = db_to_linear(jnp.asarray(send_db, x.dtype).reshape(bs, 1, tracks, 1))
+    return jnp.sum(x * sends_lin, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# nonlinear effects
+# ---------------------------------------------------------------------------
+
+
+def distortion(x: jnp.ndarray, sample_rate: int, drive_db) -> jnp.ndarray:
+    """Soft-clipping distortion: tanh(x * 10^(drive/20)).
+
+    Reference: dasp_pytorch/functional.py:65-78, with the broadcasting fix:
+    a per-item drive (bs,) applies to all channels (the reference requires
+    per-channel drive for multichannel input).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (unused).
+        drive_db: drive in dB, shape (bs,) (or (bs, chs) for per-channel).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, _ = x.shape
+    drive_db = jnp.asarray(drive_db, x.dtype)
+    if drive_db.ndim == 0:
+        drive_db = jnp.broadcast_to(drive_db, (bs, 1, 1))
+    elif drive_db.size == bs:
+        drive_db = drive_db.reshape(bs, 1, 1)
+    else:
+        drive_db = drive_db.reshape(bs, chs, 1)
+    return jnp.tanh(x * db_to_linear(drive_db))
+
+
+def advanced_distortion(
+    x: jnp.ndarray,
+    sample_rate: float,
+    input_gain_db,
+    output_gain_db,
+    tone,
+    dc_offset,
+) -> jnp.ndarray:
+    """Distortion with input/output gain, tone control and dc offset.
+
+    Implements the design the reference documents but leaves as a stub
+    (dasp_pytorch/functional.py:81-111): input gain and dc bias into a
+    tanh waveshaper, followed by a tone stage that blends a 1st-order
+    highpass at 1.16 kHz with a 1st-order lowpass at 320 Hz (Boss-pedal
+    style, after Yeh 2009), then output gain.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        input_gain_db: pre-shaper gain in dB, shape (bs,).
+        output_gain_db: post-shaper gain in dB, shape (bs,).
+        tone: highpass/lowpass blend on (0, 1) — 1 = all highpass
+            (brighter), shape (bs,).
+        dc_offset: dc bias added before the shaper, shape (bs,).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    input_gain_db = _param(input_gain_db, bs, x.dtype)
+    output_gain_db = _param(output_gain_db, bs, x.dtype)
+    tone = _param(tone, bs, x.dtype)
+    dc_offset = _param(dc_offset, bs, x.dtype)
+
+    y = jnp.tanh(x * db_to_linear(input_gain_db) + dc_offset)
+
+    f_hp = jnp.full((bs,), 1160.0, dtype=x.dtype)
+    f_lp = jnp.full((bs,), 320.0, dtype=x.dtype)
+    b_hp, a_hp = one_pole_butter_highpass(f_hp, sample_rate)
+    b_lp, a_lp = one_pole_butter_lowpass(f_lp, sample_rate)
+    y_hp = lfilter_via_fsm(y, b_hp, a_hp)
+    y_lp = lfilter_via_fsm(y, b_lp, a_lp)
+    y = tone * y_hp + (1.0 - tone) * y_lp
+
+    return y * db_to_linear(output_gain_db)
+
+
+# ---------------------------------------------------------------------------
+# equalizers
+# ---------------------------------------------------------------------------
+
+# Standard 10-band octave graphic EQ centre frequencies (Hz).
+GRAPHIC_EQ_BANDS = (31.5, 63.0, 125.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0, 8000.0, 16000.0)
+# One-octave bandwidth -> Q = sqrt(2) (BW formula Q = sqrt(2^N)/(2^N - 1), N=1).
+_GRAPHIC_EQ_Q = math.sqrt(2.0)
+
+
+def graphic_eq(x: jnp.ndarray, sample_rate: float, band_gains_db) -> jnp.ndarray:
+    """Ten-band octave graphic equalizer (31.5 Hz – 16 kHz).
+
+    Implements the effect the reference declares but leaves as a stub
+    (dasp_pytorch/functional.py:114-115): a cascade of 10 peaking biquads
+    at standard octave centres with one-octave bandwidth, applied with the
+    same frequency-sampling machinery as :func:`parametric_eq`.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        band_gains_db: per-band gains in dB, shape (bs, 10).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    band_gains_db = jnp.asarray(band_gains_db, x.dtype).reshape(bs, len(GRAPHIC_EQ_BANDS))
+
+    sections = []
+    for i, fc in enumerate(GRAPHIC_EQ_BANDS):
+        g = band_gains_db[:, i]
+        f = jnp.full((bs,), fc, dtype=x.dtype)
+        q = jnp.full((bs,), _GRAPHIC_EQ_Q, dtype=x.dtype)
+        b, a = biquad(g, f, q, sample_rate, "peaking")
+        sections.append(jnp.concatenate([b, a], axis=-1))
+    sos = jnp.stack(sections, axis=1)  # (bs, 10, 6)
+    return sosfilt_via_fsm(sos, x)
+
+
+def parametric_eq(
+    x: jnp.ndarray,
+    sample_rate: float,
+    low_shelf_gain_db,
+    low_shelf_cutoff_freq,
+    low_shelf_q_factor,
+    band0_gain_db,
+    band0_cutoff_freq,
+    band0_q_factor,
+    band1_gain_db,
+    band1_cutoff_freq,
+    band1_q_factor,
+    band2_gain_db,
+    band2_cutoff_freq,
+    band2_q_factor,
+    band3_gain_db,
+    band3_cutoff_freq,
+    band3_q_factor,
+    high_shelf_gain_db,
+    high_shelf_cutoff_freq,
+    high_shelf_q_factor,
+) -> jnp.ndarray:
+    """Six-band parametric equalizer: low shelf, 4 peaking bands, high shelf.
+
+    Reference: dasp_pytorch/functional.py:118-272. The six biquads are
+    designed with :func:`dasp_tpu.ops.biquad.biquad` and applied as one
+    cascade via the frequency sampling method (single batched rFFT pair).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        *_gain_db / *_cutoff_freq / *_q_factor: per-band scalar parameters,
+            each shape (bs,).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+
+    band_params = [
+        (low_shelf_gain_db, low_shelf_cutoff_freq, low_shelf_q_factor, "low_shelf"),
+        (band0_gain_db, band0_cutoff_freq, band0_q_factor, "peaking"),
+        (band1_gain_db, band1_cutoff_freq, band1_q_factor, "peaking"),
+        (band2_gain_db, band2_cutoff_freq, band2_q_factor, "peaking"),
+        (band3_gain_db, band3_cutoff_freq, band3_q_factor, "peaking"),
+        (high_shelf_gain_db, high_shelf_cutoff_freq, high_shelf_q_factor, "high_shelf"),
+    ]
+
+    sections = []
+    for g, f, q, ftype in band_params:
+        g = _param(g, bs, dtype).reshape(bs)
+        f = _param(f, bs, dtype).reshape(bs)
+        q = _param(q, bs, dtype).reshape(bs)
+        b, a = biquad(g, f, q, sample_rate, ftype)
+        sections.append(jnp.concatenate([b, a], axis=-1))
+    sos = jnp.stack(sections, axis=1)  # (bs, 6, 6)
+
+    return sosfilt_via_fsm(sos, x)
+
+
+# ---------------------------------------------------------------------------
+# dynamics
+# ---------------------------------------------------------------------------
+
+
+def _dynamics_common(x, sample_rate, attack_ms, release_ms, eps):
+    """Shared sidechain / time-constant computation for compressor & expander.
+
+    Reference: dasp_pytorch/functional.py:325-347.
+    """
+    bs, chs, seq_len = x.shape
+
+    # mono-sum sidechain
+    x_side = jnp.sum(x, axis=1, keepdims=True)  # (bs, 1, T)
+
+    ln9 = math.log(9.0)
+    alpha_a = jnp.exp(-ln9 / (sample_rate * (attack_ms / 1e3)))
+    alpha_r = jnp.exp(-ln9 / (sample_rate * (release_ms / 1e3)))
+
+    # level in dB
+    x_db = 20.0 * jnp.log10(jnp.maximum(jnp.abs(x_side), eps))
+    return x_side, x_db, alpha_a, alpha_r
+
+
+def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
+    """Smooth a gain-reduction curve with the selected smoother."""
+    if smoother == "fsm":
+        # parity path: attack-only one-pole applied via the frequency
+        # sampling method, exactly like the reference
+        # (dasp_pytorch/functional.py:372-380).
+        eff_bs = g_c.shape[0]
+        zeros = jnp.zeros((eff_bs, 1), dtype=g_c.dtype)
+        ones = jnp.ones((eff_bs, 1), dtype=g_c.dtype)
+        a_flat = alpha_a.reshape(eff_bs, 1)
+        b = jnp.concatenate([1.0 - a_flat, zeros], axis=-1)
+        a = jnp.concatenate([ones, -a_flat], axis=-1)
+        return lfilter_via_fsm(g_c, b, a)
+    if smoother == "attack_only":
+        return onepole_exact(g_c, alpha_a)
+    return ballistics_smooth(g_c, alpha_a, alpha_r, mode=smoother)
+
+
+def compressor(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    ratio,
+    attack_ms,
+    release_ms,
+    knee_db,
+    makeup_gain_db,
+    eps: float = 1e-8,
+    lookahead_samples: int = 0,
+    smoother: str = "fsm",
+) -> jnp.ndarray:
+    """Feed-forward dynamic range compressor (Giannoulis et al. design).
+
+    Reference: dasp_pytorch/functional.py:275-399. The mono-summed
+    sidechain level is converted to dB, shaped by a soft-knee static curve,
+    smoothed, and the resulting time-varying gain (plus makeup) is applied
+    to every channel.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        threshold_db: level where gain reduction begins, shape (bs,).
+        ratio: compression ratio (>1), shape (bs,).
+        attack_ms: attack time in milliseconds, shape (bs,).
+        release_ms: release time in milliseconds, shape (bs,). Only used by
+            the ballistics smoothers (the reference's smoother is
+            attack-only — functional.py:340-344).
+        knee_db: softness of the knee (>= 0), shape (bs,).
+        makeup_gain_db: post-compression gain in dB, shape (bs,).
+        eps: numerical floor for the level detector.
+        lookahead_samples: delay the audio relative to the gain curve
+            (static int).
+        smoother: "fsm" (reference-parity attack-only FSM), "attack_only"
+            (exact scan, same filter), "parallel" (true attack/release
+            ballistics, parallel scan) or "exact" (true ballistics,
+            sequential scan).
+
+    Returns:
+        Compressed audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    threshold_db = _param(threshold_db, bs, dtype)
+    ratio = _param(ratio, bs, dtype)
+    attack_ms = _param(attack_ms, bs, dtype)
+    release_ms = _param(release_ms, bs, dtype)
+    knee_db = _param(knee_db, bs, dtype)
+    makeup_gain_db = _param(makeup_gain_db, bs, dtype)
+
+    x_side, x_db, alpha_a, alpha_r = _dynamics_common(x, sample_rate, attack_ms, release_ms, eps)
+
+    # static characteristic with soft knee (reference functional.py:350-366,
+    # in-place boolean masking expressed as jnp.where)
+    half_knee = knee_db / 2.0
+    knee_safe = jnp.maximum(knee_db, jnp.asarray(1e-6, dtype))
+    x_sc_knee = x_db + ((1.0 / ratio) - 1.0) * ((x_db - threshold_db + half_knee) ** 2) / (
+        2.0 * knee_safe
+    )
+    x_sc_above = threshold_db + ((x_db - threshold_db) / ratio)
+
+    in_knee = jnp.logical_and(x_db >= threshold_db - half_knee, x_db <= threshold_db + half_knee)
+    x_sc = jnp.where(in_knee, x_sc_knee, x_db)
+    x_sc = jnp.where(x_db > threshold_db + half_knee, x_sc_above, x_sc)
+
+    # gain computer output
+    g_c = x_sc - x_db
+
+    g_smooth = _smooth_gain(g_c, alpha_a, alpha_r, smoother)
+
+    # lookahead: delay audio relative to the gain curve
+    if lookahead_samples > 0:
+        x = jnp.roll(x, lookahead_samples, axis=-1)
+        x = x.at[..., :lookahead_samples].set(0.0)
+
+    g_lin = db_to_linear(g_smooth + makeup_gain_db)
+    return x * g_lin
+
+
+def expander(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    ratio,
+    attack_ms,
+    release_ms,
+    knee_db,
+    makeup_gain_db,
+    eps: float = 1e-8,
+    smoother: str = "parallel",
+) -> jnp.ndarray:
+    """Downward expander — the dual of :func:`compressor`.
+
+    The reference README advertises an expander but ships a stub
+    (dasp_pytorch/functional.py:402-403; README.md:125-127). This is the
+    Giannoulis et al. 2012 expander static curve (their Eq. 4) sharing the
+    compressor's sidechain, knee and ballistics machinery: signals below
+    threshold are attenuated by ``ratio`` dB per dB.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        threshold_db: level below which expansion engages, shape (bs,).
+        ratio: expansion ratio (>1 = steeper attenuation), shape (bs,).
+        attack_ms / release_ms: ballistics times in ms, shape (bs,).
+        knee_db: softness of the knee (>= 0), shape (bs,).
+        makeup_gain_db: output gain in dB, shape (bs,).
+        eps: numerical floor for the level detector.
+        smoother: "parallel" (default), "exact", "attack_only" or "fsm".
+
+    Returns:
+        Expanded audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    threshold_db = _param(threshold_db, bs, dtype)
+    ratio = _param(ratio, bs, dtype)
+    attack_ms = _param(attack_ms, bs, dtype)
+    release_ms = _param(release_ms, bs, dtype)
+    knee_db = _param(knee_db, bs, dtype)
+    makeup_gain_db = _param(makeup_gain_db, bs, dtype)
+
+    x_side, x_db, alpha_a, alpha_r = _dynamics_common(x, sample_rate, attack_ms, release_ms, eps)
+
+    # Giannoulis et al. 2012, Eq. 4: downward expander static curve.
+    half_knee = knee_db / 2.0
+    knee_safe = jnp.maximum(knee_db, jnp.asarray(1e-6, dtype))
+    x_sc_knee = x_db + (1.0 - ratio) * ((x_db - threshold_db - half_knee) ** 2) / (2.0 * knee_safe)
+    x_sc_below = threshold_db + (x_db - threshold_db) * ratio
+
+    in_knee = jnp.logical_and(x_db >= threshold_db - half_knee, x_db <= threshold_db + half_knee)
+    x_sc = jnp.where(in_knee, x_sc_knee, x_db)
+    x_sc = jnp.where(x_db < threshold_db - half_knee, x_sc_below, x_sc)
+
+    g_c = x_sc - x_db
+    g_smooth = _smooth_gain(g_c, alpha_a, alpha_r, smoother)
+
+    g_lin = db_to_linear(g_smooth + makeup_gain_db)
+    return x * g_lin
+
+
+# ---------------------------------------------------------------------------
+# reverberation
+# ---------------------------------------------------------------------------
+
+
+def noise_shaped_reverberation(
+    x: jnp.ndarray,
+    sample_rate: float,
+    band0_gain,
+    band1_gain,
+    band2_gain,
+    band3_gain,
+    band4_gain,
+    band5_gain,
+    band6_gain,
+    band7_gain,
+    band8_gain,
+    band9_gain,
+    band10_gain,
+    band11_gain,
+    band0_decay,
+    band1_decay,
+    band2_decay,
+    band3_decay,
+    band4_decay,
+    band5_decay,
+    band6_decay,
+    band7_decay,
+    band8_decay,
+    band9_decay,
+    band10_decay,
+    band11_decay,
+    mix,
+    num_samples: int = 65536,
+    num_bandpass_taps: int = 1023,
+    key: Optional[jax.Array] = None,
+    noise: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Artificial reverberation by filtered-noise shaping.
+
+    Reference: dasp_pytorch/functional.py:406-577. A stereo impulse
+    response is synthesized by band-limiting white noise into 12 octave
+    bands, applying per-band exponential decay envelopes and gains, and
+    averaging; the input is then convolved with that IR and wet/dry mixed.
+
+    TPU-native differences: all three convolutions run in the frequency
+    domain (the reference's direct ``conv1d`` with a 65536-tap IR is
+    O(T*K)); the octave filterbank is a cached design-time constant (the
+    reference re-runs scipy per call); and randomness is explicit.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len), mono or stereo.
+        sample_rate: audio sample rate (Hz).
+        band{0..11}_gain: per-band gains on (0, 1), shape (bs,).
+        band{0..11}_decay: per-band decays on (0, 1), shape (bs,).
+        mix: wet/dry mix on (0, 1), shape (bs,).
+        num_samples: length of the synthesized IR (static).
+        num_bandpass_taps: filterbank FIR length, odd (static).
+        key: JAX PRNG key for the noise draw. Required unless ``noise``
+            is given.
+        noise: optional pre-drawn white noise of shape
+            (bs * 2, 12, num_samples + num_bandpass_taps - 1) — used for
+            reproducibility and reference-parity testing.
+
+    Returns:
+        Reverberated audio, shape (bs, 2, seq_len).
+    """
+    assert num_bandpass_taps % 2 == 1, "num_bandpass_taps must be odd"
+    bs, chs, seq_len = x.shape
+    assert chs <= 2, "only mono/stereo signals are supported"
+
+    dtype = x.dtype
+    if chs == 1:
+        x = jnp.tile(x, (1, 2, 1))
+        chs = 2
+
+    band_gains = jnp.stack(
+        [
+            _param(p, bs, dtype).reshape(bs)
+            for p in (
+                band0_gain, band1_gain, band2_gain, band3_gain,
+                band4_gain, band5_gain, band6_gain, band7_gain,
+                band8_gain, band9_gain, band10_gain, band11_gain,
+            )
+        ],
+        axis=1,
+    )  # (bs, 12)
+    band_decays = jnp.stack(
+        [
+            _param(p, bs, dtype).reshape(bs)
+            for p in (
+                band0_decay, band1_decay, band2_decay, band3_decay,
+                band4_decay, band5_decay, band6_decay, band7_decay,
+                band8_decay, band9_decay, band10_decay, band11_decay,
+            )
+        ],
+        axis=1,
+    )  # (bs, 12)
+    mix = _param(mix, bs, dtype)
+
+    filters = octave_band_filterbank(num_bandpass_taps, sample_rate).astype(dtype)
+    num_bands = filters.shape[0]
+
+    band_gains = band_gains.reshape(bs, 1, num_bands, 1)
+    band_decays = band_decays.reshape(bs, 1, num_bands, 1)
+
+    # white noise for IR synthesis (explicit PRNG — reference samples global
+    # torch RNG at functional.py:548)
+    pad_size = num_bandpass_taps - 1
+    if noise is None:
+        if key is None:
+            raise ValueError("noise_shaped_reverberation requires `key` (or explicit `noise`).")
+        noise = jax.random.normal(key, (bs * 2, num_bands, num_samples + pad_size), dtype=dtype)
+    else:
+        noise = jnp.asarray(noise, dtype)
+
+    # band-limit the noise (reference: grouped direct conv1d, here FFT)
+    wn_filt = fft_correlate_valid(noise, filters[:, 0, :])  # (bs*2, 12, num_samples)
+    wn_filt = wn_filt.reshape(bs, 2, num_bands, num_samples)
+
+    # exponential decay envelopes, gains, and band average -> stereo IR
+    t = jnp.linspace(0.0, 1.0, num_samples, dtype=dtype)
+    band_decays = (band_decays * 10.0) + 1.0
+    env = jnp.exp(-band_decays * t.reshape(1, 1, 1, -1))
+    wn_filt = wn_filt * env * band_gains
+    ir = jnp.mean(wn_filt, axis=2)  # (bs, 2, num_samples)
+
+    # convolve signal with the IR (reference: vmapped direct conv1d with a
+    # 65536-tap kernel — here a single batched FFT convolution)
+    y = fft_conv_causal(x, ir)
+
+    return (1.0 - mix) * x + mix * y
+
+
+# ---------------------------------------------------------------------------
+# stereo field
+# ---------------------------------------------------------------------------
+
+
+def stereo_widener(x: jnp.ndarray, sample_rate: float, width) -> jnp.ndarray:
+    """Stereo widener via mid/side processing.
+
+    Reference: dasp_pytorch/functional.py:580-604, with the broadcasting
+    fix: ``width`` may be scalar, (bs,) or (bs, 1) (the reference's
+    in-place multiply raised for (bs,) with bs > 1).
+
+    Args:
+        x: stereo audio, shape (bs, 2, seq_len).
+        sample_rate: audio sample rate (unused).
+        width: stereo width on (0, 1); 0.5 = unchanged, 1 = side only.
+
+    Returns:
+        Widened stereo audio, shape (bs, 2, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    assert chs == 2, "Input tensor must have shape (bs, 2, seq_len)"
+
+    width = jnp.asarray(width, x.dtype)
+    if width.ndim == 0:
+        width = jnp.broadcast_to(width, (bs, 1))
+    else:
+        width = width.reshape(bs, 1)
+
+    sqrt2 = math.sqrt(2.0)
+    mid = (x[..., 0, :] + x[..., 1, :]) / sqrt2
+    side = (x[..., 0, :] - x[..., 1, :]) / sqrt2
+
+    mid = mid * (2.0 * (1.0 - width))
+    side = side * (2.0 * width)
+
+    left = (mid + side) / sqrt2
+    right = (mid - side) / sqrt2
+    return jnp.stack((left, right), axis=-2)
+
+
+def stereo_panner(x: jnp.ndarray, sample_rate: float, pan) -> jnp.ndarray:
+    """Pan mono tracks across the stereo field (constant-power law).
+
+    Reference: dasp_pytorch/functional.py:607-636. Note the returned layout
+    is (bs, 2, num_tracks, seq_len) — matching the reference's *code*, not
+    its docstring (which disagrees with its own implementation).
+
+    Args:
+        x: mono tracks, shape (bs, num_tracks, seq_len).
+        sample_rate: audio sample rate (unused).
+        pan: pan position on (0, 1) per track, shape (bs, num_tracks)
+            (0 = left, 0.5 = centre, 1 = right).
+
+    Returns:
+        Panned stereo tracks, shape (bs, 2, num_tracks, seq_len).
+    """
+    bs, num_tracks, seq_len = x.shape
+    pan = jnp.asarray(pan, x.dtype).reshape(bs, num_tracks)
+
+    theta = pan * (math.pi / 2.0)
+    left_gain = jnp.sqrt(((math.pi / 2.0) - theta) * (2.0 / math.pi) * jnp.cos(theta))
+    right_gain = jnp.sqrt(theta * (2.0 / math.pi) * jnp.sin(theta))
+
+    x = jnp.tile(x[:, None, :, :], (1, 2, 1, 1))  # (bs, 2, tracks, T)
+    gains = jnp.stack([left_gain, right_gain], axis=1)[..., None]  # (bs, 2, tracks, 1)
+    return x * gains

@@ -1,0 +1,410 @@
+"""Processor layer: normalized-parameter dispatch for neural control.
+
+TPU-native counterpart of the reference's dasp_pytorch/modules.py. A
+``Processor`` owns a parameter-range table and turns a dense
+``(batch, num_params)`` tensor of normalized (0, 1) parameters — e.g. the
+sigmoid output of a parameter-estimation network — into keyword arguments
+for the underlying functional effect.
+
+Processors hold only static configuration (sample rate, ranges, the
+effect function); they contain no arrays, so bound methods like
+``process_normalized`` trace cleanly under jit/grad with no pytree
+ceremony.
+
+Differences vs the reference (deliberate):
+  * ``Distortion`` is fixed: it takes ``sample_rate`` and uses the
+    parameter name ``drive_db``. The reference's version is broken on both
+    counts (modules.py:110-121 — no sample_rate attribute, and the kwarg
+    ``gain_db`` does not match ``functional.distortion``'s ``drive_db``).
+  * Out-of-range check: the reference raises ValueError on data-dependent
+    values (modules.py:83-84), which cannot run under jit. Here the check
+    runs eagerly on concrete inputs and is skipped for traced ones;
+    ``clip_params=True`` instead clamps into [0, 1] (trace-safe).
+  * Extra processors for the effects the reference stubs or never wraps:
+    ``Expander``, ``GraphicEQ``, ``AdvancedDistortion``, ``StereoWidener``,
+    ``StereoPanner``, ``StereoBus``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import functional as F
+
+__all__ = [
+    "normalize",
+    "denormalize",
+    "Processor",
+    "Gain",
+    "Distortion",
+    "AdvancedDistortion",
+    "ParametricEQ",
+    "GraphicEQ",
+    "Compressor",
+    "Expander",
+    "NoiseShapedReverb",
+    "StereoWidener",
+    "StereoPanner",
+    "StereoBus",
+]
+
+
+def denormalize(norm_val, max_val, min_val):
+    """Map a normalized (0, 1) value onto [min_val, max_val].
+
+    Reference: dasp_pytorch/modules.py:13-14 (same argument order).
+    """
+    return (norm_val * (max_val - min_val)) + min_val
+
+
+def normalize(val, min_val, max_val):
+    """Map a value from [min_val, max_val] onto (0, 1).
+
+    Reference: dasp_pytorch/modules.py:17-18.
+    """
+    return (val - min_val) / (max_val - min_val)
+
+
+class Processor:
+    """Base class: named parameter ranges + normalized-tensor dispatch.
+
+    Reference: dasp_pytorch/modules.py:21-91. Subclasses set
+    ``sample_rate``, ``process_fn`` and ``param_ranges``.
+    """
+
+    sample_rate: int
+    process_fn: Callable
+    param_ranges: Dict[str, Tuple[float, float]]
+    # True for processors whose functional form consumes a PRNG key.
+    stochastic: bool = False
+
+    def __init__(self):
+        pass
+
+    @property
+    def num_params(self) -> int:
+        return len(self.param_ranges)
+
+    def process_normalized(
+        self,
+        x: jnp.ndarray,
+        param_tensor: jnp.ndarray,
+        clip_params: bool = False,
+        **kwargs,
+    ) -> jnp.ndarray:
+        """Run the processor from a (batch, num_params) normalized tensor.
+
+        Parameters occupy columns in ``param_ranges`` declaration order.
+        Reference: dasp_pytorch/modules.py:25-51.
+
+        Args:
+            x: input audio, shape (bs, chs, seq_len).
+            param_tensor: normalized parameters on (0, 1),
+                shape (bs, num_params).
+            clip_params: clamp parameters into [0, 1] instead of validating
+                (trace-safe; useful when a network output may overshoot).
+            **kwargs: forwarded to the functional effect (e.g. ``key=`` for
+                stochastic processors like :class:`NoiseShapedReverb`).
+
+        Returns:
+            Output audio.
+        """
+        if clip_params:
+            param_tensor = jnp.clip(param_tensor, 0.0, 1.0)
+        param_dict = self.extract_param_dict(param_tensor)
+        denorm = self.denormalize_param_dict(param_dict, validate=not clip_params)
+        return self.process_fn(x, self.sample_rate, **denorm, **kwargs)
+
+    def process(self, x: jnp.ndarray, *args, **kwargs) -> jnp.ndarray:
+        """Raw passthrough to the functional effect (denormalized params)."""
+        return self.process_fn(x, *args, **kwargs)
+
+    def extract_param_dict(self, param_tensor: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Split a (bs, num_params) tensor into named columns.
+
+        Reference: dasp_pytorch/modules.py:56-68.
+        """
+        if param_tensor.shape[1] != len(self.param_ranges):
+            raise ValueError(
+                f"Parameter tensor has {param_tensor.shape[1]} parameters, "
+                f"but processor has {len(self.param_ranges)} parameters."
+            )
+        return {
+            name: param_tensor[:, idx]
+            for idx, name in enumerate(self.param_ranges.keys())
+        }
+
+    def denormalize_param_dict(
+        self, param_dict: Dict[str, jnp.ndarray], validate: bool = True
+    ) -> Dict[str, jnp.ndarray]:
+        """Map normalized (0, 1) parameters onto their declared ranges.
+
+        Reference: dasp_pytorch/modules.py:70-91. The out-of-range check
+        only runs on concrete (non-traced) values — under jit it is a
+        no-op, because data-dependent raising is impossible in a compiled
+        program.
+        """
+        out = {}
+        for name, p in param_dict.items():
+            if validate and not isinstance(p, jax.core.Tracer):
+                import numpy as np
+
+                pv = np.asarray(p)
+                if pv.min() < 0 or pv.max() > 1:
+                    raise ValueError(f"Parameter {name} is out of range.")
+            lo, hi = self.param_ranges[name]
+            out[name] = denormalize(p, hi, lo)
+        return out
+
+
+class Gain(Processor):
+    """Gain in dB. Reference: dasp_pytorch/modules.py:94-107."""
+
+    def __init__(self, sample_rate: int, min_gain_db: float = -24.0, max_gain_db: float = 24.0):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.gain
+        self.param_ranges = {"gain_db": (min_gain_db, max_gain_db)}
+
+
+class Distortion(Processor):
+    """Soft-clip distortion. Reference: dasp_pytorch/modules.py:110-121
+    (with its two bugs fixed — see module docstring)."""
+
+    def __init__(self, sample_rate: int, min_drive_db: float = 0.0, max_drive_db: float = 24.0):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.distortion
+        self.param_ranges = {"drive_db": (min_drive_db, max_drive_db)}
+
+
+class AdvancedDistortion(Processor):
+    """Distortion with gain staging, tone and dc offset (reference stub
+    dasp_pytorch/functional.py:81-111, implemented here)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_gain_db: float = 0.0,
+        max_gain_db: float = 24.0,
+        min_dc_offset: float = -0.1,
+        max_dc_offset: float = 0.1,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.advanced_distortion
+        self.param_ranges = {
+            "input_gain_db": (min_gain_db, max_gain_db),
+            "output_gain_db": (-max_gain_db, 0.0),
+            "tone": (0.0, 1.0),
+            "dc_offset": (min_dc_offset, max_dc_offset),
+        }
+
+
+class ParametricEQ(Processor):
+    """Six-band parametric EQ. Reference: dasp_pytorch/modules.py:124-156
+    (same staggered per-band cutoff ranges)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_gain_db: float = -20.0,
+        max_gain_db: float = 20.0,
+        min_q_factor: float = 0.1,
+        max_q_factor: float = 6.0,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.parametric_eq
+        self.param_ranges = {
+            "low_shelf_gain_db": (min_gain_db, max_gain_db),
+            "low_shelf_cutoff_freq": (20, 2000),
+            "low_shelf_q_factor": (min_q_factor, max_q_factor),
+            "band0_gain_db": (min_gain_db, max_gain_db),
+            "band0_cutoff_freq": (80, 2000),
+            "band0_q_factor": (min_q_factor, max_q_factor),
+            "band1_gain_db": (min_gain_db, max_gain_db),
+            "band1_cutoff_freq": (2000, 8000),
+            "band1_q_factor": (min_q_factor, max_q_factor),
+            "band2_gain_db": (min_gain_db, max_gain_db),
+            "band2_cutoff_freq": (8000, 12000),
+            "band2_q_factor": (min_q_factor, max_q_factor),
+            "band3_gain_db": (min_gain_db, max_gain_db),
+            "band3_cutoff_freq": (12000, (sample_rate // 2) - 1000),
+            "band3_q_factor": (min_q_factor, max_q_factor),
+            "high_shelf_gain_db": (min_gain_db, max_gain_db),
+            "high_shelf_cutoff_freq": (4000, (sample_rate // 2) - 1000),
+            "high_shelf_q_factor": (min_q_factor, max_q_factor),
+        }
+
+
+class GraphicEQ(Processor):
+    """Ten-band octave graphic EQ (reference stub
+    dasp_pytorch/functional.py:114-115, implemented here)."""
+
+    def __init__(self, sample_rate: int, min_gain_db: float = -12.0, max_gain_db: float = 12.0):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.param_ranges = {
+            f"band{i}_gain_db": (min_gain_db, max_gain_db)
+            for i in range(len(F.GRAPHIC_EQ_BANDS))
+        }
+
+        def _process(x, sr, **band_gains):
+            gains = jnp.stack(
+                [band_gains[f"band{i}_gain_db"] for i in range(len(F.GRAPHIC_EQ_BANDS))],
+                axis=-1,
+            )
+            return F.graphic_eq(x, sr, gains)
+
+        self.process_fn = _process
+
+
+class Compressor(Processor):
+    """Feed-forward compressor. Reference: dasp_pytorch/modules.py:159-187."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_threshold_db: float = -60.0,
+        max_threshold_db: float = 0.0,
+        min_ratio: float = 1.0,
+        max_ratio: float = 20.0,
+        min_attack_ms: float = 5.0,
+        max_attack_ms: float = 100.0,
+        min_release_ms: float = 5.0,
+        max_release_ms: float = 100.0,
+        min_knee_db: float = 0.0,
+        max_knee_db: float = 12.0,
+        min_makeup_gain_db: float = 0.0,
+        max_makeup_gain_db: float = 12.0,
+        smoother: str = "fsm",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, sr, **kw: F.compressor(x, sr, smoother=smoother, **kw)
+        self.param_ranges = {
+            "threshold_db": (min_threshold_db, max_threshold_db),
+            "ratio": (min_ratio, max_ratio),
+            "attack_ms": (min_attack_ms, max_attack_ms),
+            "release_ms": (min_release_ms, max_release_ms),
+            "knee_db": (min_knee_db, max_knee_db),
+            "makeup_gain_db": (min_makeup_gain_db, max_makeup_gain_db),
+        }
+
+
+class Expander(Processor):
+    """Downward expander (reference stub dasp_pytorch/functional.py:402-403,
+    implemented here as the compressor's dual)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_threshold_db: float = -60.0,
+        max_threshold_db: float = 0.0,
+        min_ratio: float = 1.0,
+        max_ratio: float = 20.0,
+        min_attack_ms: float = 5.0,
+        max_attack_ms: float = 100.0,
+        min_release_ms: float = 5.0,
+        max_release_ms: float = 100.0,
+        min_knee_db: float = 0.0,
+        max_knee_db: float = 12.0,
+        min_makeup_gain_db: float = 0.0,
+        max_makeup_gain_db: float = 12.0,
+        smoother: str = "parallel",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, sr, **kw: F.expander(x, sr, smoother=smoother, **kw)
+        self.param_ranges = {
+            "threshold_db": (min_threshold_db, max_threshold_db),
+            "ratio": (min_ratio, max_ratio),
+            "attack_ms": (min_attack_ms, max_attack_ms),
+            "release_ms": (min_release_ms, max_release_ms),
+            "knee_db": (min_knee_db, max_knee_db),
+            "makeup_gain_db": (min_makeup_gain_db, max_makeup_gain_db),
+        }
+
+
+class NoiseShapedReverb(Processor):
+    """Filtered-noise-shaping reverb.
+    Reference: dasp_pytorch/modules.py:190-231. ``process_normalized``
+    requires ``key=`` (or ``noise=``) since the effect is stochastic."""
+
+    stochastic = True
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_band_gain: float = 0.0,
+        max_band_gain: float = 1.0,
+        min_band_decay: float = 0.0,
+        max_band_decay: float = 1.0,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+        num_samples: int = 65536,
+        num_bandpass_taps: int = 1023,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, sr, **kw: F.noise_shaped_reverberation(
+            x, sr, num_samples=num_samples, num_bandpass_taps=num_bandpass_taps, **kw
+        )
+        ranges = {}
+        for i in range(12):
+            ranges[f"band{i}_gain"] = (min_band_gain, max_band_gain)
+        for i in range(12):
+            ranges[f"band{i}_decay"] = (min_band_decay, max_band_decay)
+        ranges["mix"] = (min_mix, max_mix)
+        self.param_ranges = ranges
+
+
+class StereoWidener(Processor):
+    """Mid/side stereo widener (functional.py:580-604 wrapped as a
+    Processor — the reference never wraps its stereo effects)."""
+
+    def __init__(self, sample_rate: int, min_width: float = 0.0, max_width: float = 1.0):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.stereo_widener
+        self.param_ranges = {"width": (min_width, max_width)}
+
+
+class StereoPanner(Processor):
+    """Constant-power stereo panner for a single mono track."""
+
+    def __init__(self, sample_rate: int, min_pan: float = 0.0, max_pan: float = 1.0):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.stereo_panner
+        self.param_ranges = {"pan": (min_pan, max_pan)}
+
+
+class StereoBus(Processor):
+    """Stereo bus with per-track sends for a fixed number of tracks."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        num_tracks: int,
+        min_send_db: float = -80.0,
+        max_send_db: float = 12.0,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.num_tracks = num_tracks
+        self.param_ranges = {
+            f"track{i}_send_db": (min_send_db, max_send_db) for i in range(num_tracks)
+        }
+
+        def _process(x, sr, **sends):
+            send_db = jnp.stack(
+                [sends[f"track{i}_send_db"] for i in range(num_tracks)], axis=-1
+            )
+            return F.stereo_bus(x, sr, send_db)
+
+        self.process_fn = _process
