@@ -1,0 +1,20 @@
+"""Multi-device parallelism: mesh helpers, batch sharding, sequence-sharded
+convolution (TPU-first addition; the reference is single-device)."""
+
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+from .sharded import sharded_fft_conv_causal
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+    "sharded_fft_conv_causal",
+]

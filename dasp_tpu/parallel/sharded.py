@@ -1,0 +1,85 @@
+"""Sequence-parallel FIR convolution via shard_map + halo exchange.
+
+The reference's only long-sequence strategy is "make the FFT bigger"
+(SURVEY.md §5). TPU-native long audio shards the time axis across the
+mesh's "sp" axis: each device convolves its local block after receiving a
+(K-1)-sample halo from its left neighbour over ICI (``lax.ppermute``).
+This is the audio-DSP analogue of context parallelism: compute and memory
+per device drop by the sp factor while the result is bit-equal to the
+unsharded causal convolution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.fir import fft_conv_causal
+
+# jax>=0.8 moved shard_map out of experimental
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+__all__ = ["sharded_fft_conv_causal"]
+
+
+def _halo_conv_block(x_blk: jnp.ndarray, h: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """Per-device body: receive left halo, convolve, crop.
+
+    x_blk: (..., T_local) local sequence block; h: (..., K) replicated IR.
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+
+    # send our last `halo` samples to the right neighbour (shift-right ring)
+    tail = x_blk[..., -halo:]
+    left_halo = lax.ppermute(tail, axis_name, perm=[(i, (i + 1) % n) for i in range(n)])
+    # device 0 has no history: zero its halo
+    left_halo = jnp.where(idx == 0, jnp.zeros_like(left_halo), left_halo)
+
+    x_ext = jnp.concatenate([left_halo, x_blk], axis=-1)
+    y = fft_conv_causal(x_ext, h)
+    return y[..., halo:]
+
+
+def sharded_fft_conv_causal(
+    x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh, seq_axis_name: str = "sp"
+) -> jnp.ndarray:
+    """Causal FIR convolution with the time axis sharded over the mesh.
+
+    Bit-compatible with ``ops.fir.fft_conv_causal`` (same zero initial
+    history), but each device only touches T / sp_size samples plus a
+    (K-1)-sample halo.
+
+    Args:
+        x: signal (bs, ch, T); T must divide by the sp axis size, and
+            T / sp_size must be >= K - 1 (single-neighbour halo).
+        h: impulse response (bs, ch, K) or broadcastable.
+        mesh: a mesh containing ``seq_axis_name``.
+        seq_axis_name: mesh axis to shard time over.
+
+    Returns:
+        y = causal conv, sharded over the sequence axis.
+    """
+    sp = mesh.shape[seq_axis_name]
+    T = x.shape[-1]
+    K = h.shape[-1]
+    halo = K - 1
+    assert T % sp == 0, f"sequence length {T} not divisible by sp={sp}"
+    assert T // sp >= halo, (
+        f"local block {T // sp} shorter than halo {halo}; reduce sp or IR length"
+    )
+
+    fn = shard_map(
+        partial(_halo_conv_block, halo=halo, axis_name=seq_axis_name),
+        mesh=mesh,
+        in_specs=(P(None, None, seq_axis_name), P()),
+        out_specs=P(None, None, seq_axis_name),
+    )
+    return fn(x, h)

@@ -1,0 +1,27 @@
+"""Utilities: losses, audio I/O, metrics/checkpointing."""
+
+from .loss import (
+    a_weighting,
+    auto_eq_mrstft,
+    multi_resolution_stft_loss,
+    stft_loss,
+    stft_magnitude,
+)
+from .audio import index_wav_dataset, load_clip, load_wav, save_wav, synthetic_batch
+from .logging import MetricsLogger, load_checkpoint, save_checkpoint
+
+__all__ = [
+    "a_weighting",
+    "auto_eq_mrstft",
+    "multi_resolution_stft_loss",
+    "stft_loss",
+    "stft_magnitude",
+    "index_wav_dataset",
+    "load_clip",
+    "load_wav",
+    "save_wav",
+    "synthetic_batch",
+    "MetricsLogger",
+    "load_checkpoint",
+    "save_checkpoint",
+]

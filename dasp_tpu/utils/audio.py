@@ -1,0 +1,111 @@
+"""Host-side audio I/O and synthetic audio generation.
+
+The reference examples load wavs with torchaudio (e.g. auto_eq.py:195);
+here wav I/O uses scipy (no torch dependency) and, because the reference's
+datasets (VocalSet, GuitarSet, IDMT) are not bundled, each example can run
+on synthetic audio — plucked-string tones, chirps and filtered noise with
+speech/instrument-like envelopes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["load_wav", "save_wav", "synthetic_batch", "index_wav_dataset", "load_clip"]
+
+
+def load_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a wav file -> (float32 array (channels, samples), sample_rate)."""
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 1:
+        data = data[None, :]
+    else:
+        data = data.T  # (channels, samples)
+    return data, sr
+
+
+def save_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
+    """Write (channels, samples) float32 audio to a 16-bit wav."""
+    from scipy.io import wavfile
+
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    audio = np.clip(audio, -1.0, 1.0)
+    wavfile.write(path, sample_rate, (audio.T * 32767.0).astype(np.int16))
+
+
+def _pluck(rng: np.random.Generator, length: int, sr: int) -> np.ndarray:
+    """Karplus-Strong-style plucked string (guitar-ish test signal)."""
+    f0 = rng.uniform(82.0, 440.0)
+    period = max(2, int(sr / f0))
+    burst = rng.standard_normal(period).astype(np.float32)
+    out = np.zeros(length, dtype=np.float32)
+    out[:period] = burst
+    for n in range(period, length):
+        out[n] = 0.996 * 0.5 * (out[n - period] + out[n - period + 1])
+    return out
+
+
+def _chirp_noise(rng: np.random.Generator, length: int, sr: int) -> np.ndarray:
+    """Band-swept tone plus enveloped noise (speech-ish spectral movement)."""
+    t = np.arange(length, dtype=np.float32) / sr
+    f0 = rng.uniform(100.0, 400.0)
+    f1 = rng.uniform(800.0, 4000.0)
+    sweep = np.sin(2 * np.pi * (f0 * t + (f1 - f0) * t**2 / (2 * t[-1] + 1e-9)))
+    env = np.abs(np.sin(2 * np.pi * rng.uniform(0.5, 3.0) * t)) ** 2
+    noise = rng.standard_normal(length).astype(np.float32) * 0.1
+    return (sweep * env + noise * env).astype(np.float32)
+
+
+def synthetic_batch(
+    rng: np.random.Generator, batch_size: int, length: int, sample_rate: int = 44100,
+    kind: str = "mixed",
+) -> np.ndarray:
+    """Batch of synthetic mono audio, shape (batch, 1, length), peak<=1."""
+    out = np.zeros((batch_size, 1, length), dtype=np.float32)
+    for i in range(batch_size):
+        use_pluck = kind == "pluck" or (kind == "mixed" and i % 2 == 0)
+        sig = _pluck(rng, length, sample_rate) if use_pluck else _chirp_noise(rng, length, sample_rate)
+        peak = np.abs(sig).max() + 1e-9
+        out[i, 0] = 0.7 * sig / peak
+    return out
+
+
+def index_wav_dataset(root_dir: str, length: int, silence_threshold: float = 1e-4) -> List[Tuple[str, int]]:
+    """Pre-index (file, offset) chunks of ``length`` samples from a
+    directory of wavs (the reference's dataset pattern,
+    style_transfer.py:159-213), skipping silent chunks."""
+    examples = []
+    for path in sorted(glob.glob(os.path.join(root_dir, "**/*.wav"), recursive=True)):
+        try:
+            audio, _ = load_wav(path)
+        except Exception:
+            continue
+        n = audio.shape[-1] // length
+        for i in range(n):
+            chunk = audio[:, i * length : (i + 1) * length]
+            if np.abs(chunk).max() >= silence_threshold:
+                examples.append((path, i * length))
+    return examples
+
+
+def load_clip(example: Tuple[str, int], length: int) -> np.ndarray:
+    """Load one pre-indexed chunk -> (channels, length) float32 in [-1, 1]."""
+    path, offset = example
+    audio, _ = load_wav(path)
+    return np.clip(audio[:, offset : offset + length], -1.0, 1.0)
