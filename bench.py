@@ -1,0 +1,168 @@
+"""Headline benchmark: style-transfer grad steps/sec on the default device.
+
+Runs the full self-supervised style-transfer training step at the
+reference workload scale (style_transfer.py:383-409: batch 8, 262144-sample
+clips split into 131072-sample A/B halves, 65536-sample reverb IR, 8M-param
+encoder, MR-STFT loss) and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": R}
+
+vs_baseline divides our step rate by the PyTorch reference executing the
+equivalent step on this host (measured by benchmarks/measure_reference.py,
+cached in benchmarks/ref_baseline.json — the reference publishes no
+benchmark numbers and no GPU is attached to this host, so the same-host
+CPU reference is the only directly measurable baseline).
+
+    python bench.py [--steps 8] [--smoke]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REF_CACHE = os.path.join(HERE, "benchmarks", "ref_baseline.json")
+
+
+def eprint(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def get_reference_baseline(target_bs: int) -> float:
+    """steps/sec of the torch reference at the target batch size (cached)."""
+    if not os.path.exists(REF_CACHE):
+        eprint("measuring torch reference baseline (one-time, cached)...")
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(HERE, "benchmarks", "measure_reference.py"),
+                 "--steps", "2", "--batch-size-target", str(target_bs)],
+                check=True, timeout=1800, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except Exception as e:  # torch missing / too slow: no baseline
+            eprint(f"reference measurement failed: {e}")
+            return float("nan")
+    with open(REF_CACHE) as f:
+        ref = json.load(f)
+    # rescale if the cache was computed for a different batch size
+    return ref["bs1_steps_per_sec"] / target_bs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8, help="timed steps")
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--length", type=int, default=262144)
+    ap.add_argument("--smoke", action="store_true", help="tiny shapes, no baseline")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dasp_tpu.models import StyleTransferNet, apply_style_chain, make_style_processors
+    from dasp_tpu.utils import multi_resolution_stft_loss
+
+    sr = 44100
+    if args.smoke:
+        args.batch_size, args.length = 2, 16384
+        processors = make_style_processors(sr, reverb_num_samples=2048)
+        net = StyleTransferNet(embed_dim=32, ch_dim=8, encoder_dilations=(1, 2, 4))
+    else:
+        processors = make_style_processors(sr, reverb_num_samples=65536)
+        net = StyleTransferNet()
+
+    bs, half = args.batch_size, args.length // 2
+    dev = jax.devices()[0]
+    eprint(f"device: {dev.platform} ({dev.device_kind}); bs={bs}, half={half}")
+
+    x0 = jnp.zeros((bs, 1, half), jnp.float32)
+    variables = jax.jit(lambda k: net.init(k, x0, x0, train=False))(jax.random.PRNGKey(0))
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    eprint(f"model: {n_params/1e6:.2f}M params")
+
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, x, rand, key):
+        k_ref, k_out = jax.random.split(key)
+        ref = processors["equalizer"].process_normalized(x, rand["eq"], clip_params=True)
+        ref = processors["compressor"].process_normalized(ref, rand["comp"], clip_params=True)
+        ref = processors["reverb"].process_normalized(ref, rand["reverb"], clip_params=True, key=k_ref)
+        peak = jnp.max(jnp.abs(ref), axis=-1, keepdims=True)
+        ref = ref / (peak + 1e-9)
+        ref = ref * 10.0 ** (-rand["g1"] / 20.0)
+        x = x * 10.0 ** (-rand["g2"] / 20.0)
+        input_a, _ = jnp.split(x, 2, axis=-1)
+        ref_a, ref_b = jnp.split(ref, 2, axis=-1)
+
+        def loss_fn(params):
+            p, updates = net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                input_a, jnp.mean(ref_b, axis=1, keepdims=True),
+                train=True, mutable=["batch_stats"])
+            out_a = apply_style_chain(processors, input_a, p, k_out)
+            return multi_resolution_stft_loss(out_a, ref_a), updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    rng = np.random.default_rng(0)
+
+    def make_inputs(i):
+        x = jnp.asarray(rng.standard_normal((bs, 1, 2 * half)).astype(np.float32) * 0.25)
+        rand = {
+            "eq": jnp.asarray(rng.uniform(0, 1, (bs, 18)).astype(np.float32)),
+            "comp": jnp.asarray(rng.uniform(0, 1, (bs, 6)).astype(np.float32)),
+            "reverb": jnp.asarray(rng.uniform(0, 1, (bs, 25)).astype(np.float32)),
+            "g1": jnp.asarray(rng.uniform(0, 24, (bs, 1, 1)).astype(np.float32)),
+            "g2": jnp.asarray(rng.uniform(0, 24, (bs, 1, 1)).astype(np.float32)),
+        }
+        return x, rand, jax.random.PRNGKey(i)
+
+    eprint("compiling + warmup...")
+    t0 = time.time()
+    for i in range(args.warmup):
+        x, rand, key = make_inputs(i)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, x, rand, key)
+    jax.block_until_ready(loss)
+    eprint(f"warmup done in {time.time()-t0:.1f}s (loss {float(loss):.4f})")
+
+    t0 = time.time()
+    for i in range(args.steps):
+        x, rand, key = make_inputs(100 + i)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, x, rand, key)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / args.steps
+    steps_per_sec = 1.0 / dt
+    eprint(f"{steps_per_sec:.3f} steps/s ({dt*1e3:.1f} ms/step), final loss {float(loss):.4f}")
+
+    if args.smoke:
+        vs = float("nan")
+    else:
+        ref_sps = get_reference_baseline(bs)
+        vs = steps_per_sec / ref_sps if np.isfinite(ref_sps) else float("nan")
+        eprint(f"reference (torch, this host CPU): {ref_sps:.5f} steps/s -> {vs:.1f}x")
+
+    print(json.dumps({
+        "metric": "style_transfer_grad_steps_per_sec",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,7 @@ from .ops.biquad import (
 from .ops.fft_filter import lfilter_via_fsm, sosfilt_via_fsm
 from .ops.filterbank import NUM_OCTAVE_BANDS, octave_band_filterbank
 from .ops.fir import fft_conv_causal, fft_correlate_valid
-from .ops.iir import ballistics_smooth, onepole_exact
+from .ops.iir import ballistics_smooth, onepole_exact, sosfilt_exact
 
 __all__ = [
     "gain",
@@ -263,18 +263,23 @@ def parametric_eq(
     high_shelf_gain_db,
     high_shelf_cutoff_freq,
     high_shelf_q_factor,
+    filter_method: str = "fsm",
 ) -> jnp.ndarray:
     """Six-band parametric equalizer: low shelf, 4 peaking bands, high shelf.
 
     Reference: dasp_pytorch/functional.py:118-272. The six biquads are
     designed with :func:`dasp_tpu.ops.biquad.biquad` and applied as one
-    cascade via the frequency sampling method (single batched rFFT pair).
+    cascade either via the frequency sampling method (single batched rFFT
+    pair — the reference's approximation, the parity default) or as the
+    exact time-domain recursion via parallel associative scans.
 
     Args:
         x: input audio, shape (bs, chs, seq_len).
         sample_rate: audio sample rate (Hz).
         *_gain_db / *_cutoff_freq / *_q_factor: per-band scalar parameters,
             each shape (bs,).
+        filter_method: "fsm" (reference parity) or "exact" (scan-based
+            time-domain sosfilt; no FFT, exact IIR semantics).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -300,6 +305,8 @@ def parametric_eq(
         sections.append(jnp.concatenate([b, a], axis=-1))
     sos = jnp.stack(sections, axis=1)  # (bs, 6, 6)
 
+    if filter_method == "exact":
+        return sosfilt_exact(sos, x)
     return sosfilt_via_fsm(sos, x)
 
 
@@ -524,6 +531,7 @@ def noise_shaped_reverberation(
     num_bandpass_taps: int = 1023,
     key: Optional[jax.Array] = None,
     noise: Optional[jnp.ndarray] = None,
+    ir_conv_fn=None,
 ) -> jnp.ndarray:
     """Artificial reverberation by filtered-noise shaping.
 
@@ -550,6 +558,10 @@ def noise_shaped_reverberation(
         noise: optional pre-drawn white noise of shape
             (bs * 2, 12, num_samples + num_bandpass_taps - 1) — used for
             reproducibility and reference-parity testing.
+        ir_conv_fn: optional override for the signal-with-IR convolution,
+            called as ``ir_conv_fn(x, ir)`` with x (bs, 2, T) and
+            ir (bs, 2, num_samples). Used to plug in the sequence-sharded
+            multi-device convolution (parallel.sharded_fft_conv_causal).
 
     Returns:
         Reverberated audio, shape (bs, 2, seq_len).
@@ -616,7 +628,7 @@ def noise_shaped_reverberation(
 
     # convolve signal with the IR (reference: vmapped direct conv1d with a
     # 65536-tap kernel — here a single batched FFT convolution)
-    y = fft_conv_causal(x, ir)
+    y = (ir_conv_fn or fft_conv_causal)(x, ir)
 
     return (1.0 - mix) * x + mix * y
 

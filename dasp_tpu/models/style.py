@@ -22,11 +22,16 @@ from .tcn import Encoder, ParameterProjector
 __all__ = ["StyleTransferNet", "apply_style_chain", "make_style_processors"]
 
 
-def make_style_processors(sample_rate: int, reverb_num_samples: int = 65536):
+def make_style_processors(
+    sample_rate: int,
+    reverb_num_samples: int = 65536,
+    eq_filter_method: str = "fsm",
+    compressor_smoother: str = "fsm",
+):
     """The four processors of the style-transfer chain."""
     return {
-        "equalizer": ParametricEQ(sample_rate),
-        "compressor": Compressor(sample_rate),
+        "equalizer": ParametricEQ(sample_rate, filter_method=eq_filter_method),
+        "compressor": Compressor(sample_rate, smoother=compressor_smoother),
         "reverb": NoiseShapedReverb(sample_rate, num_samples=reverb_num_samples),
         "gain": Gain(sample_rate),
     }

@@ -215,10 +215,13 @@ class ParametricEQ(Processor):
         max_gain_db: float = 20.0,
         min_q_factor: float = 0.1,
         max_q_factor: float = 6.0,
+        filter_method: str = "fsm",
     ):
         super().__init__()
         self.sample_rate = sample_rate
-        self.process_fn = F.parametric_eq
+        self.process_fn = lambda x, sr, **kw: F.parametric_eq(
+            x, sr, filter_method=filter_method, **kw
+        )
         self.param_ranges = {
             "low_shelf_gain_db": (min_gain_db, max_gain_db),
             "low_shelf_cutoff_freq": (20, 2000),

@@ -29,7 +29,29 @@ except ImportError:  # pragma: no cover
 __all__ = ["sharded_fft_conv_causal"]
 
 
-def _halo_conv_block(x_blk: jnp.ndarray, h: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+def _direct_causal_conv(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Causal convolution as a grouped lax.conv (per batch-item kernels).
+
+    Used for short IRs and inside shard_map on the CPU backend, where the
+    rfft grad path can hit XLA-CPU's row-major-only fft thunk.
+    """
+    bs, ch, T = x.shape
+    h = jnp.broadcast_to(h, (bs, ch, h.shape[-1]))
+    K = h.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (K - 1, 0)))
+    lhs = xp.reshape(1, bs * ch, T + K - 1)
+    rhs = jnp.flip(h.reshape(bs * ch, 1, K), -1)
+    out = lax.conv_general_dilated(
+        lhs, rhs, (1,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=bs * ch,
+    )
+    return out.reshape(bs, ch, T)
+
+
+def _halo_conv_block(
+    x_blk: jnp.ndarray, h: jnp.ndarray, halo: int, axis_name: str, method: str
+) -> jnp.ndarray:
     """Per-device body: receive left halo, convolve, crop.
 
     x_blk: (..., T_local) local sequence block; h: (..., K) replicated IR.
@@ -44,12 +66,17 @@ def _halo_conv_block(x_blk: jnp.ndarray, h: jnp.ndarray, halo: int, axis_name: s
     left_halo = jnp.where(idx == 0, jnp.zeros_like(left_halo), left_halo)
 
     x_ext = jnp.concatenate([left_halo, x_blk], axis=-1)
-    y = fft_conv_causal(x_ext, h)
+    conv = _direct_causal_conv if method == "direct" else fft_conv_causal
+    y = conv(x_ext, h)
     return y[..., halo:]
 
 
 def sharded_fft_conv_causal(
-    x: jnp.ndarray, h: jnp.ndarray, mesh: Mesh, seq_axis_name: str = "sp"
+    x: jnp.ndarray,
+    h: jnp.ndarray,
+    mesh: Mesh,
+    seq_axis_name: str = "sp",
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Causal FIR convolution with the time axis sharded over the mesh.
 
@@ -63,6 +90,9 @@ def sharded_fft_conv_causal(
         h: impulse response (bs, ch, K) or broadcastable.
         mesh: a mesh containing ``seq_axis_name``.
         seq_axis_name: mesh axis to shard time over.
+        method: "fft", "direct" (grouped lax.conv) or "auto" (direct for
+            IRs up to 4096 taps — also the safe path for grads on the CPU
+            backend, whose fft thunk requires row-major layouts).
 
     Returns:
         y = causal conv, sharded over the sequence axis.
@@ -70,6 +100,8 @@ def sharded_fft_conv_causal(
     sp = mesh.shape[seq_axis_name]
     T = x.shape[-1]
     K = h.shape[-1]
+    if method == "auto":
+        method = "direct" if K <= 4096 else "fft"
     halo = K - 1
     assert T % sp == 0, f"sequence length {T} not divisible by sp={sp}"
     assert T // sp >= halo, (
@@ -77,9 +109,16 @@ def sharded_fft_conv_causal(
     )
 
     fn = shard_map(
-        partial(_halo_conv_block, halo=halo, axis_name=seq_axis_name),
+        partial(_halo_conv_block, halo=halo, axis_name=seq_axis_name, method=method),
         mesh=mesh,
         in_specs=(P(None, None, seq_axis_name), P()),
         out_specs=P(None, None, seq_axis_name),
+        # ppermute + replicated-IR inputs trip the varying-mesh-axis type
+        # checker under reverse-mode AD; the specs above are the contract
+        check_vma=False,
     )
-    return fn(x, h)
+    # optimization_barrier fences layout propagation between the shard_map
+    # region and surrounding FFT ops (XLA-CPU's fft thunk requires row-major
+    # inputs and chokes on layouts chosen across the boundary)
+    x, h = lax.optimization_barrier((x, h))
+    return lax.optimization_barrier(fn(x, h))

@@ -1,0 +1,58 @@
+"""Shared plumbing for the example trainers: args, data iteration,
+checkpoint/metrics wiring. The reference hardcodes paths and hyperparams
+in __main__ blocks (SURVEY.md §5 config); here every example takes
+argparse flags and falls back to synthetic audio when no --data-dir is
+given (the reference's datasets are not redistributable)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Iterator, Optional
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dasp_tpu.utils.audio import index_wav_dataset, load_clip, synthetic_batch  # noqa: E402
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="directory of wav files; omit to train on synthetic audio")
+    p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--steps", type=int, default=1000, help="total optimization steps")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--length", type=int, default=131072, help="clip length in samples")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--sample-rate", type=int, default=44100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny shapes / shallow nets for a fast functional check")
+    p.add_argument("--checkpoint-every", type=int, default=200)
+    p.add_argument("--resume", action="store_true", help="resume from the last checkpoint")
+    return p
+
+
+def batch_iterator(args, channels: int = 1) -> Iterator[np.ndarray]:
+    """Yield (batch, channels, length) float32 batches forever."""
+    rng = np.random.default_rng(args.seed)
+    if args.data_dir:
+        examples = index_wav_dataset(args.data_dir, args.length)
+        if not examples:
+            raise SystemExit(f"no usable wav chunks of length {args.length} in {args.data_dir}")
+        print(f"dataset: {len(examples)} chunks from {args.data_dir}")
+        while True:
+            idx = rng.choice(len(examples), size=args.batch_size, replace=True)
+            batch = np.stack([load_clip(examples[i], args.length)[:channels] for i in idx])
+            if batch.shape[1] < channels:
+                batch = np.repeat(batch, channels, axis=1)[:, :channels]
+            yield batch.astype(np.float32)
+    else:
+        while True:
+            b = synthetic_batch(rng, args.batch_size, args.length, args.sample_rate)
+            if channels > 1:
+                b = np.repeat(b, channels, axis=1)
+            yield b

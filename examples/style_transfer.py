@@ -1,0 +1,169 @@
+"""Self-supervised audio production style transfer.
+
+Mirrors the reference examples/style_transfer.py:110-417: corrupt the
+input with a randomly parameterized EQ -> compressor -> reverb chain to
+make a "reference" recording, split input/reference into A/B halves, let
+a shared TCN encoder + projectors predict chain parameters from
+(input_a, ref_b), render input_a through the chain, and match ref_a with
+a multi-resolution STFT loss. One jitted train step covers corruption,
+two encoder passes, four projectors, the 4-effect render, the loss, and
+the Adam update.
+
+Optionally runs data-parallel over all available devices (--dp).
+
+    python examples/style_transfer.py [--data-dir wavs/] [--steps N] [--smoke] [--dp]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dasp_tpu.models import StyleTransferNet, apply_style_chain, make_style_processors
+from dasp_tpu.parallel import make_mesh, replicate, shard_batch
+from dasp_tpu.utils import (
+    MetricsLogger,
+    load_checkpoint,
+    multi_resolution_stft_loss,
+    save_checkpoint,
+)
+from dasp_tpu.utils.audio import save_wav
+
+from common import base_parser, batch_iterator
+
+
+def build(args):
+    sr = args.sample_rate
+    if args.smoke:
+        processors = make_style_processors(sr, reverb_num_samples=2048)
+        net = StyleTransferNet(embed_dim=32, ch_dim=8, encoder_dilations=(1, 2, 4))
+    else:
+        processors = make_style_processors(sr, reverb_num_samples=65536)
+        net = StyleTransferNet()
+    return processors, net
+
+
+def make_step(args, processors, net, opt):
+    sr = args.sample_rate
+
+    def step_fn(params, batch_stats, opt_state, x, rand, key):
+        """One optimization step (reference step() + train(),
+        style_transfer.py:271-328,:331-370)."""
+        k_ref, k_out = jax.random.split(key)
+
+        # build the pseudo-reference by random corruption (:274-299)
+        ref = processors["equalizer"].process_normalized(x, rand["eq"], clip_params=True)
+        ref = processors["compressor"].process_normalized(ref, rand["comp"], clip_params=True)
+        ref = processors["reverb"].process_normalized(ref, rand["reverb"], clip_params=True, key=k_ref)
+
+        # peak normalize + random gains (:307-319)
+        peak = jnp.max(jnp.abs(ref), axis=-1, keepdims=True)
+        ref = ref / (peak + 1e-9)
+        ref = ref * 10.0 ** (-rand["ref_gain_db"] / 20.0)
+        x = x * 10.0 ** (-rand["in_gain_db"] / 20.0)
+
+        # split A/B halves (:322-323)
+        input_a, input_b = jnp.split(x, 2, axis=-1)
+        ref_a, ref_b = jnp.split(ref, 2, axis=-1)
+
+        def loss_fn(params):
+            p, updates = net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                input_a, jnp.mean(ref_b, axis=1, keepdims=True),
+                train=True, mutable=["batch_stats"],
+            )
+            output_a = apply_style_chain(processors, input_a, p, k_out)
+            loss = multi_resolution_stft_loss(output_a, ref_a)
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    return jax.jit(step_fn)
+
+
+def random_corruption(nprng, bs, processors):
+    return {
+        "eq": jnp.asarray(nprng.uniform(0, 1, (bs, processors["equalizer"].num_params)).astype(np.float32)),
+        "comp": jnp.asarray(nprng.uniform(0, 1, (bs, processors["compressor"].num_params)).astype(np.float32)),
+        "reverb": jnp.asarray(nprng.uniform(0, 1, (bs, processors["reverb"].num_params)).astype(np.float32)),
+        "ref_gain_db": jnp.asarray(nprng.uniform(0, 24, (bs, 1, 1)).astype(np.float32)),
+        "in_gain_db": jnp.asarray(nprng.uniform(0, 24, (bs, 1, 1)).astype(np.float32)),
+    }
+
+
+def main():
+    parser = base_parser(__doc__)
+    parser.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    args = parser.parse_args()
+    if args.smoke:
+        args.length, args.batch_size = 16384, 2
+    elif args.length == 131072:
+        args.length = 262144  # reference: 262144, split into 2x131072 (:400)
+    log_dir = args.log_dir or "outputs/style_transfer"
+    os.makedirs(log_dir, exist_ok=True)
+    sr = args.sample_rate
+
+    processors, net = build(args)
+    half = args.length // 2
+    x0 = jnp.zeros((args.batch_size, 1, half), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(args.seed), x0, x0, train=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"model: {n_params/1e6:.2f}M params")
+
+    opt = optax.chain(
+        optax.adam(args.lr),
+        optax.scale_by_schedule(optax.cosine_decay_schedule(1.0, args.steps)),
+    )
+    opt_state = opt.init(params)
+    step_fn = make_step(args, processors, net, opt)
+
+    mesh = None
+    if args.dp:
+        mesh = make_mesh((len(jax.devices()), 1))
+        params = replicate(params, mesh)
+        batch_stats = replicate(batch_stats, mesh)
+        opt_state = replicate(opt_state, mesh)
+        print(f"data-parallel over {mesh.shape['dp']} devices")
+
+    state = load_checkpoint(os.path.join(log_dir, "ckpt.pkl")) if args.resume else None
+    start = 0
+    if state:
+        params, batch_stats, opt_state, start = (
+            state["params"], state["batch_stats"], state["opt_state"], state["step"])
+        print(f"resumed from step {start}")
+
+    logger = MetricsLogger(log_dir)
+    nprng = np.random.default_rng(args.seed + 1)
+    key = jax.random.PRNGKey(args.seed + 2)
+    data = batch_iterator(args)
+
+    for step in range(start, args.steps):
+        x = jnp.asarray(next(data))
+        if mesh is not None:
+            x = shard_batch(x, mesh)
+        rand = random_corruption(nprng, args.batch_size, processors)
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, loss = step_fn(
+            params, batch_stats, opt_state, x, rand, sub)
+        if step % 10 == 0 or step == args.steps - 1:
+            print(f"step {step:5d}  mrstft {float(loss):.4f}")
+            logger.log(step, loss=loss)
+        if (step + 1) % args.checkpoint_every == 0 or step == args.steps - 1:
+            save_checkpoint(os.path.join(log_dir, "ckpt.pkl"),
+                            {"params": params, "batch_stats": batch_stats,
+                             "opt_state": opt_state, "step": step + 1})
+
+    print(f"done; metrics at {logger.path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Virtual analog: grey-box distortion model (EQ -> MLP -> EQ).
+
+Mirrors the reference examples/virtual_analog.py:185-448: a
+DistortionModel holds two learnable normalized EQ parameter vectors
+(sigmoid-squashed) around a small MLP nonlinearity; the MLP is pretrained
+to fit tanh; the whole model is fit to (clean, amp-processed) pairs with
+MR-STFT + 100*MSE. Without the IDMT dataset, targets are synthesized by a
+hidden reference "amp" (EQ -> distortion -> EQ with fixed params).
+
+    python examples/virtual_analog.py [--data-dir wavs/] [--steps N] [--smoke]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import dasp_tpu as D
+from dasp_tpu.utils import MetricsLogger, multi_resolution_stft_loss, save_checkpoint
+
+from common import base_parser, batch_iterator
+
+MRSTFT_KW = dict(  # virtual_analog.py:288-300 configuration
+    fft_sizes=(128, 256, 512, 1024, 2048, 4096, 8192),
+    hop_sizes=(64, 128, 256, 512, 1024, 2048, 4096),
+    win_lengths=(128, 256, 512, 1024, 2048, 4096, 8192),
+    w_sc=0.0, w_log_mag=1.0, w_lin_mag=1.0,
+    perceptual_weighting=True,
+)
+
+
+class MLPNonlinearity(nn.Module):
+    """Pointwise 1->128x4->1 MLP waveshaper (virtual_analog.py:207-217)."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (bs, chs, T) -> treat each sample as a 1-feature token
+        h = x[..., None]
+        for _ in range(4):
+            h = nn.relu(nn.Dense(self.hidden)(h))
+        return nn.Dense(1)(h)[..., 0]
+
+
+def hidden_amp(x, sr):
+    """The 'real amp' used to synthesize targets when no dataset is given."""
+    bs = x.shape[0]
+    f = lambda v: jnp.full((bs,), v)  # noqa: E731
+    y = D.parametric_eq(x, sr, f(6.0), f(120.0), f(0.7), f(8.0), f(700.0), f(1.2),
+                        f(-4.0), f(3000.0), f(2.0), f(2.0), f(9000.0), f(1.0),
+                        f(0.0), f(13000.0), f(1.0), f(-6.0), f(7000.0), f(0.7))
+    y = D.distortion(y, sr, f(18.0))
+    y = D.parametric_eq(y, sr, f(-3.0), f(150.0), f(0.7), f(3.0), f(900.0), f(1.0),
+                        f(2.0), f(4000.0), f(1.5), f(0.0), f(9000.0), f(1.0),
+                        f(0.0), f(13000.0), f(1.0), f(-8.0), f(8000.0), f(0.7))
+    return y
+
+
+def main():
+    args = base_parser(__doc__).parse_args()
+    args.lr = args.lr if args.lr != 1e-4 else 1e-2  # reference default (virtual_analog.py:281)
+    if args.smoke:
+        args.length, args.batch_size = 8192, 2
+    elif args.length == 131072:
+        args.length = 32768  # reference trains on 32768 (virtual_analog.py:392)
+    log_dir = args.log_dir or "outputs/virtual_analog"
+    os.makedirs(log_dir, exist_ok=True)
+    sr = args.sample_rate
+
+    equalizer = D.ParametricEQ(sr, min_gain_db=-48.0, max_gain_db=48.0)  # :198
+    mlp = MLPNonlinearity()
+
+    rng = jax.random.PRNGKey(args.seed)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    model_params = {
+        "pre": jax.random.uniform(k1, (1, equalizer.num_params)) * 0.1,   # :203-205
+        "post": jax.random.uniform(k2, (1, equalizer.num_params)) * 0.1,  # :218-220
+        "mlp": mlp.init(k3, jnp.zeros((1, 1, 16)))["params"],
+    }
+
+    # ---- pretrain the MLP to fit tanh (virtual_analog.py:253-272) ----
+    pre_opt = optax.adam(1e-3)
+    pre_state = pre_opt.init(model_params["mlp"])
+
+    @jax.jit
+    def pretrain_step(mp, opt_state, x):
+        def loss_fn(mp):
+            y_hat = mlp.apply({"params": mp}, x)
+            return jnp.mean((y_hat - jnp.tanh(x)) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(mp)
+        upd, opt_state = pre_opt.update(g, opt_state)
+        return optax.apply_updates(mp, upd), opt_state, loss
+
+    nprng = np.random.default_rng(args.seed + 2)
+    pre_iters = 200 if args.smoke else 2000
+    mp = model_params["mlp"]
+    for i in range(pre_iters):
+        xb = jnp.asarray(nprng.uniform(-3, 3, (32, 1, 64)).astype(np.float32))
+        mp, pre_state, ploss = pretrain_step(mp, pre_state, xb)
+    model_params["mlp"] = mp
+    print(f"nonlinearity pretrained: tanh fit mse {float(ploss):.2e}")
+
+    # ---- fit the full grey-box model ----
+    def forward(params, x):
+        bs = x.shape[0]
+        pre = jnp.tile(jax.nn.sigmoid(params["pre"]), (bs, 1))
+        post = jnp.tile(jax.nn.sigmoid(params["post"]), (bs, 1))
+        y = equalizer.process_normalized(x, pre, clip_params=True)
+        y = mlp.apply({"params": params["mlp"]}, y)
+        y = equalizer.process_normalized(y, post, clip_params=True)
+        return y
+
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(model_params)
+
+    @jax.jit
+    def train_step(params, opt_state, src, target):
+        def loss_fn(params):
+            y_hat = forward(params, src)
+            freq = multi_resolution_stft_loss(y_hat, target, sample_rate=sr, **MRSTFT_KW)
+            time_l = jnp.mean((y_hat - target) ** 2)
+            return freq + 100.0 * time_l, (freq, time_l)
+
+        (loss, (freq, time_l)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss, freq, time_l
+
+    amp = jax.jit(lambda x: hidden_amp(x, sr))
+    logger = MetricsLogger(log_dir)
+    data = batch_iterator(args)
+    params = model_params
+    for step in range(args.steps):
+        src = jnp.asarray(next(data))
+        target = amp(src)
+        params, opt_state, loss, freq, time_l = train_step(params, opt_state, src, target)
+        if step % 10 == 0 or step == args.steps - 1:
+            print(f"step {step:5d}  loss {float(loss):.4f}  (freq {float(freq):.4f}, "
+                  f"mse {float(time_l):.2e})")
+            logger.log(step, loss=loss, freq=freq, mse=time_l)
+
+    save_checkpoint(os.path.join(log_dir, "ckpt.pkl"), {"params": params, "step": args.steps})
+    print(f"done; metrics at {logger.path}")
+
+
+if __name__ == "__main__":
+    main()
