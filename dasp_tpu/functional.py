@@ -278,8 +278,10 @@ def parametric_eq(
         sample_rate: audio sample rate (Hz).
         *_gain_db / *_cutoff_freq / *_q_factor: per-band scalar parameters,
             each shape (bs,).
-        filter_method: "fsm" (reference parity) or "exact" (scan-based
-            time-domain sosfilt; no FFT, exact IIR semantics).
+        filter_method: "fsm" (reference parity), "exact" (scan-based
+            time-domain sosfilt; no FFT, exact IIR semantics) or "pallas"
+            (exact time-domain via the Pallas TPU kernel — faster than FSM
+            at reference scales and exact; see ops.pallas_iir).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -307,6 +309,10 @@ def parametric_eq(
 
     if filter_method == "exact":
         return sosfilt_exact(sos, x)
+    if filter_method == "pallas":
+        from .ops.pallas_iir import sosfilt_pallas
+
+        return sosfilt_pallas(sos, x)
     return sosfilt_via_fsm(sos, x)
 
 

@@ -26,6 +26,7 @@ from .iir import (
     onepole_varying,
     sosfilt_exact,
 )
+from .pallas_iir import lfilter1_pallas, sosfilt_pallas
 
 __all__ = [
     "biquad",
@@ -50,4 +51,6 @@ __all__ = [
     "onepole_exact",
     "onepole_varying",
     "sosfilt_exact",
+    "lfilter1_pallas",
+    "sosfilt_pallas",
 ]
