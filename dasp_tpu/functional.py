@@ -31,6 +31,7 @@ tests/test_parity.py, tolerance 1e-4):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -63,6 +64,21 @@ __all__ = [
 ]
 
 
+def _scoped(name: str):
+    """Wrap an effect in a jax.named_scope so each processor shows up as a
+    labeled region in jax.profiler / XProf traces (SURVEY.md §5 tracing)."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with jax.named_scope(name):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def _param(p, bs: int, dtype) -> jnp.ndarray:
     """Canonicalize a parameter to shape (bs, 1, 1).
 
@@ -85,6 +101,7 @@ def db_to_linear(db: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@_scoped("dasp.gain")
 def gain(x: jnp.ndarray, sample_rate: int, gain_db) -> jnp.ndarray:
     """Apply gain in dB; the same gain drives every channel.
 
@@ -104,6 +121,7 @@ def gain(x: jnp.ndarray, sample_rate: int, gain_db) -> jnp.ndarray:
     return x * db_to_linear(gain_db)
 
 
+@_scoped("dasp.stereo_bus")
 def stereo_bus(x: jnp.ndarray, sample_rate: int, send_db) -> jnp.ndarray:
     """Sum a stereo multitrack to a stereo bus with per-track send levels.
 
@@ -129,6 +147,7 @@ def stereo_bus(x: jnp.ndarray, sample_rate: int, send_db) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@_scoped("dasp.distortion")
 def distortion(x: jnp.ndarray, sample_rate: int, drive_db) -> jnp.ndarray:
     """Soft-clipping distortion: tanh(x * 10^(drive/20)).
 
@@ -155,6 +174,7 @@ def distortion(x: jnp.ndarray, sample_rate: int, drive_db) -> jnp.ndarray:
     return jnp.tanh(x * db_to_linear(drive_db))
 
 
+@_scoped("dasp.advanced_distortion")
 def advanced_distortion(
     x: jnp.ndarray,
     sample_rate: float,
@@ -212,6 +232,7 @@ GRAPHIC_EQ_BANDS = (31.5, 63.0, 125.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0, 800
 _GRAPHIC_EQ_Q = math.sqrt(2.0)
 
 
+@_scoped("dasp.graphic_eq")
 def graphic_eq(x: jnp.ndarray, sample_rate: float, band_gains_db) -> jnp.ndarray:
     """Ten-band octave graphic equalizer (31.5 Hz – 16 kHz).
 
@@ -242,6 +263,7 @@ def graphic_eq(x: jnp.ndarray, sample_rate: float, band_gains_db) -> jnp.ndarray
     return sosfilt_via_fsm(sos, x)
 
 
+@_scoped("dasp.parametric_eq")
 def parametric_eq(
     x: jnp.ndarray,
     sample_rate: float,
@@ -342,6 +364,17 @@ def _dynamics_common(x, sample_rate, attack_ms, release_ms, eps):
 
 def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
     """Smooth a gain-reduction curve with the selected smoother."""
+    if smoother == "pallas":
+        # exact attack-only one-pole via the Pallas IIR kernel
+        from .ops.pallas_iir import lfilter1_pallas
+
+        eff_bs = g_c.shape[0]
+        a_flat = alpha_a.reshape(eff_bs, 1)
+        zeros = jnp.zeros((eff_bs, 1), dtype=g_c.dtype)
+        ones = jnp.ones((eff_bs, 1), dtype=g_c.dtype)
+        b = jnp.concatenate([1.0 - a_flat, zeros], axis=-1)
+        a = jnp.concatenate([ones, -a_flat], axis=-1)
+        return lfilter1_pallas(g_c, b, a)
     if smoother == "fsm":
         # parity path: attack-only one-pole applied via the frequency
         # sampling method, exactly like the reference
@@ -358,6 +391,7 @@ def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
     return ballistics_smooth(g_c, alpha_a, alpha_r, mode=smoother)
 
 
+@_scoped("dasp.compressor")
 def compressor(
     x: jnp.ndarray,
     sample_rate: float,
@@ -438,6 +472,7 @@ def compressor(
     return x * g_lin
 
 
+@_scoped("dasp.expander")
 def expander(
     x: jnp.ndarray,
     sample_rate: float,
@@ -505,6 +540,7 @@ def expander(
 # ---------------------------------------------------------------------------
 
 
+@_scoped("dasp.noise_shaped_reverberation")
 def noise_shaped_reverberation(
     x: jnp.ndarray,
     sample_rate: float,
@@ -644,6 +680,7 @@ def noise_shaped_reverberation(
 # ---------------------------------------------------------------------------
 
 
+@_scoped("dasp.stereo_widener")
 def stereo_widener(x: jnp.ndarray, sample_rate: float, width) -> jnp.ndarray:
     """Stereo widener via mid/side processing.
 
@@ -680,6 +717,7 @@ def stereo_widener(x: jnp.ndarray, sample_rate: float, width) -> jnp.ndarray:
     return jnp.stack((left, right), axis=-2)
 
 
+@_scoped("dasp.stereo_panner")
 def stereo_panner(x: jnp.ndarray, sample_rate: float, pan) -> jnp.ndarray:
     """Pan mono tracks across the stereo field (constant-power law).
 

@@ -1,0 +1,166 @@
+"""Example-level integration tests (SURVEY.md §4 item 4): tiny-scale
+versions of the training recipes asserting the loss actually decreases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import dasp_tpu as D
+from dasp_tpu.models import ParameterNetwork, StyleTransferNet, apply_style_chain, make_style_processors
+from dasp_tpu.utils import multi_resolution_stft_loss, stft_loss, synthetic_batch
+
+SR = 44100
+
+
+def test_quickstart_recovers_drive():
+    """E1: gradient descent through the effect recovers the parameter."""
+    x = jnp.asarray(synthetic_batch(np.random.default_rng(0), 1, 8192, SR))
+    target = D.distortion(x, SR, jnp.array([16.0]))
+
+    @jax.jit
+    def loss_fn(drive):
+        return jnp.mean((D.distortion(x, SR, drive) - target) ** 2)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    opt = optax.adam(0.05)
+    drive = jnp.array([0.0])
+    state = opt.init(drive)
+    l0 = float(loss_fn(drive))
+    for _ in range(300):
+        g = grad_fn(drive)
+        upd, state = opt.update(g, state)
+        drive = optax.apply_updates(drive, upd)
+    l1 = float(loss_fn(drive))
+    assert l1 < l0 / 20, f"loss {l0} -> {l1}"
+    assert abs(float(drive[0]) - 16.0) < 4.0
+
+
+def test_blind_estimation_loss_decreases():
+    """E4 at tiny scale: param net + compressor re-render, STFT loss."""
+    proc = D.Compressor(SR)
+    net = ParameterNetwork(proc.num_params, channels=(8, 8), dilations=(1, 2))
+    bs, T = 2, 4096
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(synthetic_batch(rng, bs, T, SR))
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    rand_params = jnp.asarray(rng.uniform(0.2, 0.8, (bs, proc.num_params)).astype(np.float32))
+
+    @jax.jit
+    def step(params, batch_stats, opt_state):
+        y = proc.process_normalized(x, rand_params, clip_params=True)
+
+        def loss_fn(params):
+            p_hat, upd = net.apply({"params": params, "batch_stats": batch_stats},
+                                   y, train=True, mutable=["batch_stats"])
+            y_hat = proc.process_normalized(x, p_hat, clip_params=True)
+            return stft_loss(y_hat, y, fft_size=512, hop_size=128, win_length=512), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        u, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, u), new_stats, opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state)
+        losses.append(float(loss))
+    assert min(losses[-5:]) < losses[0], f"no improvement: {losses[0]} -> {losses[-5:]}"
+
+
+def test_style_transfer_step_runs_and_improves():
+    """E7 at tiny scale: full chain + encoder; loss finite and decreasing."""
+    processors = make_style_processors(SR, reverb_num_samples=1024)
+    net = StyleTransferNet(embed_dim=16, ch_dim=4, encoder_dilations=(1, 2))
+    bs, half = 2, 4096
+    rng = np.random.default_rng(1)
+    x_full = jnp.asarray(synthetic_batch(rng, bs, 2 * half, SR))
+    variables = net.init(jax.random.PRNGKey(0), x_full[..., :half], x_full[..., :half], train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    rand = {
+        "eq": jnp.asarray(rng.uniform(0.3, 0.7, (bs, 18)).astype(np.float32)),
+        "comp": jnp.asarray(rng.uniform(0.3, 0.7, (bs, 6)).astype(np.float32)),
+        "reverb": jnp.asarray(rng.uniform(0.3, 0.7, (bs, 25)).astype(np.float32)),
+    }
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, key):
+        k_ref, k_out = jax.random.split(key)
+        ref = processors["equalizer"].process_normalized(x_full, rand["eq"], clip_params=True)
+        ref = processors["compressor"].process_normalized(ref, rand["comp"], clip_params=True)
+        ref = processors["reverb"].process_normalized(ref, rand["reverb"], clip_params=True, key=k_ref)
+        input_a, _ = jnp.split(x_full, 2, axis=-1)
+        ref_a, ref_b = jnp.split(ref, 2, axis=-1)
+
+        def loss_fn(params):
+            p, upd = net.apply({"params": params, "batch_stats": batch_stats},
+                               input_a, jnp.mean(ref_b, axis=1, keepdims=True),
+                               train=True, mutable=["batch_stats"])
+            out_a = apply_style_chain(processors, input_a, p, k_out)
+            return multi_resolution_stft_loss(out_a, ref_a), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        u, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, u), new_stats, opt_state, loss
+
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(15):
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert min(losses[-5:]) < losses[0], f"no improvement: {losses}"
+
+
+def test_virtual_analog_pretrain_mlp():
+    """E6's nonlinearity pretraining converges to tanh."""
+    import flax.linen as nn
+
+    class MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = x[..., None]
+            for _ in range(2):
+                h = nn.relu(nn.Dense(32)(h))
+            return nn.Dense(1)(h)[..., 0]
+
+    mlp = MLP()
+    rng = np.random.default_rng(0)
+    params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((4, 1, 16)))["params"]
+    opt = optax.adam(3e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, x):
+        def loss_fn(params):
+            return jnp.mean((mlp.apply({"params": params}, x) - jnp.tanh(x)) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        u, state = opt.update(g, state)
+        return optax.apply_updates(params, u), state, loss
+
+    for i in range(300):
+        x = jnp.asarray(rng.uniform(-3, 3, (32, 1, 64)).astype(np.float32))
+        params, state, loss = step(params, state, x)
+    assert float(loss) < 1e-2
+
+
+def test_checked_wrapper_catches_nan():
+    from functools import partial
+
+    from dasp_tpu.utils.debug import checked
+
+    safe_gain = checked(partial(D.gain))
+    x = jnp.ones((1, 1, 256))
+    y = safe_gain(x, SR, jnp.array([3.0]))  # clean pass
+    assert y.shape == x.shape
+
+    x_bad = x.at[0, 0, 5].set(jnp.nan)
+    with pytest.raises(Exception, match="NaN|Inf|nan"):
+        safe_gain(x_bad, SR, jnp.array([3.0]))
