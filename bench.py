@@ -18,6 +18,7 @@ CPU reference is the only directly measurable baseline).
 
 import argparse
 import json
+import functools
 import os
 import subprocess
 import sys
@@ -92,7 +93,7 @@ def main():
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x, rand, key):
         k_ref, k_out = jax.random.split(key)
         ref = processors["equalizer"].process_normalized(x, rand["eq"], clip_params=True)

@@ -18,7 +18,7 @@ from .fft_filter import (
     sosfilt_via_fsm,
 )
 from .filterbank import NUM_OCTAVE_BANDS, OCTAVE_BAND_CENTERS, octave_band_filterbank
-from .fir import fft_conv_causal, fft_conv_full, fft_correlate_valid
+from .fir import fft_conv_causal, fft_conv_full, fft_correlate_valid, ola_conv_causal
 from .iir import (
     ballistics_smooth,
     lfilter1_exact,
@@ -46,6 +46,7 @@ __all__ = [
     "fft_conv_causal",
     "fft_conv_full",
     "fft_correlate_valid",
+    "ola_conv_causal",
     "ballistics_smooth",
     "lfilter1_exact",
     "onepole_exact",

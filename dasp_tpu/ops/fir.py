@@ -12,11 +12,12 @@ and are jit/vmap/grad compatible with static shapes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .fft_filter import next_pow2
 
-__all__ = ["fft_conv_full", "fft_conv_causal", "fft_correlate_valid"]
+__all__ = ["fft_conv_full", "fft_conv_causal", "fft_correlate_valid", "ola_conv_causal"]
 
 
 def _fft_mul(x: jnp.ndarray, h: jnp.ndarray, n_fft: int) -> jnp.ndarray:
@@ -45,6 +46,57 @@ def fft_conv_causal(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     T = x.shape[-1]
     n_fft = next_pow2(T + h.shape[-1] - 1)
     return _fft_mul(x, h, n_fft)[..., :T]
+
+
+def ola_conv_causal(x: jnp.ndarray, h: jnp.ndarray, block: int | None = None) -> jnp.ndarray:
+    """Overlap-save causal convolution: bounded FFT size regardless of T.
+
+    The single-FFT path (:func:`fft_conv_causal`) allocates a
+    next_pow2(T + K) complex spectrum — ~2x the signal in memory. For very
+    long audio this blocks the time axis: each block of ``block`` samples
+    is convolved with an FFT of next_pow2(block + K - 1) using the K-1
+    trailing samples of the previous block as history (classic
+    overlap-save). Memory is O(block + K) independent of T, and the block
+    loop is a ``lax.scan`` (sequential in T/block, parallel within).
+
+    Equivalent to ``fft_conv_causal`` to fp32 roundoff. T must not be
+    smaller than ``block`` (it is padded up to a multiple).
+
+    Args:
+        x: signal (..., T).
+        h: impulse response (..., K), broadcastable against x.
+        block: samples per block (default: 2 * next_pow2(K), a good
+            efficiency point).
+
+    Returns:
+        Causal convolution, shape of x.
+    """
+    T, K = x.shape[-1], h.shape[-1]
+    if block is None:
+        block = 2 * next_pow2(K)
+    n_fft = next_pow2(block + K - 1)
+
+    pad_t = (-T) % block
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad_t)])
+    n_blocks = xp.shape[-1] // block
+
+    H = jnp.fft.rfft(h, n_fft, axis=-1)
+    lead = x.shape[:-1]
+    hist0 = jnp.zeros(lead + (K - 1,), x.dtype)
+
+    # blocks-first layout for the scan
+    xb = jnp.moveaxis(xp.reshape(lead + (n_blocks, block)), -2, 0)
+
+    def step(hist, blk):
+        seg = jnp.concatenate([hist, blk], axis=-1)  # (..., K-1+block)
+        y = jnp.fft.irfft(jnp.fft.rfft(seg, n_fft, axis=-1) * H, n_fft, axis=-1)
+        out = y[..., K - 1 : K - 1 + block]
+        new_hist = seg[..., -(K - 1):]
+        return new_hist, out
+
+    _, yb = jax.lax.scan(step, hist0, xb)
+    y = jnp.moveaxis(yb, 0, -2).reshape(lead + (n_blocks * block,))
+    return y[..., :T]
 
 
 def fft_correlate_valid(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:

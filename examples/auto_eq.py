@@ -10,6 +10,7 @@ smoothed response plot.
     python examples/auto_eq.py [--data-dir wavs/] [--steps N] [--smoke]
 """
 
+import functools
 import os
 import sys
 
@@ -106,7 +107,7 @@ def main():
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x, rand_params, rand_gain_db):
         # corrupt: random EQ, peak norm, random -24..0 dB gain (auto_eq.py:284-295)
         y = equalizer.process_normalized(x, rand_params, clip_params=True)

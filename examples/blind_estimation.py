@@ -10,6 +10,7 @@ Adam update — is one jitted function.
     python examples/blind_estimation.py [--data-dir wavs/] [--steps N] [--smoke]
 """
 
+import functools
 import os
 import sys
 
@@ -46,7 +47,7 @@ def main():
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x, rand_params):
         # render the "measured" signal with random parameters (the dataset's
         # __getitem__ in the reference, blind_estimation.py:94-117)

@@ -86,7 +86,7 @@ def make_step(args, processors, net, opt):
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
 
-    return jax.jit(step_fn)
+    return jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
 
 def random_corruption(nprng, bs, processors):

@@ -10,6 +10,7 @@ hidden reference "amp" (EQ -> distortion -> EQ with fixed params).
     python examples/virtual_analog.py [--data-dir wavs/] [--steps N] [--smoke]
 """
 
+import functools
 import os
 import sys
 
@@ -121,7 +122,7 @@ def main():
     opt = optax.adam(args.lr)
     opt_state = opt.init(model_params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, src, target):
         def loss_fn(params):
             y_hat = forward(params, src)

@@ -153,6 +153,27 @@ class TestFFTConv:
             ref = np.correlate(x_pad[0, c], ir[0, c][::-1], mode="valid")
             np.testing.assert_allclose(np.asarray(y)[0, c], ref, atol=1e-4)
 
+    def test_ola_matches_single_fft(self):
+        """Overlap-save block convolution == single-FFT causal convolution."""
+        from dasp_tpu.ops import ola_conv_causal
+
+        x = RNG.standard_normal((2, 2, 3000)).astype(np.float32)
+        h = RNG.standard_normal((2, 2, 200)).astype(np.float32)
+        y_ref = fft_conv_causal(jnp.asarray(x), jnp.asarray(h))
+        y_ola = jax.jit(lambda x, h: ola_conv_causal(x, h, block=512))(
+            jnp.asarray(x), jnp.asarray(h)
+        )
+        np.testing.assert_allclose(np.asarray(y_ola), np.asarray(y_ref), atol=1e-4)
+
+    def test_ola_default_block(self):
+        from dasp_tpu.ops import ola_conv_causal
+
+        x = RNG.standard_normal((1, 1, 10000)).astype(np.float32)
+        h = RNG.standard_normal((1, 1, 63)).astype(np.float32)
+        y_ref = fft_conv_causal(jnp.asarray(x), jnp.asarray(h))
+        y_ola = ola_conv_causal(jnp.asarray(x), jnp.asarray(h))
+        np.testing.assert_allclose(np.asarray(y_ola), np.asarray(y_ref), atol=1e-4)
+
     def test_correlate_valid_vs_numpy(self):
         x = RNG.standard_normal((2, 4, 400)).astype(np.float32)
         h = RNG.standard_normal((4, 33)).astype(np.float32)
