@@ -62,6 +62,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--length", type=int, default=262144)
     ap.add_argument("--smoke", action="store_true", help="tiny shapes, no baseline")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 encoder convolutions (MXU mixed precision)")
     args = ap.parse_args()
 
     import jax
@@ -72,13 +74,14 @@ def main():
     from dasp_tpu.utils import multi_resolution_stft_loss
 
     sr = 44100
+    dtype = jnp.bfloat16 if args.bf16 else None
     if args.smoke:
         args.batch_size, args.length = 2, 16384
         processors = make_style_processors(sr, reverb_num_samples=2048)
-        net = StyleTransferNet(embed_dim=32, ch_dim=8, encoder_dilations=(1, 2, 4))
+        net = StyleTransferNet(embed_dim=32, ch_dim=8, encoder_dilations=(1, 2, 4), dtype=dtype)
     else:
         processors = make_style_processors(sr, reverb_num_samples=65536)
-        net = StyleTransferNet()
+        net = StyleTransferNet(dtype=dtype)
 
     bs, half = args.batch_size, args.length // 2
     dev = jax.devices()[0]

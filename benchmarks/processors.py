@@ -84,6 +84,12 @@ def main():
         "length": T,
         "sample_rate": SR,
         "audio_seconds_per_call": audio_sec,
+        "note": (
+            "pipelined throughput timing; through the remote-execution tunnel "
+            "sub-millisecond programs are below dispatch resolution, so tiny "
+            "effects (gain/distortion/eq forward) read as upper-bound-free "
+            "device time while multi-ms programs are wall-clock accurate"
+        ),
         "processors": {},
     }
 

@@ -48,10 +48,13 @@ class StyleTransferNet(nn.Module):
     num_gain_params: int = 1
     # shorter encoder for small-scale runs; the default needs >= ~70k samples
     encoder_dilations: tuple = (1, 2, 4, 8, 16, 1, 2, 4, 8, 16)
+    # compute dtype for the encoder convolutions (e.g. jnp.bfloat16 for MXU
+    # mixed precision; params stay fp32)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, inp: jnp.ndarray, ref: jnp.ndarray, train: bool = True) -> Dict[str, jnp.ndarray]:
-        encoder = Encoder(self.embed_dim, self.ch_dim, self.encoder_dilations)
+        encoder = Encoder(self.embed_dim, self.ch_dim, self.encoder_dilations, dtype=self.dtype)
         z_input = encoder(inp, train=train)
         z_ref = encoder(ref, train=train)  # shared weights: same module instance
         z = jnp.concatenate([z_input, z_ref], axis=-1)

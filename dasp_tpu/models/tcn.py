@@ -22,12 +22,15 @@ class TCNBlock(nn.Module):
 
     Mirrors the reference block (blind_estimation.py:14-44 uses ReLU,
     auto_eq.py:100-131 / style_transfer.py:25-55 use PReLU).
+    ``dtype=jnp.bfloat16`` runs the convolutions in bf16 on the MXU with
+    fp32 parameters/statistics (mixed precision).
     """
 
     out_channels: int
     kernel_size: int = 3
     dilation: int = 1
     activation: str = "relu"  # "relu" | "prelu"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -43,15 +46,17 @@ class TCNBlock(nn.Module):
             strides=(2,),
             kernel_dilation=(self.dilation,),
             padding="VALID",
+            dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train)(act(x))
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(act(x))
         x = nn.Conv(
             self.out_channels,
             kernel_size=(self.kernel_size,),
             strides=(1,),
             padding="VALID",
+            dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train)(act(x))
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(act(x))
         return x
 
 
@@ -71,18 +76,19 @@ class ParameterNetwork(nn.Module):
     dilations: Sequence[int] = (1, 2, 4, 8, 16)
     activation: str = "relu"
     mlp_hidden: int = 0  # 0 = single linear head (blind-estimation style)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         # x: (batch, channels, samples) -> NWC
         h = jnp.swapaxes(x, 1, 2)
         for ch, d in zip(self.channels, self.dilations):
-            h = TCNBlock(ch, self.kernel_size, d, self.activation)(h, train=train)
+            h = TCNBlock(ch, self.kernel_size, d, self.activation, self.dtype)(h, train=train)
         h = jnp.mean(h, axis=1)  # aggregate over time
         if self.mlp_hidden:
-            h = nn.relu(nn.Dense(self.mlp_hidden)(h))
-            h = nn.relu(nn.Dense(self.mlp_hidden)(h))
-        p = nn.Dense(self.num_control_params)(h)
+            h = nn.relu(nn.Dense(self.mlp_hidden, dtype=self.dtype)(h))
+            h = nn.relu(nn.Dense(self.mlp_hidden, dtype=self.dtype)(h))
+        p = nn.Dense(self.num_control_params)(h.astype(jnp.float32))
         return nn.sigmoid(p)
 
     @staticmethod
@@ -115,13 +121,14 @@ class Encoder(nn.Module):
     ch_dim: int = 256
     dilations: Sequence[int] = (1, 2, 4, 8, 16, 1, 2, 4, 8, 16)
     kernel_size: int = 7
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         h = jnp.swapaxes(x, 1, 2)
         for d in self.dilations:
-            h = TCNBlock(self.ch_dim, self.kernel_size, d, "prelu")(h, train=train)
-        h = jnp.mean(h, axis=1)
+            h = TCNBlock(self.ch_dim, self.kernel_size, d, "prelu", self.dtype)(h, train=train)
+        h = jnp.mean(h.astype(jnp.float32), axis=1)
         h = nn.relu(nn.Dense(256)(h))
         h = nn.relu(nn.Dense(256)(h))
         return nn.Dense(self.embed_dim)(h)
