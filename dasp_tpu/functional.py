@@ -574,6 +574,7 @@ def noise_shaped_reverberation(
     key: Optional[jax.Array] = None,
     noise: Optional[jnp.ndarray] = None,
     ir_conv_fn=None,
+    noise_mode: str = "time",
 ) -> jnp.ndarray:
     """Artificial reverberation by filtered-noise shaping.
 
@@ -604,6 +605,12 @@ def noise_shaped_reverberation(
             called as ``ir_conv_fn(x, ir)`` with x (bs, 2, T) and
             ir (bs, 2, num_samples). Used to plug in the sequence-sharded
             multi-device convolution (parallel.sharded_fft_conv_causal).
+        noise_mode: "time" (reference semantics: draw time-domain white
+            noise and band-limit it by linear convolution) or "frequency"
+            (draw the band-limited noise directly in the spectral domain —
+            the same Gaussian process, ~4x cheaper: one small inverse FFT
+            instead of a forward+inverse pair at conv-padded length).
+            Ignored when ``noise`` is injected.
 
     Returns:
         Reverberated audio, shape (bs, 2, seq_len).
@@ -650,15 +657,34 @@ def noise_shaped_reverberation(
     # white noise for IR synthesis (explicit PRNG — reference samples global
     # torch RNG at functional.py:548)
     pad_size = num_bandpass_taps - 1
-    if noise is None:
-        if key is None:
-            raise ValueError("noise_shaped_reverberation requires `key` (or explicit `noise`).")
-        noise = jax.random.normal(key, (bs * 2, num_bands, num_samples + pad_size), dtype=dtype)
-    else:
-        noise = jnp.asarray(noise, dtype)
+    if noise is None and key is None:
+        raise ValueError("noise_shaped_reverberation requires `key` (or explicit `noise`).")
 
-    # band-limit the noise (reference: grouped direct conv1d, here FFT)
-    wn_filt = fft_correlate_valid(noise, filters[:, 0, :])  # (bs*2, 12, num_samples)
+    if noise is not None:
+        noise = jnp.asarray(noise, dtype)
+        wn_filt = fft_correlate_valid(noise, filters[:, 0, :])  # (bs*2, 12, num_samples)
+    elif noise_mode == "frequency":
+        # sample the band-limited Gaussian process directly in the spectral
+        # domain: rfft of unit white noise has iid N(0, n/2) re/im parts on
+        # interior bins and real N(0, n) at DC/Nyquist; multiply by the band
+        # filter's response and invert once.
+        n = num_samples
+        nb = n // 2 + 1
+        k_re, k_im = jax.random.split(key)
+        re = jax.random.normal(k_re, (bs * 2, num_bands, nb), dtype=dtype)
+        im = jax.random.normal(k_im, (bs * 2, num_bands, nb), dtype=dtype)
+        scale = jnp.sqrt(jnp.asarray(n / 2.0, dtype))
+        edge = jnp.sqrt(jnp.asarray(2.0, dtype))  # DC/Nyquist: real, var n
+        z = (re + 1j * im) * scale
+        z = z.at[..., 0].set(re[..., 0] * edge * scale)
+        z = z.at[..., -1].set(re[..., -1] * edge * scale)
+        F = jnp.fft.rfft(filters[:, 0, :], n, axis=-1)  # (12, nb)
+        wn_filt = jnp.fft.irfft(z * F, n, axis=-1)  # (bs*2, 12, num_samples)
+    else:
+        noise = jax.random.normal(key, (bs * 2, num_bands, num_samples + pad_size), dtype=dtype)
+        # band-limit the noise (reference: grouped direct conv1d, here FFT)
+        wn_filt = fft_correlate_valid(noise, filters[:, 0, :])
+
     wn_filt = wn_filt.reshape(bs, 2, num_bands, num_samples)
 
     # exponential decay envelopes, gains, and band average -> stereo IR

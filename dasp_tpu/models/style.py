@@ -27,12 +27,20 @@ def make_style_processors(
     reverb_num_samples: int = 65536,
     eq_filter_method: str = "fsm",
     compressor_smoother: str = "fsm",
+    reverb_noise_mode: str = "frequency",
 ):
-    """The four processors of the style-transfer chain."""
+    """The four processors of the style-transfer chain.
+
+    The reverb defaults to spectral-domain noise synthesis here (same
+    Gaussian process as the reference's time-domain draw, ~4x cheaper per
+    render — see functional.noise_shaped_reverberation ``noise_mode``).
+    """
     return {
         "equalizer": ParametricEQ(sample_rate, filter_method=eq_filter_method),
         "compressor": Compressor(sample_rate, smoother=compressor_smoother),
-        "reverb": NoiseShapedReverb(sample_rate, num_samples=reverb_num_samples),
+        "reverb": NoiseShapedReverb(
+            sample_rate, num_samples=reverb_num_samples, noise_mode=reverb_noise_mode
+        ),
         "gain": Gain(sample_rate),
     }
 

@@ -351,11 +351,13 @@ class NoiseShapedReverb(Processor):
         max_mix: float = 1.0,
         num_samples: int = 65536,
         num_bandpass_taps: int = 1023,
+        noise_mode: str = "time",
     ):
         super().__init__()
         self.sample_rate = sample_rate
         self.process_fn = lambda x, sr, **kw: F.noise_shaped_reverberation(
-            x, sr, num_samples=num_samples, num_bandpass_taps=num_bandpass_taps, **kw
+            x, sr, num_samples=num_samples, num_bandpass_taps=num_bandpass_taps,
+            noise_mode=noise_mode, **kw
         )
         ranges = {}
         for i in range(12):
