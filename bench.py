@@ -143,11 +143,16 @@ def main():
     jax.block_until_ready(loss)
     eprint(f"warmup done in {time.time()-t0:.1f}s (loss {float(loss):.4f})")
 
+    # one-step input prefetch: generate + enqueue batch i+1 while step i runs
+    # on device (what a real input pipeline does)
     t0 = time.time()
+    nxt = make_inputs(100)
     for i in range(args.steps):
-        x, rand, key = make_inputs(100 + i)
+        x, rand, key = nxt
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, x, rand, key)
+        if i + 1 < args.steps:
+            nxt = make_inputs(101 + i)
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / args.steps
     steps_per_sec = 1.0 / dt
