@@ -233,18 +233,21 @@ _GRAPHIC_EQ_Q = math.sqrt(2.0)
 
 
 @_scoped("dasp.graphic_eq")
-def graphic_eq(x: jnp.ndarray, sample_rate: float, band_gains_db) -> jnp.ndarray:
+def graphic_eq(
+    x: jnp.ndarray, sample_rate: float, band_gains_db, filter_method: str = "fsm"
+) -> jnp.ndarray:
     """Ten-band octave graphic equalizer (31.5 Hz – 16 kHz).
 
     Implements the effect the reference declares but leaves as a stub
     (dasp_pytorch/functional.py:114-115): a cascade of 10 peaking biquads
     at standard octave centres with one-octave bandwidth, applied with the
-    same frequency-sampling machinery as :func:`parametric_eq`.
+    same filtering machinery as :func:`parametric_eq`.
 
     Args:
         x: input audio, shape (bs, chs, seq_len).
         sample_rate: audio sample rate (Hz).
         band_gains_db: per-band gains in dB, shape (bs, 10).
+        filter_method: "fsm", "exact" or "pallas" (see parametric_eq).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -260,6 +263,12 @@ def graphic_eq(x: jnp.ndarray, sample_rate: float, band_gains_db) -> jnp.ndarray
         b, a = biquad(g, f, q, sample_rate, "peaking")
         sections.append(jnp.concatenate([b, a], axis=-1))
     sos = jnp.stack(sections, axis=1)  # (bs, 10, 6)
+    if filter_method == "exact":
+        return sosfilt_exact(sos, x)
+    if filter_method == "pallas":
+        from .ops.pallas_iir import sosfilt_pallas
+
+        return sosfilt_pallas(sos, x)
     return sosfilt_via_fsm(sos, x)
 
 

@@ -28,19 +28,27 @@ def make_style_processors(
     eq_filter_method: str = "fsm",
     compressor_smoother: str = "fsm",
     reverb_noise_mode: str = "frequency",
+    reverb_ir_conv_fn=None,
 ):
     """The four processors of the style-transfer chain.
 
     The reverb defaults to spectral-domain noise synthesis here (same
     Gaussian process as the reference's time-domain draw, ~4x cheaper per
     render — see functional.noise_shaped_reverberation ``noise_mode``).
+    ``reverb_ir_conv_fn`` plugs a custom signal-with-IR convolution into
+    the reverb (e.g. ``parallel.sharded_fft_conv_causal`` bound to a mesh
+    for sequence-parallel rendering).
     """
+    reverb = NoiseShapedReverb(
+        sample_rate, num_samples=reverb_num_samples, noise_mode=reverb_noise_mode
+    )
+    if reverb_ir_conv_fn is not None:
+        inner = reverb.process_fn
+        reverb.process_fn = lambda x, sr, **kw: inner(x, sr, ir_conv_fn=reverb_ir_conv_fn, **kw)
     return {
         "equalizer": ParametricEQ(sample_rate, filter_method=eq_filter_method),
         "compressor": Compressor(sample_rate, smoother=compressor_smoother),
-        "reverb": NoiseShapedReverb(
-            sample_rate, num_samples=reverb_num_samples, noise_mode=reverb_noise_mode
-        ),
+        "reverb": reverb,
         "gain": Gain(sample_rate),
     }
 

@@ -37,19 +37,40 @@ from dasp_tpu.utils.audio import save_wav
 from common import base_parser, batch_iterator
 
 
-def build(args):
+def build(args, mesh=None):
     sr = args.sample_rate
+    ir_conv = None
+    kw = {}
+    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+        from functools import partial
+
+        from dasp_tpu.parallel import sharded_fft_conv_causal
+
+        ir_conv = partial(sharded_fft_conv_causal, mesh=mesh)
+        # FFTs adjacent to the shard_map region break on XLA-CPU's
+        # row-major-only fft thunk: use the exact scan filter paths and
+        # time-domain noise next to the sharded convolution
+        kw = dict(eq_filter_method="exact", compressor_smoother="parallel",
+                  reverb_noise_mode="time")
     if args.smoke:
-        processors = make_style_processors(sr, reverb_num_samples=2048)
+        processors = make_style_processors(
+            sr, reverb_num_samples=2048, reverb_ir_conv_fn=ir_conv, **kw)
         net = StyleTransferNet(embed_dim=32, ch_dim=8, encoder_dilations=(1, 2, 4))
     else:
-        processors = make_style_processors(sr, reverb_num_samples=65536)
+        processors = make_style_processors(
+            sr, reverb_num_samples=65536, reverb_ir_conv_fn=ir_conv, **kw)
         net = StyleTransferNet()
     return processors, net
 
 
-def make_step(args, processors, net, opt):
+def make_step(args, processors, net, opt, mesh=None):
     sr = args.sample_rate
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_only = NamedSharding(mesh, P("dp"))
+    else:
+        batch_only = None
 
     def step_fn(params, batch_stats, opt_state, x, rand, key):
         """One optimization step (reference step() + train(),
@@ -78,6 +99,11 @@ def make_step(args, processors, net, opt):
                 train=True, mutable=["batch_stats"],
             )
             output_a = apply_style_chain(processors, input_a, p, k_out)
+            if batch_only is not None:
+                # re-materialize batch-sharded/sequence-replicated before the
+                # STFT loss (keeps the loss FFTs off shard_map-derived
+                # layouts, which XLA-CPU's fft thunk rejects)
+                output_a = jax.lax.with_sharding_constraint(output_a, batch_only)
             loss = multi_resolution_stft_loss(output_a, ref_a)
             return loss, updates["batch_stats"]
 
@@ -102,16 +128,32 @@ def random_corruption(nprng, bs, processors):
 def main():
     parser = base_parser(__doc__)
     parser.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="sequence-parallel factor for the reverb convolution "
+                             "(devices split as (n/sp) dp x sp). TPU meshes only: "
+                             "XLA-CPU's fft thunk rejects the layouts the STFT loss "
+                             "sees next to the shard_map region, so on the virtual "
+                             "CPU mesh use __graft_entry__.dryrun_multichip (which "
+                             "validates the dp x sp training step with an FFT-free "
+                             "loss) instead")
     args = parser.parse_args()
     if args.smoke:
-        args.length, args.batch_size = 16384, 2
+        args.length = 16384
+        if "--batch-size" not in sys.argv:
+            args.batch_size = 2
     elif args.length == 131072:
         args.length = 262144  # reference: 262144, split into 2x131072 (:400)
     log_dir = args.log_dir or "outputs/style_transfer"
     os.makedirs(log_dir, exist_ok=True)
     sr = args.sample_rate
 
-    processors, net = build(args)
+    mesh = None
+    if args.dp or args.sp > 1:
+        n = len(jax.devices())
+        mesh = make_mesh((n // args.sp, args.sp))
+        print(f"mesh: dp={n // args.sp} sp={args.sp}")
+
+    processors, net = build(args, mesh)
     half = args.length // 2
     x0 = jnp.zeros((args.batch_size, 1, half), jnp.float32)
     variables = net.init(jax.random.PRNGKey(args.seed), x0, x0, train=False)
@@ -124,15 +166,12 @@ def main():
         optax.scale_by_schedule(optax.cosine_decay_schedule(1.0, args.steps)),
     )
     opt_state = opt.init(params)
-    step_fn = make_step(args, processors, net, opt)
+    step_fn = make_step(args, processors, net, opt, mesh)
 
-    mesh = None
-    if args.dp:
-        mesh = make_mesh((len(jax.devices()), 1))
+    if mesh is not None:
         params = replicate(params, mesh)
         batch_stats = replicate(batch_stats, mesh)
         opt_state = replicate(opt_state, mesh)
-        print(f"data-parallel over {mesh.shape['dp']} devices")
 
     state = load_checkpoint(os.path.join(log_dir, "ckpt.pkl")) if args.resume else None
     start = 0
