@@ -87,7 +87,9 @@ def _prep_section_operators(sos: jnp.ndarray, block: int):
     return sos[..., :3], Tt, h1, h2
 
 
-def _sosfilt_kernel(x_ref, b_ref, tt_ref, h1_ref, h2_ref, out_ref, cur_ref, *, block: int):
+def _sosfilt_kernel(
+    x_ref, b_ref, tt_ref, h1_ref, h2_ref, out_ref, cur_ref, *, block: int, save_all: bool = False
+):
     """Grid is (R_tiles, S): section-major sweep with a persistent scratch.
 
     cur_ref holds the current section's input signal for the row tile; it
@@ -153,15 +155,29 @@ def _sosfilt_kernel(x_ref, b_ref, tt_ref, h1_ref, h2_ref, out_ref, cur_ref, *, b
     zeros = jnp.zeros((rows, 1), dtype=cur_ref.dtype)
     lax.fori_loop(0, n_blocks, blk, (zeros, zeros, zeros, zeros))
 
-    @pl.when(s == pl.num_programs(1) - 1)
-    def _():
-        out_ref[:, :] = cur_ref[:, :]
+    if save_all:
+        # stream every section's output to HBM (residuals for the backward);
+        # layout (S, rows, T) keeps the trailing block dims 8/128-aligned
+        out_ref[0, :, :] = cur_ref[:, :].astype(out_ref.dtype)
+    else:
+        @pl.when(s == pl.num_programs(1) - 1)
+        def _():
+            out_ref[:, :] = cur_ref[:, :].astype(out_ref.dtype)
 
 
 def _sosfilt_pallas_fwd_impl(
-    sos: jnp.ndarray, x: jnp.ndarray, block: int, row_tile: int, interpret: bool
+    sos: jnp.ndarray,
+    x: jnp.ndarray,
+    block: int,
+    row_tile: int,
+    interpret: bool,
+    save_all: bool = False,
 ) -> jnp.ndarray:
-    """Forward Pallas evaluation on (R, T) rows with (R, S, 6) sections."""
+    """Forward Pallas evaluation on (R, T) rows with (R, S, 6) sections.
+
+    With ``save_all`` the result is (R, S, T): every section's output
+    (the last one is the filter output), used as backward residuals.
+    """
     R, T = x.shape
     S = sos.shape[1]
 
@@ -178,8 +194,15 @@ def _sosfilt_pallas_fwd_impl(
     b, Tt, h1, h2 = _prep_section_operators(sos, block)
 
     grid = (Rp // row_tile, S)
+    if save_all:
+        out_spec = pl.BlockSpec((1, row_tile, Tp), lambda r, s: (s, r, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((S, Rp, Tp), x.dtype)
+    else:
+        out_spec = pl.BlockSpec((row_tile, Tp), lambda r, s: (r, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((Rp, Tp), x.dtype)
+
     out = pl.pallas_call(
-        functools.partial(_sosfilt_kernel, block=block),
+        functools.partial(_sosfilt_kernel, block=block, save_all=save_all),
         grid=grid,
         in_specs=[
             pl.BlockSpec((row_tile, Tp), lambda r, s: (r, 0), memory_space=pltpu.VMEM),
@@ -188,13 +211,25 @@ def _sosfilt_pallas_fwd_impl(
             pl.BlockSpec((row_tile, S, block), lambda r, s: (r, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((row_tile, S, block), lambda r, s: (r, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((row_tile, Tp), lambda r, s: (r, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, Tp), x.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((row_tile, Tp), jnp.float32)],
         interpret=interpret,
     )(xp, b, Tt, h1, h2)
 
+    if save_all:
+        return out[:, :R, :T]  # (S, R, T)
     return out[:R, :T]
+
+
+def _shift_right(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """x[n-k] with zero history (matches zero initial conditions)."""
+    return jnp.pad(x, ((0, 0), (k, 0)))[:, : x.shape[-1]]
+
+
+def _shift_left(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """x[n+k] with zero future (the adjoint runs anti-causally)."""
+    return jnp.pad(x, ((0, 0), (0, k)))[:, k:]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -203,14 +238,51 @@ def _sosfilt_pallas_rows(sos, x, block, row_tile, interpret):
 
 
 def _rows_fwd(sos, x, block, row_tile, interpret):
-    return _sosfilt_pallas_fwd_impl(sos, x, block, row_tile, interpret), (sos, x)
+    inters = _sosfilt_pallas_fwd_impl(sos, x, block, row_tile, interpret, save_all=True)
+    return inters[-1], (sos, x, inters)  # inters: (S, R, T)
 
 
 def _rows_bwd(block, row_tile, interpret, res, g):
-    sos, x = res
-    # exact gradients via the mathematically identical scan implementation
-    _, vjp = jax.vjp(lambda sos, x: sosfilt_exact(sos, x), sos, x)
-    return vjp(g)
+    """Adjoint-state backward, exact and kernel-accelerated.
+
+    For each section y = (B/A) u the adjoint lambda solves the
+    anti-causal recursion lambda[n] = g[n] - a1 lambda[n+1] - a2 lambda[n+2]
+    — i.e. filtering the flipped cotangent by 1/A with the SAME Pallas
+    kernel. Then
+        dL/db_k = sum_n lambda[n] u[n-k]
+        dL/da_j = -sum_n lambda[n] y[n-j]
+        dL/du[m] = b0 lambda[m] + b1 lambda[m+1] + b2 lambda[m+2]
+    and the cascade is walked in reverse, propagating dL/du.
+    """
+    sos, x, inters = res
+    S = sos.shape[1]
+    dsos = []
+    for s in reversed(range(S)):
+        a = sos[:, s, 3:]  # (R, 3): [a0(=1), a1, a2]
+        b = sos[:, s, :3]
+        u = x if s == 0 else inters[s - 1]
+        y = inters[s]
+
+        # lambda = anti-causal 1/A applied to g: flip, filter, flip
+        sec = jnp.concatenate(
+            [jnp.ones_like(a[:, :1]), jnp.zeros_like(a[:, :2]), a], axis=-1
+        )[:, None, :]
+        lam = jnp.flip(
+            _sosfilt_pallas_fwd_impl(sec, jnp.flip(g, -1), block, row_tile, interpret),
+            -1,
+        )
+
+        db0 = jnp.sum(lam * u, axis=-1)
+        db1 = jnp.sum(lam * _shift_right(u, 1), axis=-1)
+        db2 = jnp.sum(lam * _shift_right(u, 2), axis=-1)
+        da1 = -jnp.sum(lam * _shift_right(y, 1), axis=-1)
+        da2 = -jnp.sum(lam * _shift_right(y, 2), axis=-1)
+        zeros = jnp.zeros_like(db0)
+        dsos.append(jnp.stack([db0, db1, db2, zeros, da1, da2], axis=-1))
+
+        g = b[:, 0:1] * lam + b[:, 1:2] * _shift_left(lam, 1) + b[:, 2:3] * _shift_left(lam, 2)
+
+    return jnp.stack(dsos[::-1], axis=1), g
 
 
 _sosfilt_pallas_rows.defvjp(_rows_fwd, _rows_bwd)
@@ -226,8 +298,10 @@ def sosfilt_pallas(
     """Exact time-domain biquad cascade on TPU via a Pallas kernel.
 
     Drop-in alternative to ``sosfilt_via_fsm`` (approximate, FFT) and
-    ``sosfilt_exact`` (scan). Differentiable: forward runs the kernel,
-    backward differentiates the equivalent scan.
+    ``sosfilt_exact`` (scan). Differentiable: forward runs the kernel;
+    backward solves the adjoint (anti-causal) recursion with the SAME
+    kernel per section plus cheap correlations — exact gradients at
+    kernel speed.
 
     Args:
         sos: (bs, n_sections, 6), a0 normalized to 1.
