@@ -26,6 +26,7 @@ from .iir import (
     onepole_varying,
     sosfilt_exact,
 )
+from .pallas_ballistics import ballistics_pallas
 from .pallas_iir import lfilter1_pallas, sosfilt_pallas
 
 __all__ = [
@@ -54,4 +55,5 @@ __all__ = [
     "sosfilt_exact",
     "lfilter1_pallas",
     "sosfilt_pallas",
+    "ballistics_pallas",
 ]

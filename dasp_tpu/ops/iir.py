@@ -186,8 +186,8 @@ def ballistics_smooth(
         return onepole_varying(g, alpha)
 
     if mode == "exact":
-        a_att = jnp.broadcast_to(alpha_attack, g.shape[:-1])
-        a_rel = jnp.broadcast_to(alpha_release, g.shape[:-1])
+        a_att = jnp.broadcast_to(alpha_attack, g.shape)[..., 0]
+        a_rel = jnp.broadcast_to(alpha_release, g.shape)[..., 0]
 
         def step(y_prev, g_n):
             alpha = jnp.where(g_n < y_prev, a_att, a_rel)

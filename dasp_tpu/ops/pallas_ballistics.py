@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: exact branching attack/release envelope smoother.
+
+The true compressor/expander smoother switches its time constant per
+sample based on the *state*:
+
+    alpha[n] = alpha_attack if g[n] < y[n-1] else alpha_release
+    y[n] = (1 - alpha[n]) * g[n] + alpha[n] * y[n-1]
+
+This data-dependent recursion cannot be expressed as an associative scan
+(ops.iir.ballistics_smooth's "parallel" mode is a two-pass approximation
+and its "exact" mode is a lax.scan — latency-bound sample by sample
+through HBM on TPU). Here the recursion runs inside a Pallas kernel:
+
+  * time-major layout (T, lanes) — dynamic per-sample indexing must land
+    on the sublane dimension (Mosaic rejects dynamic lane-dim slices);
+  * rows padded to the 128-lane VPU width (vector ops on (1, 128) cost
+    the same as (1, 8));
+  * the time axis is streamed through VMEM in blocks (grid dimension,
+    sequential on TPU) with the scalar state carried in a persistent
+    scratch — memory is O(block), not O(T).
+
+Backward uses the adjoint of the recursion treating the branch pattern as
+locally constant (identical to autodiff through jnp.where):
+
+    lam[n] = ct[n] + alpha[n+1] * lam[n+1]            (anti-causal)
+    dL/dg[n] = (1 - alpha[n]) * lam[n]
+    dL/dalpha[n] = (y[n-1] - g[n]) * lam[n]  -> routed to aa/ar by branch
+
+with the branch pattern recomputed from the saved forward output and the
+time blocks visited in reverse.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ballistics_pallas"]
+
+_LANES = 128
+
+
+def _fwd_kernel(g_ref, aa_ref, ar_ref, out_ref, carry_ref):
+    t = pl.program_id(0)
+    Tb, L = g_ref.shape
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+
+    aa = aa_ref[:, :]  # (1, L)
+    ar = ar_ref[:, :]
+
+    def step(n, y_prev):
+        gn = g_ref[pl.ds(n, 1), :]  # (1, L)
+        alpha = jnp.where(gn < y_prev, aa, ar)
+        y = (1.0 - alpha) * gn + alpha * y_prev
+        out_ref[pl.ds(n, 1), :] = y
+        return y
+
+    carry_ref[:, :] = lax.fori_loop(0, Tb, step, carry_ref[:, :])
+
+
+def _bwd_kernel(y_ref, g_ref, aa_ref, ar_ref, ct_ref, dg_ref, daa_ref, dar_ref,
+                lam_ref, daa_acc, dar_acc, *, first_block_has_t0: bool):
+    """Time blocks are fed in REVERSE via the index map; within a block the
+    samples run backward. y[n-1] for the first sample of a block is the
+    last sample of the PREVIOUS (earlier-in-time) block — read from y_ref
+    one step outside the block is impossible, so the wrapper passes y
+    shifted by one (y_prev array) instead: y_ref here is ALREADY y[n-1]."""
+    t = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    Tb, L = g_ref.shape
+
+    @pl.when(t == 0)
+    def _():
+        lam_ref[:, :] = jnp.zeros_like(lam_ref)
+        daa_acc[:, :] = jnp.zeros_like(daa_acc)
+        dar_acc[:, :] = jnp.zeros_like(dar_acc)
+
+    aa = aa_ref[:, :]
+    ar = ar_ref[:, :]
+
+    def step(i, carry):
+        lam_scaled, daa, dar = carry  # alpha[n+1] * lam[n+1]
+        n = Tb - 1 - i
+        gn = g_ref[pl.ds(n, 1), :]
+        y_prev = y_ref[pl.ds(n, 1), :]  # pre-shifted: y[n-1]
+        alpha = jnp.where(gn < y_prev, aa, ar)
+
+        lam = ct_ref[pl.ds(n, 1), :] + lam_scaled
+        dg_ref[pl.ds(n, 1), :] = (1.0 - alpha) * lam
+        dalpha = (y_prev - gn) * lam
+        is_attack = (gn < y_prev).astype(daa.dtype)
+        daa = daa + dalpha * is_attack
+        dar = dar + dalpha * (1.0 - is_attack)
+        return alpha * lam, daa, dar
+
+    lam0, daa, dar = lax.fori_loop(
+        0, Tb, step, (lam_ref[:, :], daa_acc[:, :], dar_acc[:, :])
+    )
+    lam_ref[:, :] = lam0
+    daa_acc[:, :] = daa
+    dar_acc[:, :] = dar
+
+    @pl.when(t == n_blocks - 1)
+    def _():
+        daa_ref[:, :] = daa_acc[:, :]
+        dar_ref[:, :] = dar_acc[:, :]
+
+
+def _pad_tm(x, pad_t, pad_l):
+    return jnp.pad(x, ((0, pad_t), (0, pad_l)))
+
+
+def _fwd_impl(g, aa, ar, time_block, interpret):
+    # g: (T, R) time-major; aa/ar: (1, R)
+    T, R = g.shape
+    pad_l = (-R) % _LANES
+    pad_t = (-T) % time_block
+    gp = _pad_tm(g, pad_t, pad_l)
+    aap = jnp.pad(aa, ((0, 0), (0, pad_l)))
+    arp = jnp.pad(ar, ((0, 0), (0, pad_l)))
+    Tp, L = gp.shape
+    n_blocks = Tp // time_block
+
+    y = pl.pallas_call(
+        _fwd_kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((time_block, L), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((time_block, L), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, L), g.dtype),
+        scratch_shapes=[pltpu.VMEM((1, L), jnp.float32)],
+        interpret=interpret,
+    )(gp, aap, arp)
+    return y[:T, :R]
+
+
+def _bwd_impl(y, g, aa, ar, ct, time_block, interpret):
+    T, R = g.shape
+    pad_l = (-R) % _LANES
+    pad_t = (-T) % time_block
+    # y_prev[n] = y[n-1] (zero at n=0), padded like the rest
+    y_prev = jnp.pad(y, ((1, 0), (0, 0)))[:-1]
+    yp = _pad_tm(y_prev, pad_t, pad_l)
+    gp = _pad_tm(g, pad_t, pad_l)
+    ctp = _pad_tm(ct, pad_t, pad_l)
+    aap = jnp.pad(aa, ((0, 0), (0, pad_l)))
+    arp = jnp.pad(ar, ((0, 0), (0, pad_l)))
+    Tp, L = gp.shape
+    n_blocks = Tp // time_block
+    rev = lambda t: (n_blocks - 1 - t, 0)  # noqa: E731
+
+    dg, daa, dar = pl.pallas_call(
+        functools.partial(_bwd_kernel, first_block_has_t0=True),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((time_block, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_block, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_block, L), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((time_block, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, L), g.dtype),
+            jax.ShapeDtypeStruct((1, L), g.dtype),
+            jax.ShapeDtypeStruct((1, L), g.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, L), jnp.float32),
+            pltpu.VMEM((1, L), jnp.float32),
+            pltpu.VMEM((1, L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(yp, gp, aap, arp, ctp)
+    return dg[:T, :R], daa[:, :R], dar[:, :R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ballistics_rows(g, aa, ar, time_block, interpret):
+    return _fwd_impl(g, aa, ar, time_block, interpret)
+
+
+def _b_fwd(g, aa, ar, time_block, interpret):
+    y = _fwd_impl(g, aa, ar, time_block, interpret)
+    return y, (y, g, aa, ar)
+
+
+def _b_bwd(time_block, interpret, res, ct):
+    y, g, aa, ar = res
+    return _bwd_impl(y, g, aa, ar, ct, time_block, interpret)
+
+
+_ballistics_rows.defvjp(_b_fwd, _b_bwd)
+
+
+def ballistics_pallas(
+    g: jnp.ndarray,
+    alpha_attack: jnp.ndarray,
+    alpha_release: jnp.ndarray,
+    time_block: int = 4096,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Exact branching attack/release smoother on TPU (see module docs).
+
+    Args:
+        g: gain-reduction curve, shape (bs, ch, T).
+        alpha_attack / alpha_release: coefficients broadcastable to
+            (bs, 1, 1).
+        time_block: samples streamed through VMEM per grid step.
+        interpret: force interpreter mode (default: off-TPU only).
+
+    Returns:
+        Smoothed curve, same shape as g.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    bs, ch, T = g.shape
+    rows_tm = g.reshape(bs * ch, T).T  # (T, R) time-major
+    aa = jnp.broadcast_to(jnp.asarray(alpha_attack, g.dtype).reshape(bs, 1, 1), (bs, ch, 1))
+    ar = jnp.broadcast_to(jnp.asarray(alpha_release, g.dtype).reshape(bs, 1, 1), (bs, ch, 1))
+    y = _ballistics_rows(
+        rows_tm, aa.reshape(1, bs * ch), ar.reshape(1, bs * ch), time_block, interpret
+    )
+    return y.T.reshape(bs, ch, T)
