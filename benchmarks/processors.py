@@ -71,8 +71,11 @@ def main():
         "compressor_fsm": lambda x: D.compressor(x, SR, **dyn, smoother="fsm"),
         "compressor_ballistics": lambda x: D.compressor(x, SR, **dyn, smoother="parallel"),
         "compressor_pallas": lambda x: D.compressor(x, SR, **dyn, smoother="pallas"),
+        "compressor_exact_pallas": lambda x: D.compressor(x, SR, **dyn, smoother="exact_pallas"),
         "expander": lambda x: D.expander(x, SR, **dyn, smoother="parallel"),
         "reverb": lambda x: D.noise_shaped_reverberation(x, SR, *rev, key=key),
+        "reverb_freq_noise": lambda x: D.noise_shaped_reverberation(
+            x, SR, *rev, key=key, noise_mode="frequency"),
         "stereo_widener": lambda x: D.stereo_widener(x, SR, f(0.7)),
     }
 

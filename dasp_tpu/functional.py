@@ -263,13 +263,7 @@ def graphic_eq(
         b, a = biquad(g, f, q, sample_rate, "peaking")
         sections.append(jnp.concatenate([b, a], axis=-1))
     sos = jnp.stack(sections, axis=1)  # (bs, 10, 6)
-    if filter_method == "exact":
-        return sosfilt_exact(sos, x)
-    if filter_method == "pallas":
-        from .ops.pallas_iir import sosfilt_pallas
-
-        return sosfilt_pallas(sos, x)
-    return sosfilt_via_fsm(sos, x)
+    return _apply_sos(sos, x, filter_method)
 
 
 @_scoped("dasp.parametric_eq")
@@ -338,13 +332,21 @@ def parametric_eq(
         sections.append(jnp.concatenate([b, a], axis=-1))
     sos = jnp.stack(sections, axis=1)  # (bs, 6, 6)
 
+    return _apply_sos(sos, x, filter_method)
+
+
+def _apply_sos(sos, x, filter_method: str):
     if filter_method == "exact":
         return sosfilt_exact(sos, x)
     if filter_method == "pallas":
         from .ops.pallas_iir import sosfilt_pallas
 
         return sosfilt_pallas(sos, x)
-    return sosfilt_via_fsm(sos, x)
+    if filter_method == "fsm":
+        return sosfilt_via_fsm(sos, x)
+    raise ValueError(
+        f"Unknown filter_method: {filter_method!r}. Expected 'fsm', 'exact' or 'pallas'."
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -697,10 +699,14 @@ def noise_shaped_reverberation(
         z = z.at[..., -1].set(re[..., -1] * edge * scale)
         F = jnp.fft.rfft(filters[:, 0, :], n, axis=-1)  # (12, nb)
         wn_filt = jnp.fft.irfft(z * F, n, axis=-1)  # (bs*2, 12, num_samples)
-    else:
+    elif noise_mode == "time":
         noise = jax.random.normal(key, (bs * 2, num_bands, num_samples + pad_size), dtype=dtype)
         # band-limit the noise (reference: grouped direct conv1d, here FFT)
         wn_filt = fft_correlate_valid(noise, filters[:, 0, :])
+    else:
+        raise ValueError(
+            f"Unknown noise_mode: {noise_mode!r}. Expected 'time' or 'frequency'."
+        )
 
     wn_filt = wn_filt.reshape(bs, 2, num_bands, num_samples)
 
