@@ -29,14 +29,21 @@ from common import base_parser, batch_iterator
 
 
 def main():
-    args = base_parser(__doc__).parse_args()
+    parser = base_parser(__doc__)
+    parser.add_argument("--processor", choices=["compressor", "expander"],
+                        default="compressor",
+                        help="which dynamics processor to blind-estimate")
+    args = parser.parse_args()
     if args.smoke:
         args.length, args.batch_size, args.steps = 16384, 2, args.steps
-    log_dir = args.log_dir or "outputs/blind_estimation"
+    log_dir = args.log_dir or f"outputs/blind_estimation_{args.processor}"
     os.makedirs(log_dir, exist_ok=True)
 
     sr = args.sample_rate
-    processor = D.Compressor(sr)
+    if args.processor == "expander":
+        processor = D.Expander(sr)
+    else:
+        processor = D.Compressor(sr)
     net = ParameterNetwork.blind_estimation(processor.num_params)
 
     rng = jax.random.PRNGKey(args.seed)
