@@ -9,6 +9,7 @@ from .loss import (
 )
 from .audio import index_wav_dataset, load_clip, load_wav, save_wav, synthetic_batch
 from .logging import MetricsLogger, load_checkpoint, save_checkpoint
+from .debug import assert_finite, assert_normalized, checked
 
 __all__ = [
     "a_weighting",
@@ -24,4 +25,7 @@ __all__ = [
     "MetricsLogger",
     "load_checkpoint",
     "save_checkpoint",
+    "assert_finite",
+    "assert_normalized",
+    "checked",
 ]
