@@ -66,6 +66,10 @@ def main():
                     help="bf16 encoder convolutions (MXU mixed precision)")
     ap.add_argument("--prefetch", type=int, default=8,
                     help="distinct batches staged on device for the throughput loop")
+    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed loop into DIR "
+                         "(view with xprof/tensorboard; effects appear as "
+                         "named_scope 'dasp.*' regions)")
     args = ap.parse_args()
 
     import jax
@@ -158,12 +162,17 @@ def main():
         staged.append((jax.device_put(x), jax.tree.map(jax.device_put, rand), key))
     jax.block_until_ready(staged[-1][0])
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.time()
     for i in range(args.steps):
         x, rand, key = staged[i % len(staged)]
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, x, rand, key)
     jax.block_until_ready((params, opt_state, loss))
+    if args.profile:
+        jax.profiler.stop_trace()
+        eprint(f"profiler trace written to {args.profile}")
     dt = (time.time() - t0) / args.steps
     steps_per_sec = 1.0 / dt
     eprint(f"device throughput: {steps_per_sec:.3f} steps/s ({dt*1e3:.2f} ms/step), "

@@ -97,11 +97,16 @@ def main():
     }
 
     for name, fn in cases.items():
-        fwd = jax.jit(fn)
-        t_fwd = timed(fwd, inputs, iters=args.iters)
+        try:
+            fwd = jax.jit(fn)
+            t_fwd = timed(fwd, inputs, iters=args.iters)
 
-        loss = jax.jit(jax.grad(lambda x: jnp.mean(fn(x) ** 2)))
-        t_grad = timed(loss, inputs, iters=args.iters)
+            loss = jax.jit(jax.grad(lambda x: jnp.mean(fn(x) ** 2)))
+            t_grad = timed(loss, inputs, iters=args.iters)
+        except Exception as e:  # keep the report going (remote compile flakes)
+            report["processors"][name] = {"error": str(e)[:200]}
+            print(f"{name:28s} FAILED: {str(e)[:80]}", file=sys.stderr, flush=True)
+            continue
 
         report["processors"][name] = {
             "forward_ms": round(t_fwd * 1e3, 3),

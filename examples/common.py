@@ -36,8 +36,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def batch_iterator(args, channels: int = 1) -> Iterator[np.ndarray]:
-    """Yield (batch, channels, length) float32 batches forever."""
+def _batches(args, channels: int) -> Iterator[np.ndarray]:
     rng = np.random.default_rng(args.seed)
     if args.data_dir:
         examples = index_wav_dataset(args.data_dir, args.length)
@@ -56,3 +55,22 @@ def batch_iterator(args, channels: int = 1) -> Iterator[np.ndarray]:
             if channels > 1:
                 b = np.repeat(b, channels, axis=1)
             yield b
+
+
+def batch_iterator(args, channels: int = 1, prefetch: int = 2) -> Iterator[np.ndarray]:
+    """Yield (batch, channels, length) float32 batches forever, produced by
+    a background thread `prefetch` batches ahead (the reference's
+    DataLoader(num_workers=8) analogue, style_transfer.py:401-406)."""
+    import queue
+    import threading
+
+    src = _batches(args, channels)
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def worker():
+        for b in src:
+            q.put(b)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        yield q.get()

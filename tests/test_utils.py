@@ -1,0 +1,89 @@
+"""Tests for utils: wav IO round-trip, dataset indexing, loss framing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dasp_tpu.utils import (
+    a_weighting,
+    index_wav_dataset,
+    load_clip,
+    load_wav,
+    save_wav,
+    stft_magnitude,
+    synthetic_batch,
+)
+from dasp_tpu.utils.debug import assert_normalized, checked
+from jax.experimental import checkify
+
+RNG = np.random.default_rng(21)
+
+
+class TestWavIO:
+    def test_roundtrip(self, tmp_path):
+        audio = (RNG.standard_normal((2, 4096)) * 0.4).astype(np.float32)
+        path = os.path.join(tmp_path, "t.wav")
+        save_wav(path, audio, 44100)
+        back, sr = load_wav(path)
+        assert sr == 44100
+        assert back.shape == audio.shape
+        # 16-bit quantization: truncation + 32767/32768 scale asymmetry
+        np.testing.assert_allclose(back, np.clip(audio, -1, 1), atol=1e-4)
+
+    def test_index_and_load(self, tmp_path):
+        for i in range(3):
+            sig = (RNG.standard_normal((1, 5000)) * 0.3).astype(np.float32)
+            save_wav(os.path.join(tmp_path, f"f{i}.wav"), sig, 44100)
+        # one silent file that must be skipped
+        save_wav(os.path.join(tmp_path, "silent.wav"), np.zeros((1, 5000), np.float32), 44100)
+
+        examples = index_wav_dataset(str(tmp_path), length=2048)
+        assert len(examples) == 6  # 3 files x 2 chunks, silent file skipped
+        clip = load_clip(examples[0], 2048)
+        assert clip.shape == (1, 2048)
+        assert np.abs(clip).max() <= 1.0
+
+    def test_synthetic_batch_contract(self):
+        b = synthetic_batch(RNG, 3, 4096)
+        assert b.shape == (3, 1, 4096)
+        assert b.dtype == np.float32
+        assert np.abs(b).max() <= 1.0
+        assert np.abs(b).max() > 0.1
+
+
+class TestLossInternals:
+    def test_stft_magnitude_shape(self):
+        x = jnp.asarray(RNG.standard_normal((2, 1, 4096)).astype(np.float32))
+        m = stft_magnitude(x, 512, 128, 512)
+        assert m.shape[-1] == 257
+        assert bool(jnp.all(m > 0))
+
+    def test_a_weighting_shape(self):
+        w = a_weighting(np.fft.rfftfreq(1024, 1 / 44100))
+        assert w.shape == (513,)
+        # A-weighting peaks in the 1-6 kHz region and rolls off at extremes
+        f = np.fft.rfftfreq(1024, 1 / 44100)
+        assert w[np.argmin(np.abs(f - 2000))] > w[np.argmin(np.abs(f - 50))]
+        assert w[np.argmin(np.abs(f - 2000))] > w[-1]
+
+
+class TestDebug:
+    def test_assert_normalized_raises(self):
+        def f(p):
+            assert_normalized(p)
+            return p * 2
+
+        cf = checkify.checkify(f)
+        err, _ = cf(jnp.asarray([0.5, 1.4]))
+        with pytest.raises(Exception, match="outside"):
+            err.throw()
+
+    def test_checked_passes_clean(self):
+        import dasp_tpu as D
+
+        safe = checked(D.gain)
+        y = safe(jnp.ones((1, 1, 64)), 44100, jnp.asarray([3.0]))
+        assert y.shape == (1, 1, 64)
