@@ -212,7 +212,7 @@ def ballistics_pallas(
     g: jnp.ndarray,
     alpha_attack: jnp.ndarray,
     alpha_release: jnp.ndarray,
-    time_block: int = 4096,
+    time_block: int = 1024,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Exact branching attack/release smoother on TPU (see module docs).
@@ -221,7 +221,10 @@ def ballistics_pallas(
         g: gain-reduction curve, shape (bs, ch, T).
         alpha_attack / alpha_release: coefficients broadcastable to
             (bs, 1, 1).
-        time_block: samples streamed through VMEM per grid step.
+        time_block: samples streamed through VMEM per grid step. Mosaic
+            compile time grows steeply with the per-kernel loop length
+            (1024 -> ~4 s per kernel, 4096 -> ~180 s), while runtime barely
+            changes; keep it moderate.
         interpret: force interpreter mode (default: off-TPU only).
 
     Returns:
