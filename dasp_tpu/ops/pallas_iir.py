@@ -84,7 +84,16 @@ def _prep_section_operators(sos: jnp.ndarray, block: int):
 
     h1 = h[..., 1 : block + 1]
     h2 = -a2[..., None] * h[..., :block]
-    return sos[..., :3], Tt, h1, h2
+    # section-major layouts: the kernel grid walks sections in the second
+    # grid dim, so per-section blocking (1, rows, ...) keeps only the
+    # active section's operators in VMEM (vital for the (S+1)-section
+    # adjoint cascade, which brushes the 16 MB scoped-VMEM ceiling) while
+    # the trailing (rows, L) dims stay 8/128-aligned
+    b = jnp.moveaxis(sos[..., :3], 1, 0)  # (S, R, 3)
+    Tt = jnp.moveaxis(Tt, 1, 0)  # (S, R, L, L)
+    h1 = jnp.moveaxis(h1, 1, 0)  # (S, R, L)
+    h2 = jnp.moveaxis(h2, 1, 0)
+    return b, Tt, h1, h2
 
 
 def _sosfilt_kernel(
@@ -94,7 +103,9 @@ def _sosfilt_kernel(
 
     cur_ref holds the current section's input signal for the row tile; it
     is seeded from x at s == 0 and rewritten in place block by block (the
-    two carried samples preserve the overwritten history).
+    two carried samples preserve the overwritten history). The operator
+    inputs are section-major and blocked per section, so each grid step
+    stages only the active section's operators in VMEM.
     """
     s = pl.program_id(1)
     n_blocks = cur_ref.shape[-1] // block
@@ -104,14 +115,12 @@ def _sosfilt_kernel(
     def _():
         cur_ref[:, :] = x_ref[:, :]
 
-    # b/h1/h2 are loaded with the full section axis (TPU block-shape rules:
-    # the last two dims must be 8/128-divisible or whole); select section s
-    b0 = b_ref[:, s, 0:1]  # (rows, 1)
-    b1 = b_ref[:, s, 1:2]
-    b2 = b_ref[:, s, 2:3]
-    tt = tt_ref[:, 0]  # (rows, L, L) — blocked to one section by the spec
-    h1 = h1_ref[:, s]  # (rows, L)
-    h2 = h2_ref[:, s]
+    b0 = b_ref[0, :, 0:1]  # (rows, 1)
+    b1 = b_ref[0, :, 1:2]
+    b2 = b_ref[0, :, 2:3]
+    tt = tt_ref[0]  # (rows, L, L) — blocked to one section by the spec
+    h1 = h1_ref[0]  # (rows, L)
+    h2 = h2_ref[0]
 
     col = lax.broadcasted_iota(jnp.int32, (rows, block), 1)
 
@@ -206,10 +215,10 @@ def _sosfilt_pallas_fwd_impl(
         grid=grid,
         in_specs=[
             pl.BlockSpec((row_tile, Tp), lambda r, s: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, S, 3), lambda r, s: (r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, 1, block, block), lambda r, s: (r, s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, S, block), lambda r, s: (r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, S, block), lambda r, s: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_tile, 3), lambda r, s: (s, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_tile, block, block), lambda r, s: (s, r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_tile, block), lambda r, s: (s, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_tile, block), lambda r, s: (s, r, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
         out_shape=out_shape,
@@ -220,16 +229,6 @@ def _sosfilt_pallas_fwd_impl(
     if save_all:
         return out[:, :R, :T]  # (S, R, T)
     return out[:R, :T]
-
-
-def _shift_right(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """x[n-k] with zero history (matches zero initial conditions)."""
-    return jnp.pad(x, ((0, 0), (k, 0)))[:, : x.shape[-1]]
-
-
-def _shift_left(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """x[n+k] with zero future (the adjoint runs anti-causally)."""
-    return jnp.pad(x, ((0, 0), (0, k)))[:, k:]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -243,46 +242,64 @@ def _rows_fwd(sos, x, block, row_tile, interpret):
 
 
 def _rows_bwd(block, row_tile, interpret, res, g):
-    """Adjoint-state backward, exact and kernel-accelerated.
+    """Adjoint-state backward, exact and fused into ONE kernel launch.
 
     For each section y = (B/A) u the adjoint lambda solves the
     anti-causal recursion lambda[n] = g[n] - a1 lambda[n+1] - a2 lambda[n+2]
-    — i.e. filtering the flipped cotangent by 1/A with the SAME Pallas
-    kernel. Then
+    (filter the flipped cotangent by 1/A), and the cotangent handed to the
+    previous section is the anti-causal FIR B applied to lambda. In
+    flipped time that chain is itself a causal biquad cascade:
+
+        section 0:    b = [1,0,0],  a = A_{S-1}   -> Lam_{S-1}
+        section j:    b = B_{S-j},  a = A_{S-1-j} -> Lam_{S-1-j}
+        section S:    b = B_0,      a = [1,0,0]   -> flip(dL/dx)
+
+    so a single ``save_all`` pass of the SAME kernel over this
+    (S+1)-section adjoint cascade yields every per-section lambda AND the
+    input cotangent — S+1 kernel launches collapse to one. The parameter
+    gradients are then plain correlations against the saved forward
+    intermediates:
+
         dL/db_k = sum_n lambda[n] u[n-k]
         dL/da_j = -sum_n lambda[n] y[n-j]
-        dL/du[m] = b0 lambda[m] + b1 lambda[m+1] + b2 lambda[m+2]
-    and the cascade is walked in reverse, propagating dL/du.
     """
     sos, x, inters = res
     S = sos.shape[1]
-    dsos = []
-    for s in reversed(range(S)):
-        a = sos[:, s, 3:]  # (R, 3): [a0(=1), a1, a2]
-        b = sos[:, s, :3]
-        u = x if s == 0 else inters[s - 1]
-        y = inters[s]
 
-        # lambda = anti-causal 1/A applied to g: flip, filter, flip
-        sec = jnp.concatenate(
-            [jnp.ones_like(a[:, :1]), jnp.zeros_like(a[:, :2]), a], axis=-1
-        )[:, None, :]
-        lam = jnp.flip(
-            _sosfilt_pallas_fwd_impl(sec, jnp.flip(g, -1), block, row_tile, interpret),
-            -1,
-        )
+    b = sos[..., :3]  # (R, S, 3)
+    a = sos[..., 3:]  # (R, S, 3): [a0(=1), a1, a2]
+    unit = jnp.concatenate(
+        [jnp.ones_like(a[:, :1, :1]), jnp.zeros_like(a[:, :1, 1:])], axis=-1
+    )  # (R, 1, 3) == [1, 0, 0]
+    adj_sos = jnp.concatenate(
+        [
+            jnp.concatenate([unit, jnp.flip(b, axis=1)], axis=1),  # numerators
+            jnp.concatenate([jnp.flip(a, axis=1), unit], axis=1),  # denominators
+        ],
+        axis=-1,
+    )  # (R, S+1, 6)
 
-        db0 = jnp.sum(lam * u, axis=-1)
-        db1 = jnp.sum(lam * _shift_right(u, 1), axis=-1)
-        db2 = jnp.sum(lam * _shift_right(u, 2), axis=-1)
-        da1 = -jnp.sum(lam * _shift_right(y, 1), axis=-1)
-        da2 = -jnp.sum(lam * _shift_right(y, 2), axis=-1)
-        zeros = jnp.zeros_like(db0)
-        dsos.append(jnp.stack([db0, db1, db2, zeros, da1, da2], axis=-1))
+    outs = _sosfilt_pallas_fwd_impl(
+        adj_sos, jnp.flip(g, -1), block, row_tile, interpret, save_all=True
+    )
+    outs = jnp.flip(outs, -1)  # (S+1, R, T) back in forward time
+    lam = jnp.flip(outs[:S], axis=0)  # lam[s], s = 0..S-1
+    dx = outs[S]
 
-        g = b[:, 0:1] * lam + b[:, 1:2] * _shift_left(lam, 1) + b[:, 2:3] * _shift_left(lam, 2)
+    u = jnp.concatenate([x[None], inters[:-1]], axis=0)  # section inputs (S, R, T)
+    y = inters  # section outputs (S, R, T)
 
-    return jnp.stack(dsos[::-1], axis=1), g
+    def sr(z, k):  # z[..., n-k] with zero history
+        return jnp.pad(z, ((0, 0), (0, 0), (k, 0)))[..., : z.shape[-1]]
+
+    db0 = jnp.sum(lam * u, axis=-1)
+    db1 = jnp.sum(lam * sr(u, 1), axis=-1)
+    db2 = jnp.sum(lam * sr(u, 2), axis=-1)
+    da1 = -jnp.sum(lam * sr(y, 1), axis=-1)
+    da2 = -jnp.sum(lam * sr(y, 2), axis=-1)
+    zeros = jnp.zeros_like(db0)
+    dsos = jnp.stack([db0, db1, db2, zeros, da1, da2], axis=-1)  # (S, R, 6)
+    return jnp.moveaxis(dsos, 0, 1), dx
 
 
 _sosfilt_pallas_rows.defvjp(_rows_fwd, _rows_bwd)
