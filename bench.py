@@ -70,6 +70,13 @@ def main():
                     help="capture a jax.profiler trace of the timed loop into DIR "
                          "(view with xprof/tensorboard; effects appear as "
                          "named_scope 'dasp.*' regions)")
+    ap.add_argument("--eq-method", default="pallas", choices=["fsm", "exact", "pallas"],
+                    help="parametric EQ filter path inside the train step (pallas = "
+                         "exact time-domain kernel, fastest grad; fsm = reference-parity)")
+    ap.add_argument("--comp-smoother", default="pallas",
+                    choices=["fsm", "parallel", "attack_only", "pallas", "exact_pallas"],
+                    help="compressor envelope smoother (pallas = exact one-pole kernel, "
+                         "fastest; fsm = reference-parity FFT approximation)")
     args = ap.parse_args()
 
     import jax
@@ -81,12 +88,13 @@ def main():
 
     sr = 44100
     dtype = jnp.bfloat16 if args.bf16 else None
+    proc_opts = dict(eq_filter_method=args.eq_method, compressor_smoother=args.comp_smoother)
     if args.smoke:
         args.batch_size, args.length = 2, 16384
-        processors = make_style_processors(sr, reverb_num_samples=2048)
+        processors = make_style_processors(sr, reverb_num_samples=2048, **proc_opts)
         net = StyleTransferNet(embed_dim=32, ch_dim=8, encoder_dilations=(1, 2, 4), dtype=dtype)
     else:
-        processors = make_style_processors(sr, reverb_num_samples=65536)
+        processors = make_style_processors(sr, reverb_num_samples=65536, **proc_opts)
         net = StyleTransferNet(dtype=dtype)
 
     bs, half = args.batch_size, args.length // 2

@@ -223,6 +223,10 @@ def _sosfilt_pallas_fwd_impl(
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((row_tile, Tp), jnp.float32)],
+        # three whole-T fp32 row buffers (in/out/scratch) plus the Toeplitz
+        # operators exceed the default 16 MB scoped-VMEM cap at T=131072;
+        # v5e has 128 MB of VMEM, so raise the per-kernel budget
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, b, Tt, h1, h2)
 
