@@ -27,6 +27,29 @@ import numpy as np
 __all__ = ["stft_magnitude", "stft_loss", "multi_resolution_stft_loss", "a_weighting"]
 
 
+def _rdft_mag(frames: jnp.ndarray, n: int, eps: float) -> jnp.ndarray:
+    """rfft magnitude via explicit DFT matmuls (no XLA fft ops).
+
+    XLA-CPU's fft thunk RET_CHECKs row-major operands, but near shard_map
+    regions (sp-sharded training on the virtual CPU mesh) layout
+    assignment feeds the loss FFTs transposed layouts from sp
+    all-gathers — and `with_layout_constraint` cannot force interior op
+    layouts (XLA satisfies the pin with copies while the fft keeps the
+    bad layout). Matmuls are layout-agnostic, so this path sidesteps the
+    thunk entirely. O(n^2) per frame instead of O(n log n), but it only
+    runs in CPU-backend sharded-validation mode (smoke scales); the TPU
+    path keeps true FFTs.
+    """
+    m = np.arange(frames.shape[-1])[:, None]
+    k = np.arange(n // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * m * k / n
+    cos_b = jnp.asarray(np.cos(ang).astype(np.float32))
+    sin_b = jnp.asarray(np.sin(ang).astype(np.float32))
+    re = frames @ cos_b
+    im = -(frames @ sin_b)
+    return jnp.sqrt(jnp.clip(re**2 + im**2, eps))
+
+
 def _hann(win_length: int, dtype) -> jnp.ndarray:
     n = np.arange(win_length)
     w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)  # periodic Hann
@@ -70,6 +93,7 @@ def stft_magnitude(
     hop_size: int,
     win_length: int,
     eps: float = 1e-8,
+    cpu_fft_workaround: bool = False,
 ) -> jnp.ndarray:
     """Magnitude STFT of (..., T) along the last axis.
 
@@ -86,6 +110,8 @@ def stft_magnitude(
         win = jnp.pad(win, (lpad, fft_size - win_length - lpad))
     frames = frames * win
 
+    if cpu_fft_workaround and jax.default_backend() == "cpu":
+        return _rdft_mag(frames, fft_size, eps)
     spec = jnp.fft.rfft(frames, fft_size, axis=-1)
     mag = jnp.sqrt(jnp.clip(spec.real**2 + spec.imag**2, eps))
     return mag
@@ -116,14 +142,15 @@ def stft_loss(
     perceptual_weighting: bool = False,
     sample_rate: Optional[float] = None,
     eps: float = 1e-8,
+    cpu_fft_workaround: bool = False,
 ) -> jnp.ndarray:
     """Single-resolution STFT loss (auraloss ``STFTLoss`` defaults).
 
     loss = w_sc * spectral_convergence + w_log_mag * L1(log|S|)
          + w_lin_mag * L1(|S|)
     """
-    mag_hat = stft_magnitude(y_hat, fft_size, hop_size, win_length, eps)
-    mag = stft_magnitude(y, fft_size, hop_size, win_length, eps)
+    mag_hat = stft_magnitude(y_hat, fft_size, hop_size, win_length, eps, cpu_fft_workaround)
+    mag = stft_magnitude(y, fft_size, hop_size, win_length, eps, cpu_fft_workaround)
 
     if perceptual_weighting:
         assert sample_rate is not None, "perceptual_weighting requires sample_rate"
@@ -154,6 +181,7 @@ def multi_resolution_stft_loss(
     w_lin_mag: float = 0.0,
     perceptual_weighting: bool = False,
     sample_rate: Optional[float] = None,
+    cpu_fft_workaround: bool = False,
 ) -> jnp.ndarray:
     """Multi-resolution STFT loss; average of :func:`stft_loss` over the
     resolutions.
@@ -171,6 +199,7 @@ def multi_resolution_stft_loss(
             y_hat, y, n_fft, hop, win,
             w_sc=w_sc, w_log_mag=w_log_mag, w_lin_mag=w_lin_mag,
             perceptual_weighting=perceptual_weighting, sample_rate=sample_rate,
+            cpu_fft_workaround=cpu_fft_workaround,
         )
     return total / len(fft_sizes)
 

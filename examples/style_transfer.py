@@ -102,9 +102,13 @@ def make_step(args, processors, net, opt, mesh=None):
             if batch_only is not None:
                 # re-materialize batch-sharded/sequence-replicated before the
                 # STFT loss (keeps the loss FFTs off shard_map-derived
-                # layouts, which XLA-CPU's fft thunk rejects)
+                # layouts, which XLA-CPU's fft thunk rejects); on the CPU
+                # backend the loss additionally swaps its rffts for DFT
+                # matmuls (layout-agnostic) — layout constraints cannot
+                # reach the fft ops XLA's own rfft transpose builds
                 output_a = jax.lax.with_sharding_constraint(output_a, batch_only)
-            loss = multi_resolution_stft_loss(output_a, ref_a)
+            loss = multi_resolution_stft_loss(
+                output_a, ref_a, cpu_fft_workaround=batch_only is not None)
             return loss, updates["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -130,12 +134,10 @@ def main():
     parser.add_argument("--dp", action="store_true", help="data-parallel over all devices")
     parser.add_argument("--sp", type=int, default=1,
                         help="sequence-parallel factor for the reverb convolution "
-                             "(devices split as (n/sp) dp x sp). TPU meshes only: "
-                             "XLA-CPU's fft thunk rejects the layouts the STFT loss "
-                             "sees next to the shard_map region, so on the virtual "
-                             "CPU mesh use __graft_entry__.dryrun_multichip (which "
-                             "validates the dp x sp training step with an FFT-free "
-                             "loss) instead")
+                             "(devices split as (n/sp) dp x sp). Works on TPU meshes "
+                             "and on the virtual CPU mesh (there the MR-STFT loss "
+                             "automatically swaps its rffts for DFT matmuls to dodge "
+                             "XLA-CPU's row-major-only fft thunk)")
     args = parser.parse_args()
     if args.smoke:
         args.length = 16384
