@@ -26,7 +26,7 @@ import dasp_tpu as D  # noqa: E402
 SR = 44100
 
 
-def timed(fn, x0, params, iters=10, grad=False):
+def timed(fn, x0, params, iters=10, grad=False, chain=None):
     """Chained fori_loop timing with a scalar readback.
 
     Through the remote-execution tunnel, ``block_until_ready`` returns
@@ -45,6 +45,10 @@ def timed(fn, x0, params, iters=10, grad=False):
     def renorm(y):
         return y * _lax.rsqrt(_jnp.mean(_jnp.square(y)) + 1e-12) * 0.25
 
+    # map shape-changing outputs (panner/bus) back to the carry shape; the
+    # grad path needs no adapter (the input cotangent has the input shape)
+    out_to_carry = chain if chain is not None else (lambda y: y)
+
     if grad:
         gfn = jax.grad(lambda x, p: _jnp.mean(fn(x, p) ** 2), argnums=(0, 1))
 
@@ -60,7 +64,9 @@ def timed(fn, x0, params, iters=10, grad=False):
     else:
         @jax.jit
         def many(z, p):
-            return _jnp.sum(_lax.fori_loop(0, iters, lambda i, c: renorm(fn(c, p)), z))
+            return _jnp.sum(
+                _lax.fori_loop(0, iters, lambda i, c: renorm(out_to_carry(fn(c, p))), z)
+            )
 
     float(many(x0, params))  # compile + warmup
     t0 = time.time()
@@ -118,6 +124,26 @@ def main():
         "stereo_widener": ([f(0.7)], lambda x, p: D.stereo_widener(x, SR, *p)),
     }
 
+    # shape-changing stereo effects need their own input shapes and a
+    # carry adapter mapping the output back to the input shape
+    tracks = 4
+    x_tracks = jnp.asarray(rng.standard_normal((bs, tracks, T)).astype(np.float32) * 0.25)
+    x_multi = jnp.asarray(rng.standard_normal((bs, 2, tracks, T)).astype(np.float32) * 0.25)
+    special = {
+        "stereo_panner": (
+            x_tracks,
+            [jnp.full((bs, tracks), 0.3)],
+            lambda x, p: D.stereo_panner(x, SR, *p),
+            lambda y: 0.5 * (y[:, 0] + y[:, 1]),  # (bs,2,tracks,T) -> (bs,tracks,T)
+        ),
+        "stereo_bus": (
+            x_multi,
+            [jnp.full((bs, tracks), -3.0)],
+            lambda x, p: D.stereo_bus(x, SR, *p),
+            lambda y: jnp.repeat(y[:, :, None, :], tracks, 2) / tracks,
+        ),
+    }
+
     audio_sec = bs * T / SR  # per-item seconds x batch
     dev = jax.devices()[0]
     report = {
@@ -137,10 +163,12 @@ def main():
         "processors": {},
     }
 
-    for name, (params, fn) in cases.items():
+    runs = {name: (x0, params, fn, None) for name, (params, fn) in cases.items()}
+    runs.update(special)
+    for name, (xc, params, fn, chain) in runs.items():
         try:
-            t_fwd = timed(fn, x0, params, iters=args.iters)
-            t_grad = timed(fn, x0, params, iters=args.iters, grad=True)
+            t_fwd = timed(fn, xc, params, iters=args.iters, chain=chain)
+            t_grad = timed(fn, xc, params, iters=args.iters, grad=True)
         except Exception as e:  # keep the report going (remote compile flakes)
             report["processors"][name] = {"error": str(e)[:200]}
             print(f"{name:28s} FAILED: {str(e)[:80]}", file=sys.stderr, flush=True)

@@ -61,6 +61,27 @@ class TestLossInternals:
         assert m.shape[-1] == 257
         assert bool(jnp.all(m > 0))
 
+    def test_dft_matmul_matches_rfft(self):
+        # the CPU-backend FFT workaround for sharded training (XLA-CPU's
+        # fft thunk rejects the layouts sp all-gathers produce) must be
+        # numerically equivalent to the rfft path: magnitudes, loss value
+        # and gradients
+        import jax
+
+        from dasp_tpu.utils.loss import multi_resolution_stft_loss
+
+        x = jnp.asarray(RNG.standard_normal((2, 1, 8192)).astype(np.float32))
+        y = jnp.asarray(RNG.standard_normal((2, 1, 8192)).astype(np.float32))
+        m1 = stft_magnitude(x, 1024, 256, 600)
+        m2 = stft_magnitude(x, 1024, 256, 600, cpu_fft_workaround=True)
+        assert float(jnp.max(jnp.abs(m1 - m2))) < 1e-4
+        l1 = multi_resolution_stft_loss(x, y)
+        l2 = multi_resolution_stft_loss(x, y, cpu_fft_workaround=True)
+        assert float(jnp.abs(l1 - l2)) < 1e-5
+        g1 = jax.grad(lambda z: multi_resolution_stft_loss(z, y))(x)
+        g2 = jax.grad(lambda z: multi_resolution_stft_loss(z, y, cpu_fft_workaround=True))(x)
+        assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-5
+
     def test_a_weighting_shape(self):
         w = a_weighting(np.fft.rfftfreq(1024, 1 / 44100))
         assert w.shape == (513,)
