@@ -62,8 +62,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--length", type=int, default=262144)
     ap.add_argument("--smoke", action="store_true", help="tiny shapes, no baseline")
-    ap.add_argument("--bf16", action="store_true",
-                    help="bf16 encoder convolutions (MXU mixed precision)")
+    ap.add_argument("--bf16", action="store_true", default=True,
+                    help="bf16 encoder convolutions (MXU mixed precision; the "
+                         "TPU-native default — fp32 params/statistics)")
+    ap.add_argument("--f32", dest="bf16", action="store_false",
+                    help="full fp32 encoder (reference-precision configuration)")
     ap.add_argument("--prefetch", type=int, default=8,
                     help="distinct batches staged on device for the throughput loop")
     ap.add_argument("--profile", type=str, default=None, metavar="DIR",
