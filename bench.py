@@ -73,13 +73,17 @@ def main():
                     help="capture a jax.profiler trace of the timed loop into DIR "
                          "(view with xprof/tensorboard; effects appear as "
                          "named_scope 'dasp.*' regions)")
-    ap.add_argument("--eq-method", default="pallas", choices=["fsm", "exact", "pallas"],
-                    help="parametric EQ filter path inside the train step (pallas = "
-                         "exact time-domain kernel, fastest grad; fsm = reference-parity)")
-    ap.add_argument("--comp-smoother", default="pallas",
-                    choices=["fsm", "parallel", "attack_only", "pallas", "exact_pallas"],
-                    help="compressor envelope smoother (pallas = exact one-pole kernel, "
-                         "fastest; fsm = reference-parity FFT approximation)")
+    ap.add_argument("--eq-method", default="block",
+                    choices=["fsm", "exact", "pallas", "block"],
+                    help="parametric EQ filter path inside the train step (block = "
+                         "exact block-state MXU formulation, fastest; fsm = "
+                         "reference-parity)")
+    ap.add_argument("--comp-smoother", default="block",
+                    choices=["fsm", "parallel", "attack_only", "pallas", "block",
+                             "exact_pallas"],
+                    help="compressor envelope smoother (block = exact one-pole via the "
+                         "block-state formulation, fastest; fsm = reference-parity FFT "
+                         "approximation)")
     args = ap.parse_args()
 
     import jax

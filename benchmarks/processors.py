@@ -109,12 +109,16 @@ def main():
         "parametric_eq_exact_pallas": (
             [f(v) for v in eq_params],
             lambda x, p: D.parametric_eq(x, SR, *p, filter_method="pallas")),
+        "parametric_eq_block": (
+            [f(v) for v in eq_params],
+            lambda x, p: D.parametric_eq(x, SR, *p, filter_method="block")),
         "graphic_eq": (
             [jnp.zeros((bs, 10)) + 3.0],
             lambda x, p: D.graphic_eq(x, SR, *p)),
         "compressor_fsm": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="fsm")),
         "compressor_ballistics": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="parallel")),
         "compressor_pallas": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="pallas")),
+        "compressor_block": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="block")),
         "compressor_exact_pallas": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="exact_pallas")),
         "expander": (dyn, lambda x, p: D.expander(x, SR, *p, smoother="parallel")),
         "reverb": (rev, lambda x, p: D.noise_shaped_reverberation(x, SR, *p, key=key)),

@@ -304,9 +304,11 @@ def parametric_eq(
         *_gain_db / *_cutoff_freq / *_q_factor: per-band scalar parameters,
             each shape (bs,).
         filter_method: "fsm" (reference parity), "exact" (scan-based
-            time-domain sosfilt; no FFT, exact IIR semantics) or "pallas"
-            (exact time-domain via the Pallas TPU kernel — faster than FSM
-            at reference scales and exact; see ops.pallas_iir).
+            time-domain sosfilt; no FFT, exact IIR semantics), "pallas"
+            (exact time-domain via the Pallas TPU kernel) or "block"
+            (exact time-domain via block-state batched MXU matmuls +
+            a 2x2 cross-block scan — the fastest on TPU; see
+            ops.iir.sosfilt_blockmat).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -338,6 +340,10 @@ def parametric_eq(
 def _apply_sos(sos, x, filter_method: str):
     if filter_method == "exact":
         return sosfilt_exact(sos, x)
+    if filter_method == "block":
+        from .ops.iir import sosfilt_blockmat
+
+        return sosfilt_blockmat(sos, x)
     if filter_method == "pallas":
         from .ops.pallas_iir import sosfilt_pallas
 
@@ -345,7 +351,8 @@ def _apply_sos(sos, x, filter_method: str):
     if filter_method == "fsm":
         return sosfilt_via_fsm(sos, x)
     raise ValueError(
-        f"Unknown filter_method: {filter_method!r}. Expected 'fsm', 'exact' or 'pallas'."
+        f"Unknown filter_method: {filter_method!r}. "
+        "Expected 'fsm', 'exact', 'block' or 'pallas'."
     )
 
 
@@ -381,14 +388,22 @@ def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
         from .ops.pallas_ballistics import ballistics_pallas
 
         return ballistics_pallas(g_c, alpha_a, alpha_r)
-    if smoother == "pallas":
-        # exact attack-only one-pole via the Pallas IIR kernel
-        from .ops.pallas_iir import lfilter1_pallas
-
+    if smoother in ("pallas", "block"):
+        # exact attack-only one-pole as a single biquad section, via the
+        # Pallas IIR kernel or the block-state batched-matmul formulation
         eff_bs = g_c.shape[0]
         a_flat = alpha_a.reshape(eff_bs, 1)
         zeros = jnp.zeros((eff_bs, 1), dtype=g_c.dtype)
         ones = jnp.ones((eff_bs, 1), dtype=g_c.dtype)
+        if smoother == "block":
+            from .ops.iir import sosfilt_blockmat
+
+            sec = jnp.concatenate(
+                [1.0 - a_flat, zeros, zeros, ones, -a_flat, zeros], axis=-1
+            )
+            return sosfilt_blockmat(sec[:, None, :], g_c)
+        from .ops.pallas_iir import lfilter1_pallas
+
         b = jnp.concatenate([1.0 - a_flat, zeros], axis=-1)
         a = jnp.concatenate([ones, -a_flat], axis=-1)
         return lfilter1_pallas(g_c, b, a)
@@ -445,7 +460,8 @@ def compressor(
             (static int).
         smoother: "fsm" (reference-parity attack-only FSM), "attack_only"
             (exact scan, same filter), "pallas" (same filter, Pallas
-            kernel), "parallel" (true attack/release ballistics,
+            kernel), "block" (same filter, block-state batched-matmul —
+            fastest on TPU), "parallel" (true attack/release ballistics,
             parallel-scan approximation), "exact" (true ballistics,
             sequential lax.scan) or "exact_pallas" (true ballistics in a
             Pallas kernel — bitwise equal to "exact", TPU-fast).

@@ -24,6 +24,7 @@ from .iir import (
     lfilter1_exact,
     onepole_exact,
     onepole_varying,
+    sosfilt_blockmat,
     sosfilt_exact,
 )
 from .pallas_ballistics import ballistics_pallas
@@ -52,6 +53,7 @@ __all__ = [
     "lfilter1_exact",
     "onepole_exact",
     "onepole_varying",
+    "sosfilt_blockmat",
     "sosfilt_exact",
     "lfilter1_pallas",
     "sosfilt_pallas",
