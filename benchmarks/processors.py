@@ -115,6 +115,9 @@ def main():
         "graphic_eq": (
             [jnp.zeros((bs, 10)) + 3.0],
             lambda x, p: D.graphic_eq(x, SR, *p)),
+        "graphic_eq_block": (
+            [jnp.zeros((bs, 10)) + 3.0],
+            lambda x, p: D.graphic_eq(x, SR, *p, filter_method="block")),
         "compressor_fsm": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="fsm")),
         "compressor_ballistics": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="parallel")),
         "compressor_pallas": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="pallas")),
