@@ -17,13 +17,20 @@ where f = b0 x + b1 x[-1] + b2 x[-2] is the FIR part. The intra-block
 term is a lower-triangular Toeplitz matvec — an MXU matmul — and only two
 scalars per row carry between blocks. h, the Toeplitz operator and the
 state-injection vectors are precomputed in JAX (they depend only on the
-coefficients); the kernel is a sequential sweep over blocks and sections
-with all signal traffic in VMEM.
+coefficients); the kernel advances all sections as a systolic wavefront
+(section s on time block t - s), with all signal traffic in VMEM.
 
-Gradients: the kernel is wrapped in ``jax.custom_vjp`` whose backward
-pass differentiates the mathematically identical associative-scan
-implementation (``ops.iir.sosfilt_exact``) — exact gradients, Pallas
-speed on the forward.
+Gradients: ``jax.custom_vjp`` with a fused adjoint — the per-section
+anticausal adjoint chain is itself a biquad cascade in flipped time, so
+ONE extra (S+1)-section kernel pass produces every lambda and dL/dx,
+and the coefficient gradients are plain correlations.
+
+NOTE: the same block-state decomposition evaluated as pure XLA — one
+batched dot_general over all (row, block) tiles plus a 2x2 cross-block
+associative scan — is faster still and is the recommended path
+(``ops.iir.sosfilt_blockmat``, ``filter_method="block"``). This kernel
+is kept as the fully-fused VMEM-resident variant and as the engine for
+shapes where per-step streaming matters.
 """
 
 from __future__ import annotations
@@ -37,7 +44,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .iir import sosfilt_exact
 
 __all__ = ["sosfilt_pallas", "lfilter1_pallas"]
 
@@ -96,82 +102,93 @@ def _prep_section_operators(sos: jnp.ndarray, block: int):
     return b, Tt, h1, h2
 
 
-def _sosfilt_kernel(
-    x_ref, b_ref, tt_ref, h1_ref, h2_ref, out_ref, cur_ref, *, block: int, save_all: bool = False
+def _sosfilt_wavefront_kernel(
+    x_ref, b_ref, tt_ref, h1_ref, h2_ref, out_ref, st_ref, ring_ref,
+    *, block: int, n_blocks: int, n_sections: int, save_all: bool = False,
 ):
-    """Grid is (R_tiles, S): section-major sweep with a persistent scratch.
+    """Wavefront (systolic) cascade: grid is (R_tiles, n_blocks + S - 1).
 
-    cur_ref holds the current section's input signal for the row tile; it
-    is seeded from x at s == 0 and rewritten in place block by block (the
-    two carried samples preserve the overwritten history). The operator
-    inputs are section-major and blocked per section, so each grid step
-    stages only the active section's operators in VMEM.
+    A section-major sweep (one grid step per section) serializes n_blocks * S
+    matvec latencies. Here every wavefront step advances ALL S sections
+    one time block on staggered offsets — section s processes time block
+    t - s — so the serial chain is n_blocks + S - 1 steps and the S
+    matvecs inside a step are data-independent (the MXU pipelines them
+    back to back). Section s reads its input from section s-1's output
+    one wavefront ago, held in a per-section VMEM ring; two carried
+    samples per section propagate the recursion state.
+
+    Ring discipline per wavefront: read inputs (pre-shift ring heads),
+    shift every ring by one slot, compute gated sections, write new
+    outputs at slot 0. A block written at wavefront w sits at slot t - w
+    afterwards, so the aligned emit of time block t-S+1 reads slot
+    S-1-s for every section — including already-finished sections in the
+    tail, because the shift is unconditional.
     """
-    s = pl.program_id(1)
-    n_blocks = cur_ref.shape[-1] // block
-    rows = cur_ref.shape[0]
+    t = pl.program_id(1)
+    rows = st_ref.shape[1]
+    L = block
+    S = n_sections
+    depth = ring_ref.shape[1]
 
-    @pl.when(s == 0)
+    @pl.when(t == 0)
     def _():
-        cur_ref[:, :] = x_ref[:, :]
+        st_ref[...] = jnp.zeros_like(st_ref)
 
-    b0 = b_ref[0, :, 0:1]  # (rows, 1)
-    b1 = b_ref[0, :, 1:2]
-    b2 = b_ref[0, :, 2:3]
-    tt = tt_ref[0]  # (rows, L, L) — blocked to one section by the spec
-    h1 = h1_ref[0]  # (rows, L)
-    h2 = h2_ref[0]
+    col = lax.broadcasted_iota(jnp.int32, (rows, L), 1)
 
-    col = lax.broadcasted_iota(jnp.int32, (rows, block), 1)
+    # read phase: section inputs as of the END of the previous wavefront
+    inputs = [x_ref[:, :]]
+    for s in range(1, S):
+        inputs.append(ring_ref[s - 1, 0])
 
-    def blk(i, carry):
-        xm1, xm2, ym1, ym2 = carry  # each (rows, 1)
-        xb = cur_ref[:, pl.ds(i * block, block)]  # (rows, L)
+    # shift phase (unconditional — keeps emit indices static in the tail)
+    if depth > 1:
+        for s in range(S):
+            for k in reversed(range(depth - 1)):
+                ring_ref[s, k + 1] = ring_ref[s, k]
 
-        xs1 = pltpu.roll(xb, 1, 1)
-        xs1 = jnp.where(col == 0, xm1, xs1)
-        xs2 = pltpu.roll(xb, 2, 1)
-        xs2 = jnp.where(col < 2, jnp.where(col == 0, xm2, xm1), xs2)
+    # compute phase
+    for s in range(S):
+        @pl.when(jnp.logical_and(t >= s, t - s < n_blocks))
+        def _(s=s):
+            xb = inputs[s].astype(jnp.float32)
+            xm1 = st_ref[s, :, 0:1]
+            xm2 = st_ref[s, :, 1:2]
+            ym1 = st_ref[s, :, 2:3]
+            ym2 = st_ref[s, :, 3:4]
 
-        f = b0 * xb + b1 * xs1 + b2 * xs2  # (rows, L)
+            xs1 = pltpu.roll(xb, 1, 1)
+            xs1 = jnp.where(col == 0, xm1, xs1)
+            xs2 = pltpu.roll(xb, 2, 1)
+            xs2 = jnp.where(col < 2, jnp.where(col == 0, xm2, xm1), xs2)
 
-        # intra-block: y[r, k] = sum_j f[r, j] * Tt[r, j, k]. Mosaic has no
-        # batched dot lowering, so unroll the per-row matvecs (rows is small)
-        # precision=HIGHEST: TPU matmul defaults to bf16 passes, which is far
-        # too coarse for a recursive filter whose state feeds back block to
-        # block — force true fp32 MXU passes
-        y = jnp.concatenate(
-            [
-                jnp.dot(
-                    f[r : r + 1, :], tt[r],
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST,
-                )
-                for r in range(rows)
-            ],
-            axis=0,
-        )  # (rows, L)
-        y = y + h1 * ym1 + h2 * ym2
+            f = b_ref[s, :, 0:1] * xb + b_ref[s, :, 1:2] * xs1 + b_ref[s, :, 2:3] * xs2
 
-        cur_ref[:, pl.ds(i * block, block)] = y.astype(cur_ref.dtype)
+            y = jnp.concatenate(
+                [
+                    jnp.dot(
+                        f[r : r + 1, :], tt_ref[s, r],
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST,
+                    )
+                    for r in range(rows)
+                ],
+                axis=0,
+            )
+            y = y + h1_ref[s] * ym1 + h2_ref[s] * ym2
 
-        xm1n = xb[:, block - 1 :]
-        xm2n = xb[:, block - 2 : block - 1]
-        ym1n = y[:, block - 1 :].astype(xm1n.dtype)
-        ym2n = y[:, block - 2 : block - 1].astype(xm1n.dtype)
-        return xm1n, xm2n, ym1n, ym2n
+            ring_ref[s, 0] = y
+            st_ref[s, :, 0:1] = xb[:, L - 1 :]
+            st_ref[s, :, 1:2] = xb[:, L - 2 : L - 1]
+            st_ref[s, :, 2:3] = y[:, L - 1 :]
+            st_ref[s, :, 3:4] = y[:, L - 2 : L - 1]
 
-    zeros = jnp.zeros((rows, 1), dtype=cur_ref.dtype)
-    lax.fori_loop(0, n_blocks, blk, (zeros, zeros, zeros, zeros))
-
+    # emit phase: time block t - S + 1, aligned across sections
     if save_all:
-        # stream every section's output to HBM (residuals for the backward);
-        # layout (S, rows, T) keeps the trailing block dims 8/128-aligned
-        out_ref[0, :, :] = cur_ref[:, :].astype(out_ref.dtype)
+        for s in range(S):
+            out_ref[s] = ring_ref[s, S - 1 - s].astype(out_ref.dtype)
     else:
-        @pl.when(s == pl.num_programs(1) - 1)
-        def _():
-            out_ref[:, :] = cur_ref[:, :].astype(out_ref.dtype)
+        out_ref[...] = ring_ref[S - 1, 0].astype(out_ref.dtype)
 
 
 def _sosfilt_pallas_fwd_impl(
@@ -202,30 +219,45 @@ def _sosfilt_pallas_fwd_impl(
 
     b, Tt, h1, h2 = _prep_section_operators(sos, block)
 
-    grid = (Rp // row_tile, S)
+    nb = Tp // block
+    grid = (Rp // row_tile, nb + S - 1)
     if save_all:
-        out_spec = pl.BlockSpec((1, row_tile, Tp), lambda r, s: (s, r, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec(
+            (S, row_tile, block),
+            lambda r, t: (0, r, jnp.maximum(t - (S - 1), 0)),
+            memory_space=pltpu.VMEM,
+        )
         out_shape = jax.ShapeDtypeStruct((S, Rp, Tp), x.dtype)
     else:
-        out_spec = pl.BlockSpec((row_tile, Tp), lambda r, s: (r, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec(
+            (row_tile, block),
+            lambda r, t: (r, jnp.maximum(t - (S - 1), 0)),
+            memory_space=pltpu.VMEM,
+        )
         out_shape = jax.ShapeDtypeStruct((Rp, Tp), x.dtype)
 
+    depth = S if save_all else 1
     out = pl.pallas_call(
-        functools.partial(_sosfilt_kernel, block=block, save_all=save_all),
+        functools.partial(
+            _sosfilt_wavefront_kernel,
+            block=block, n_blocks=nb, n_sections=S, save_all=save_all,
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((row_tile, Tp), lambda r, s: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_tile, 3), lambda r, s: (s, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_tile, block, block), lambda r, s: (s, r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_tile, block), lambda r, s: (s, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_tile, block), lambda r, s: (s, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, block), lambda r, t: (r, jnp.minimum(t, nb - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, row_tile, 3), lambda r, t: (0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, row_tile, block, block), lambda r, t: (0, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, row_tile, block), lambda r, t: (0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, row_tile, block), lambda r, t: (0, r, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((row_tile, Tp), jnp.float32)],
-        # three whole-T fp32 row buffers (in/out/scratch) plus the Toeplitz
-        # operators exceed the default 16 MB scoped-VMEM cap at T=131072;
-        # v5e has 128 MB of VMEM, so raise the per-kernel budget
+        scratch_shapes=[
+            pltpu.VMEM((S, row_tile, 128), jnp.float32),  # 4 carried samples/section
+            pltpu.VMEM((S, depth, row_tile, block), jnp.float32),  # output rings
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, b, Tt, h1, h2)
