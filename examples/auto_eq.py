@@ -92,7 +92,8 @@ def main():
     os.makedirs(log_dir, exist_ok=True)
 
     sr = args.sample_rate
-    equalizer = D.ParametricEQ(sr, max_q_factor=1.0)  # auto_eq.py:238-240
+    equalizer = D.ParametricEQ(sr, max_q_factor=1.0,  # auto_eq.py:238-240
+                               filter_method=args.filter_method)
     if args.smoke:
         net = ParameterNetwork(
             equalizer.num_params, channels=(32,) * 4, kernel_size=7,

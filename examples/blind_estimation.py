@@ -41,9 +41,11 @@ def main():
 
     sr = args.sample_rate
     if args.processor == "expander":
-        processor = D.Expander(sr)
+        # the expander's smoother default is the true-ballistics 'parallel'
+        smoother = "parallel" if args.smoother == "fsm" else args.smoother
+        processor = D.Expander(sr, smoother=smoother)
     else:
-        processor = D.Compressor(sr)
+        processor = D.Compressor(sr, smoother=args.smoother)
     net = ParameterNetwork.blind_estimation(processor.num_params)
 
     rng = jax.random.PRNGKey(args.seed)

@@ -33,6 +33,17 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="tiny shapes / shallow nets for a fast functional check")
     p.add_argument("--checkpoint-every", type=int, default=200)
     p.add_argument("--resume", action="store_true", help="resume from the last checkpoint")
+    p.add_argument("--filter-method", default="fsm",
+                   choices=["fsm", "exact", "pallas", "block"],
+                   help="IIR evaluation for EQ-based effects: 'fsm' = reference "
+                        "parity; 'block' = exact block-state MXU formulation, "
+                        "fastest on TPU (see docs/PERFORMANCE.md)")
+    p.add_argument("--smoother", default="fsm",
+                   choices=["fsm", "parallel", "attack_only", "pallas", "block",
+                            "exact_pallas"],
+                   help="envelope smoother for dynamics effects: 'fsm' = reference "
+                        "parity (attack-only); 'block' = same filter, fastest on TPU; "
+                        "'parallel'/'exact_pallas' = true attack/release ballistics")
     return p
 
 

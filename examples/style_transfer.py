@@ -53,7 +53,7 @@ def build(args, mesh=None):
         kw = dict(eq_filter_method="exact", compressor_smoother="parallel",
                   reverb_noise_mode="time")
     else:
-        kw = dict(eq_filter_method=args.eq_method, compressor_smoother=args.comp_smoother)
+        kw = dict(eq_filter_method=args.filter_method, compressor_smoother=args.smoother)
     if args.smoke:
         processors = make_style_processors(
             sr, reverb_num_samples=2048, reverb_ir_conv_fn=ir_conv, **kw)
@@ -134,15 +134,6 @@ def random_corruption(nprng, bs, processors):
 def main():
     parser = base_parser(__doc__)
     parser.add_argument("--dp", action="store_true", help="data-parallel over all devices")
-    parser.add_argument("--eq-method", default="fsm",
-                        choices=["fsm", "exact", "pallas", "block"],
-                        help="EQ filter path; 'block' (exact block-state MXU "
-                             "formulation) is fastest on TPU, 'fsm' is reference parity")
-    parser.add_argument("--comp-smoother", default="fsm",
-                        choices=["fsm", "parallel", "attack_only", "pallas", "block",
-                                 "exact_pallas"],
-                        help="compressor envelope smoother; 'block' is fastest on TPU, "
-                             "'fsm' is reference parity")
     parser.add_argument("--sp", type=int, default=1,
                         help="sequence-parallel factor for the reverb convolution "
                              "(devices split as (n/sp) dp x sp). Works on TPU meshes "

@@ -75,7 +75,8 @@ def main():
     os.makedirs(log_dir, exist_ok=True)
     sr = args.sample_rate
 
-    equalizer = D.ParametricEQ(sr, min_gain_db=-48.0, max_gain_db=48.0)  # :198
+    equalizer = D.ParametricEQ(sr, min_gain_db=-48.0, max_gain_db=48.0,  # :198
+                               filter_method=args.filter_method)
     mlp = MLPNonlinearity()
 
     rng = jax.random.PRNGKey(args.seed)
