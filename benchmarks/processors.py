@@ -103,6 +103,9 @@ def main():
         "advanced_distortion": (
             [f(12.0), f(-3.0), f(0.5), f(0.01)],
             lambda x, p: D.advanced_distortion(x, SR, *p)),
+        "advanced_distortion_block": (
+            [f(12.0), f(-3.0), f(0.5), f(0.01)],
+            lambda x, p: D.advanced_distortion(x, SR, *p, filter_method="block")),
         "parametric_eq_fsm": (
             [f(v) for v in eq_params],
             lambda x, p: D.parametric_eq(x, SR, *p)),

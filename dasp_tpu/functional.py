@@ -182,6 +182,7 @@ def advanced_distortion(
     output_gain_db,
     tone,
     dc_offset,
+    filter_method: str = "fsm",
 ) -> jnp.ndarray:
     """Distortion with input/output gain, tone control and dc offset.
 
@@ -199,6 +200,10 @@ def advanced_distortion(
         tone: highpass/lowpass blend on (0, 1) — 1 = all highpass
             (brighter), shape (bs,).
         dc_offset: dc bias added before the shaper, shape (bs,).
+        filter_method: how the two first-order tone filters run — "fsm"
+            (frequency-sampling approximation, default), "exact"
+            (associative-scan recursion) or "block" (exact block-state
+            MXU formulation — fastest on TPU; see ops.iir).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -215,11 +220,31 @@ def advanced_distortion(
     f_lp = jnp.full((bs,), 320.0, dtype=x.dtype)
     b_hp, a_hp = one_pole_butter_highpass(f_hp, sample_rate)
     b_lp, a_lp = one_pole_butter_lowpass(f_lp, sample_rate)
-    y_hp = lfilter_via_fsm(y, b_hp, a_hp)
-    y_lp = lfilter_via_fsm(y, b_lp, a_lp)
+    y_hp = _apply_first_order(y, b_hp, a_hp, filter_method)
+    y_lp = _apply_first_order(y, b_lp, a_lp, filter_method)
     y = tone * y_hp + (1.0 - tone) * y_lp
 
     return y * db_to_linear(output_gain_db)
+
+
+def _apply_first_order(y, b, a, filter_method: str):
+    """Run a batched first-order IIR (b, a of shape (bs, 2)) over (bs, chs, T)."""
+    if filter_method == "fsm":
+        return lfilter_via_fsm(y, b, a)
+    if filter_method == "exact":
+        from .ops.iir import lfilter1_exact
+
+        return lfilter1_exact(y, b[:, None, :], a[:, None, :])
+    if filter_method == "block":
+        from .ops.iir import sosfilt_blockmat
+
+        zeros = jnp.zeros_like(b[:, :1])
+        ones = jnp.ones_like(b[:, :1])
+        sec = jnp.concatenate([b, zeros, ones, a[:, 1:], zeros], axis=-1)  # (bs, 6)
+        return sosfilt_blockmat(sec[:, None, :], y)
+    raise ValueError(
+        f"Unknown filter_method: {filter_method!r}. Expected 'fsm', 'exact' or 'block'."
+    )
 
 
 # ---------------------------------------------------------------------------

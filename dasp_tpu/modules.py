@@ -192,10 +192,13 @@ class AdvancedDistortion(Processor):
         max_gain_db: float = 24.0,
         min_dc_offset: float = -0.1,
         max_dc_offset: float = 0.1,
+        filter_method: str = "fsm",
     ):
         super().__init__()
         self.sample_rate = sample_rate
-        self.process_fn = F.advanced_distortion
+        self.process_fn = lambda x, sr, **kw: F.advanced_distortion(
+            x, sr, filter_method=filter_method, **kw
+        )
         self.param_ranges = {
             "input_gain_db": (min_gain_db, max_gain_db),
             "output_gain_db": (-max_gain_db, 0.0),
@@ -248,7 +251,13 @@ class GraphicEQ(Processor):
     """Ten-band octave graphic EQ (reference stub
     dasp_pytorch/functional.py:114-115, implemented here)."""
 
-    def __init__(self, sample_rate: int, min_gain_db: float = -12.0, max_gain_db: float = 12.0):
+    def __init__(
+        self,
+        sample_rate: int,
+        min_gain_db: float = -12.0,
+        max_gain_db: float = 12.0,
+        filter_method: str = "fsm",
+    ):
         super().__init__()
         self.sample_rate = sample_rate
         self.param_ranges = {
@@ -261,7 +270,7 @@ class GraphicEQ(Processor):
                 [band_gains[f"band{i}_gain_db"] for i in range(len(F.GRAPHIC_EQ_BANDS))],
                 axis=-1,
             )
-            return F.graphic_eq(x, sr, gains)
+            return F.graphic_eq(x, sr, gains, filter_method=filter_method)
 
         self.process_fn = _process
 

@@ -229,6 +229,70 @@ class TestProcessorLayer:
         )
 
 
+class TestFilterMethodPlumbing:
+    """The fast exact paths must agree with each other (and with the FSM
+    approximation loosely) wherever a filter_method knob is exposed."""
+
+    def test_advanced_distortion_methods_agree(self):
+        x = stereo()
+        params = dict(
+            input_gain_db=jnp.array([12.0, 6.0]), output_gain_db=jnp.array([-3.0, 0.0]),
+            tone=jnp.array([0.3, 0.7]), dc_offset=jnp.array([0.01, -0.02]),
+        )
+        y_exact = D.advanced_distortion(x, SR, **params, filter_method="exact")
+        y_block = D.advanced_distortion(x, SR, **params, filter_method="block")
+        y_fsm = D.advanced_distortion(x, SR, **params, filter_method="fsm")
+        np.testing.assert_allclose(np.asarray(y_exact), np.asarray(y_block), atol=1e-4)
+        # the one-pole tone filters decay in tens of samples, so the FSM
+        # approximation is tight at these lengths
+        np.testing.assert_allclose(np.asarray(y_exact), np.asarray(y_fsm), atol=1e-3)
+
+    def test_advanced_distortion_module_filter_method(self):
+        x = stereo()
+        p = jnp.full((BS, 4), 0.5)
+        y_fsm = D.AdvancedDistortion(SR).process_normalized(x, p)
+        y_block = D.AdvancedDistortion(SR, filter_method="block").process_normalized(x, p)
+        np.testing.assert_allclose(np.asarray(y_fsm), np.asarray(y_block), atol=1e-3)
+
+    def test_graphic_eq_module_filter_method(self):
+        # the module must route filter_method through to the functional
+        # effect. (Cross-method closeness is NOT asserted here: a 31.5 Hz
+        # peaking biquad at 44.1 kHz has poles so close to the unit circle
+        # that fp32 coefficient rounding alone moves the response — exact,
+        # block and f64 scipy all legitimately differ by ~0.1 at T=4096.)
+        x = stereo()
+        proc = D.GraphicEQ(SR, filter_method="block")
+        p = jnp.asarray(RNG.uniform(0.3, 0.7, (BS, proc.num_params)).astype(np.float32))
+        y_module = proc.process_normalized(x, p)
+        gains = jnp.stack(
+            [
+                proc.denormalize_param_dict(proc.extract_param_dict(p))[f"band{i}_gain_db"]
+                for i in range(10)
+            ],
+            axis=-1,
+        )
+        y_direct = D.graphic_eq(x, SR, gains, filter_method="block")
+        np.testing.assert_allclose(np.asarray(y_module), np.asarray(y_direct), atol=1e-6)
+        # and the routing must actually change the path vs the fsm default
+        y_fsm = D.GraphicEQ(SR).process_normalized(x, p)
+        assert float(jnp.abs(y_module - y_fsm).max()) > 1e-6
+
+    def test_advanced_distortion_grads_block(self):
+        x = stereo()
+        params = dict(
+            input_gain_db=jnp.array([12.0, 6.0]), output_gain_db=jnp.array([-3.0, 0.0]),
+            tone=jnp.array([0.3, 0.7]), dc_offset=jnp.array([0.01, -0.02]),
+        )
+
+        def loss(p):
+            return jnp.mean(D.advanced_distortion(x, SR, **p, filter_method="block") ** 2)
+
+        grads = jax.jit(jax.grad(loss))(params)
+        for g in jax.tree.leaves(grads):
+            assert bool(jnp.isfinite(g).all())
+        assert sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)) > 0
+
+
 class TestDtypePolicy:
     def test_bfloat16_supported(self):
         x = stereo().astype(jnp.bfloat16)
