@@ -32,6 +32,7 @@ from dasp_tpu.functional import (
 
 from dasp_tpu.modules import (
     Processor,
+    Chain,
     Compressor,
     Expander,
     ParametricEQ,
@@ -61,6 +62,7 @@ __all__ = [
     "graphic_eq",
     "parametric_eq",
     "Processor",
+    "Chain",
     "Compressor",
     "Expander",
     "ParametricEQ",

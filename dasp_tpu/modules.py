@@ -27,7 +27,7 @@ Differences vs the reference (deliberate):
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ __all__ = [
     "normalize",
     "denormalize",
     "Processor",
+    "Chain",
     "Gain",
     "Distortion",
     "AdvancedDistortion",
@@ -158,6 +159,67 @@ class Processor:
             lo, hi = self.param_ranges[name]
             out[name] = denormalize(p, hi, lo)
         return out
+
+
+class Chain(Processor):
+    """Serial composition of processors driven by ONE parameter tensor.
+
+    Every reference application builds its effect chain by hand (e.g. the
+    EQ -> compressor -> reverb -> gain render of style_transfer.py:150-154);
+    ``Chain`` packages that pattern: a network emits one
+    ``(bs, sum(num_params))`` tensor and the chain slices consecutive column
+    groups to each processor in order. Stochastic processors (e.g.
+    :class:`NoiseShapedReverb`) each receive a key derived from the single
+    ``key=`` argument via ``jax.random.fold_in`` (position-stable, so adding
+    a parameter elsewhere never reshuffles another processor's noise).
+
+    Example::
+
+        chain = Chain([ParametricEQ(sr), Compressor(sr), NoiseShapedReverb(sr), Gain(sr)])
+        y = chain.process_normalized(x, p, clip_params=True, key=key)  # p: (bs, 50)
+    """
+
+    def __init__(self, processors: Sequence[Processor]):
+        super().__init__()
+        if not processors:
+            raise ValueError("Chain requires at least one processor.")
+        self.processors = list(processors)
+        self.sample_rate = self.processors[0].sample_rate
+        self.stochastic = any(p.stochastic for p in self.processors)
+        # prefixed merged ranges, for introspection and num_params
+        self.param_ranges = {
+            f"p{i}.{name}": rng
+            for i, p in enumerate(self.processors)
+            for name, rng in p.param_ranges.items()
+        }
+
+    def process_normalized(
+        self,
+        x: jnp.ndarray,
+        param_tensor: jnp.ndarray,
+        clip_params: bool = False,
+        key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        if param_tensor.shape[1] != self.num_params:
+            raise ValueError(
+                f"Parameter tensor has {param_tensor.shape[1]} parameters, "
+                f"but processor has {self.num_params} parameters."
+            )
+        if self.stochastic and key is None:
+            raise ValueError("Chain contains a stochastic processor: pass key=.")
+        y = x
+        col = 0
+        for i, p in enumerate(self.processors):
+            cols = param_tensor[:, col : col + p.num_params]
+            col += p.num_params
+            kw = {"key": jax.random.fold_in(key, i)} if p.stochastic else {}
+            y = p.process_normalized(y, cols, clip_params=clip_params, **kw)
+        return y
+
+    def process(self, x: jnp.ndarray, *args, **kwargs) -> jnp.ndarray:
+        raise NotImplementedError(
+            "Chain has no single functional form; use process_normalized."
+        )
 
 
 class Gain(Processor):

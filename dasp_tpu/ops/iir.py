@@ -32,8 +32,46 @@ __all__ = [
     "lfilter1_exact",
     "sosfilt_exact",
     "sosfilt_blockmat",
+    "stabilize_sos",
     "ballistics_smooth",
 ]
+
+
+def stabilize_sos(sos: jnp.ndarray, margin: float = 1e-6) -> jnp.ndarray:
+    """Project biquad denominators onto the stability triangle.
+
+    ``sosfilt_exact`` / ``sosfilt_blockmat`` / ``sosfilt_pallas`` are
+    public ops taking raw coefficients; unlike the FSM approximation
+    (which evaluates an unstable filter's frequency response to a finite,
+    if meaningless, result — the only semantics the torch reference has),
+    an exact time-domain recursion diverges to inf within a few thousand
+    samples if a denominator strays outside the unit circle. Audio-EQ-
+    Cookbook designs are stable by construction (verified over the
+    reference modules' full parameter ranges), so for the built-in
+    effects this is a no-op; it exists so user-supplied or learned raw
+    coefficients can never blow up a training loop.
+
+    A second-order denominator z^2 + a1 z + a2 is stable iff |a2| < 1 and
+    |a1| < 1 + a2 (the Jury triangle); this clamps (a1, a2) into that
+    region, leaving stable sections bit-identical and replacing unstable
+    ones with a nearby stable neighbour. Gradients pass through unclamped
+    coefficients untouched and are zero for clamped ones (far better
+    than NaN).
+
+    Args:
+        sos: (..., 6) sections [b0, b1, b2, a0, a1, a2] with a0 == 1.
+        margin: distance kept inside the triangle boundary.
+
+    Returns:
+        sos with denominators clamped to stability.
+    """
+    a1 = sos[..., 4]
+    a2 = jnp.clip(sos[..., 5], -1.0 + margin, 1.0 - margin)
+    lim = 1.0 + a2 - margin
+    a1 = jnp.clip(a1, -lim, lim)
+    return jnp.concatenate(
+        [sos[..., :4], a1[..., None], a2[..., None]], axis=-1
+    )
 
 
 def _first_order_scan(decay: jnp.ndarray, drive: jnp.ndarray) -> jnp.ndarray:
@@ -115,13 +153,18 @@ def _sos_section_exact(x: jnp.ndarray, sec: jnp.ndarray) -> jnp.ndarray:
     def combine(e1, e2):
         A1, u1 = e1
         A2, u2 = e2
-        return A2 @ A1, jnp.einsum("...ij,...j->...i", A2, u1) + u2
+        # HIGHEST: TPU dot defaults to bf16, whose relative error compounds
+        # multiplicatively through O(T) chained 2x2 products — near-unit-
+        # circle poles then overflow to inf/NaN at long lengths
+        mm = jnp.einsum("...ij,...jk->...ik", A2, A1, precision=lax.Precision.HIGHEST)
+        mv = jnp.einsum("...ij,...j->...i", A2, u1, precision=lax.Precision.HIGHEST)
+        return mm, mv + u2
 
     _, v = lax.associative_scan(combine, (A_t, u_t), axis=0)
     return jnp.moveaxis(v[..., 0], 0, -1)
 
 
-def sosfilt_exact(sos: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def sosfilt_exact(sos: jnp.ndarray, x: jnp.ndarray, stabilize: bool = True) -> jnp.ndarray:
     """Exact cascade of second-order sections (time-domain `sosfilt`).
 
     The exact counterpart of ``ops.fft_filter.sosfilt_via_fsm``. Validated
@@ -130,10 +173,16 @@ def sosfilt_exact(sos: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     Args:
         sos: (bs, n_sections, 6) with a0 normalized to 1.
         x: signal (bs, ..., T).
+        stabilize: clamp denominators into the stability triangle (no-op
+            for stable sections, e.g. every cookbook design; see
+            :func:`stabilize_sos` — guards user-supplied or learned raw
+            coefficients, where an exact recursion would diverge).
 
     Returns:
         Filtered signal, same shape as x.
     """
+    if stabilize:
+        sos = stabilize_sos(sos)
     n_sections = sos.shape[-2]
     extra = x.ndim - 2  # broadcast dims between batch and time
     y = x
@@ -143,7 +192,9 @@ def sosfilt_exact(sos: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def sosfilt_blockmat(sos: jnp.ndarray, x: jnp.ndarray, block: int = 128) -> jnp.ndarray:
+def sosfilt_blockmat(
+    sos: jnp.ndarray, x: jnp.ndarray, block: int = 128, stabilize: bool = True
+) -> jnp.ndarray:
     """Exact biquad cascade via block-state batched matmuls (pure XLA).
 
     The time-domain recursion of one section with AR part 1/A, impulse
@@ -170,11 +221,16 @@ def sosfilt_blockmat(sos: jnp.ndarray, x: jnp.ndarray, block: int = 128) -> jnp.
         sos: (bs, n_sections, 6) with a0 normalized to 1.
         x: signal (bs, ..., T).
         block: intra-block length L (MXU tile multiple, 128 natural).
+        stabilize: clamp denominators into the stability triangle (no-op
+            for stable sections; see :func:`stabilize_sos`).
 
     Returns:
         Filtered signal, same shape as x.
     """
     from .pallas_iir import _ar_impulse_response
+
+    if stabilize:
+        sos = stabilize_sos(sos)
 
     bs = x.shape[0]
     T = x.shape[-1]
@@ -239,7 +295,11 @@ def sosfilt_blockmat(sos: jnp.ndarray, x: jnp.ndarray, block: int = 128) -> jnp.
         def combine(e1, e2):
             A1, u1 = e1
             A2, u2 = e2
-            return A2 @ A1, jnp.einsum("...ij,...j->...i", A2, u1) + u2
+            # HIGHEST: bf16 default-precision products compound over the
+            # nb-long block chain (see _sos_section_exact.combine)
+            mm = jnp.einsum("...ij,...jk->...ik", A2, A1, precision=lax.Precision.HIGHEST)
+            mv = jnp.einsum("...ij,...j->...i", A2, u1, precision=lax.Precision.HIGHEST)
+            return mm, mv + u2
 
         _, v = lax.associative_scan(combine, (A_b, u), axis=1)
         v_prev = jnp.pad(v, ((0, 0), (1, 0), (0, 0)))[:, :nb]  # state entering block i

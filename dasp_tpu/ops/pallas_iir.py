@@ -347,6 +347,7 @@ def sosfilt_pallas(
     block: int = 128,
     row_tile: int = 8,
     interpret: bool | None = None,
+    stabilize: bool = True,
 ) -> jnp.ndarray:
     """Exact time-domain biquad cascade on TPU via a Pallas kernel.
 
@@ -359,6 +360,10 @@ def sosfilt_pallas(
     Args:
         sos: (bs, n_sections, 6), a0 normalized to 1.
         x: signal (bs, ..., T).
+        stabilize: clamp denominators into the stability triangle before
+            filtering (no-op for stable designs, e.g. every cookbook
+            biquad; guards user-supplied or learned raw coefficients —
+            see ops.iir.stabilize_sos).
         block: time block length L (multiple of 128; Mosaic rejects
             smaller lane tiles). The Toeplitz formulation does O(T * L)
             work total, so the smallest legal block is also the fastest
@@ -372,6 +377,10 @@ def sosfilt_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if stabilize:
+        from .iir import stabilize_sos
+
+        sos = stabilize_sos(sos)
 
     bs = x.shape[0]
     T = x.shape[-1]

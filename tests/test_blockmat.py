@@ -15,6 +15,7 @@ import scipy.signal
 
 from dasp_tpu.ops import sosfilt_blockmat, sosfilt_exact
 from dasp_tpu.ops.biquad import biquad
+from dasp_tpu.ops.iir import stabilize_sos
 
 SR = 44100
 RNG = np.random.default_rng(11)
@@ -85,6 +86,45 @@ class TestSosfiltBlockmat:
         y_e = D.parametric_eq(x, SR, *p, filter_method="exact")
         np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_e), atol=2e-3)
 
+    def test_long_length_high_q_stays_finite(self):
+        # regression guard for the training-scale failure mode: a high-Q
+        # low-frequency cascade over many cross-block scan products (the
+        # TPU incident was bf16 default-precision 2x2 products compounding
+        # over nb=1024 blocks into inf; the combines now force HIGHEST)
+        bs, T = 2, 65536
+        x = jnp.asarray(RNG.standard_normal((bs, 1, T)).astype(np.float32) * 0.25)
+        secs = []
+        for g, fc, q, ft in [(12.0, 60.0, 5.0, "peaking"), (-10.0, 120.0, 6.0, "peaking")]:
+            b, a = biquad(jnp.full((bs,), g), jnp.full((bs,), fc), jnp.full((bs,), q), SR, ft)
+            secs.append(jnp.concatenate([b, a], axis=-1))
+        sos = jnp.stack(secs, axis=1)
+        loss = lambda s, z: jnp.mean(sosfilt_blockmat(s, z) ** 2)  # noqa: E731
+        l, (gs, gx) = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(sos, x)
+        assert bool(jnp.isfinite(l)) and bool(jnp.isfinite(gs).all()) and bool(jnp.isfinite(gx).all())
+
+
+class TestStabilizeSos:
+    def test_stable_sections_untouched(self):
+        sos = make_sos(2)
+        np.testing.assert_array_equal(np.asarray(stabilize_sos(sos)), np.asarray(sos))
+
+    def test_unstable_section_clamped_and_finite(self):
+        # hand-built unstable denominator (pole outside the unit circle)
+        bs, T = 1, 8192
+        sec = jnp.array([[[1.0, 0.0, 0.0, 1.0, -2.1, 1.05]]])  # |a1| > 1 + a2
+        out = stabilize_sos(sec)
+        a1, a2 = float(out[0, 0, 4]), float(out[0, 0, 5])
+        assert abs(a2) < 1.0 and abs(a1) <= 1.0 + a2
+        x = jnp.asarray(RNG.standard_normal((bs, 1, T)).astype(np.float32) * 0.25)
+        for fn in (sosfilt_blockmat, sosfilt_exact):
+            y = fn(sec, x)  # stabilize=True default
+            assert bool(jnp.isfinite(y).all()), fn.__name__
+        # and without stabilization the exact recursion genuinely diverges
+        y_raw = sosfilt_exact(sec, x, stabilize=False)
+        assert not bool(jnp.isfinite(y_raw).all())
+
+
+class TestCompressorBlockSmoother:
     def test_compressor_block_smoother(self):
         import dasp_tpu as D
 

@@ -229,6 +229,52 @@ class TestProcessorLayer:
         )
 
 
+class TestChain:
+    def test_chain_matches_manual_composition(self):
+        sr = SR
+        eq, comp, g = D.ParametricEQ(sr), D.Compressor(sr), D.Gain(sr)
+        chain = D.Chain([eq, comp, g])
+        assert chain.num_params == 18 + 6 + 1
+        x = stereo()
+        p = jnp.asarray(RNG.uniform(0.2, 0.8, (BS, chain.num_params)).astype(np.float32))
+        y_chain = chain.process_normalized(x, p)
+        y_manual = eq.process_normalized(x, p[:, :18])
+        y_manual = comp.process_normalized(y_manual, p[:, 18:24])
+        y_manual = g.process_normalized(y_manual, p[:, 24:25])
+        np.testing.assert_allclose(np.asarray(y_chain), np.asarray(y_manual), atol=1e-6)
+
+    def test_chain_stochastic_requires_key(self):
+        chain = D.Chain([D.Gain(SR), D.NoiseShapedReverb(SR, num_samples=2048)])
+        assert chain.stochastic
+        p = jnp.full((BS, chain.num_params), 0.5)
+        with pytest.raises(ValueError, match="key"):
+            chain.process_normalized(stereo(), p)
+        y1 = chain.process_normalized(stereo(), p, key=jax.random.PRNGKey(0))
+        assert y1.shape == (BS, 2, T) and bool(jnp.isfinite(y1).all())
+
+    def test_chain_param_count_mismatch(self):
+        chain = D.Chain([D.Gain(SR), D.Distortion(SR)])
+        with pytest.raises(ValueError, match="parameters"):
+            chain.process_normalized(stereo(), jnp.full((BS, 3), 0.5))
+
+    def test_chain_jit_and_grad(self):
+        chain = D.Chain([D.ParametricEQ(SR, filter_method="exact"), D.Gain(SR)])
+        x = stereo()
+
+        @jax.jit
+        def loss(p):
+            return jnp.mean(chain.process_normalized(x, p, clip_params=True) ** 2)
+
+        p = jnp.full((BS, chain.num_params), 0.5)
+        g = jax.grad(loss)(p)
+        assert g.shape == p.shape and bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_chain_empty_raises(self):
+        with pytest.raises(ValueError, match="at least one"):
+            D.Chain([])
+
+
 class TestFilterMethodPlumbing:
     """The fast exact paths must agree with each other (and with the FSM
     approximation loosely) wherever a filter_method knob is exposed."""
