@@ -236,12 +236,9 @@ def _apply_first_order(y, b, a, filter_method: str):
 
         return lfilter1_exact(y, b[:, None, :], a[:, None, :])
     if filter_method == "block":
-        from .ops.iir import sosfilt_blockmat
+        from .ops.iir import lfilter1_blockmat
 
-        zeros = jnp.zeros_like(b[:, :1])
-        ones = jnp.ones_like(b[:, :1])
-        sec = jnp.concatenate([b, zeros, ones, a[:, 1:], zeros], axis=-1)  # (bs, 6)
-        return sosfilt_blockmat(sec[:, None, :], y)
+        return lfilter1_blockmat(y, b, a)
     raise ValueError(
         f"Unknown filter_method: {filter_method!r}. Expected 'fsm', 'exact' or 'block'."
     )
@@ -272,7 +269,8 @@ def graphic_eq(
         x: input audio, shape (bs, chs, seq_len).
         sample_rate: audio sample rate (Hz).
         band_gains_db: per-band gains in dB, shape (bs, 10).
-        filter_method: "fsm", "exact" or "pallas" (see parametric_eq).
+        filter_method: "fsm", "exact", "pallas" or "block" — same options
+            as :func:`parametric_eq`.
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -414,23 +412,20 @@ def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
 
         return ballistics_pallas(g_c, alpha_a, alpha_r)
     if smoother in ("pallas", "block"):
-        # exact attack-only one-pole as a single biquad section, via the
-        # Pallas IIR kernel or the block-state batched-matmul formulation
+        # exact attack-only one-pole as a single (degenerate) biquad, via
+        # the Pallas IIR kernel or the block-state batched-matmul path
         eff_bs = g_c.shape[0]
         a_flat = alpha_a.reshape(eff_bs, 1)
         zeros = jnp.zeros((eff_bs, 1), dtype=g_c.dtype)
         ones = jnp.ones((eff_bs, 1), dtype=g_c.dtype)
-        if smoother == "block":
-            from .ops.iir import sosfilt_blockmat
-
-            sec = jnp.concatenate(
-                [1.0 - a_flat, zeros, zeros, ones, -a_flat, zeros], axis=-1
-            )
-            return sosfilt_blockmat(sec[:, None, :], g_c)
-        from .ops.pallas_iir import lfilter1_pallas
-
         b = jnp.concatenate([1.0 - a_flat, zeros], axis=-1)
         a = jnp.concatenate([ones, -a_flat], axis=-1)
+        if smoother == "block":
+            from .ops.iir import lfilter1_blockmat
+
+            return lfilter1_blockmat(g_c, b, a)
+        from .ops.pallas_iir import lfilter1_pallas
+
         return lfilter1_pallas(g_c, b, a)
     if smoother == "fsm":
         # parity path: attack-only one-pole applied via the frequency

@@ -199,20 +199,28 @@ class Chain(Processor):
         param_tensor: jnp.ndarray,
         clip_params: bool = False,
         key: Optional[jax.Array] = None,
+        **kwargs,
     ) -> jnp.ndarray:
+        """Extra ``**kwargs`` (e.g. ``noise=`` for deterministic reverb
+        injection) are forwarded to the STOCHASTIC processors only — the
+        deterministic members never see them."""
         if param_tensor.shape[1] != self.num_params:
             raise ValueError(
                 f"Parameter tensor has {param_tensor.shape[1]} parameters, "
                 f"but processor has {self.num_params} parameters."
             )
-        if self.stochastic and key is None:
+        if self.stochastic and key is None and not kwargs:
             raise ValueError("Chain contains a stochastic processor: pass key=.")
         y = x
         col = 0
         for i, p in enumerate(self.processors):
             cols = param_tensor[:, col : col + p.num_params]
             col += p.num_params
-            kw = {"key": jax.random.fold_in(key, i)} if p.stochastic else {}
+            kw = {}
+            if p.stochastic:
+                kw.update(kwargs)
+                if key is not None:
+                    kw["key"] = jax.random.fold_in(key, i)
             y = p.process_normalized(y, cols, clip_params=clip_params, **kw)
         return y
 
@@ -258,8 +266,11 @@ class AdvancedDistortion(Processor):
     ):
         super().__init__()
         self.sample_rate = sample_rate
-        self.process_fn = lambda x, sr, **kw: F.advanced_distortion(
-            x, sr, filter_method=filter_method, **kw
+        # *a keeps Processor.process's raw positional passthrough working;
+        # the dict merge makes the constructor value a default the caller
+        # can still override per call
+        self.process_fn = lambda x, *a, **kw: F.advanced_distortion(
+            x, *a, **{"filter_method": filter_method, **kw}
         )
         self.param_ranges = {
             "input_gain_db": (min_gain_db, max_gain_db),
@@ -284,8 +295,8 @@ class ParametricEQ(Processor):
     ):
         super().__init__()
         self.sample_rate = sample_rate
-        self.process_fn = lambda x, sr, **kw: F.parametric_eq(
-            x, sr, filter_method=filter_method, **kw
+        self.process_fn = lambda x, *a, **kw: F.parametric_eq(
+            x, *a, **{"filter_method": filter_method, **kw}
         )
         self.param_ranges = {
             "low_shelf_gain_db": (min_gain_db, max_gain_db),
@@ -327,12 +338,15 @@ class GraphicEQ(Processor):
             for i in range(len(F.GRAPHIC_EQ_BANDS))
         }
 
-        def _process(x, sr, **band_gains):
+        def _process(x, sr, *args, **kw):
+            fm = kw.pop("filter_method", filter_method)
+            if args:  # raw positional passthrough: graphic_eq(x, sr, gains)
+                return F.graphic_eq(x, sr, *args, filter_method=fm, **kw)
             gains = jnp.stack(
-                [band_gains[f"band{i}_gain_db"] for i in range(len(F.GRAPHIC_EQ_BANDS))],
+                [kw.pop(f"band{i}_gain_db") for i in range(len(F.GRAPHIC_EQ_BANDS))],
                 axis=-1,
             )
-            return F.graphic_eq(x, sr, gains, filter_method=filter_method)
+            return F.graphic_eq(x, sr, gains, filter_method=fm, **kw)
 
         self.process_fn = _process
 
@@ -359,7 +373,7 @@ class Compressor(Processor):
     ):
         super().__init__()
         self.sample_rate = sample_rate
-        self.process_fn = lambda x, sr, **kw: F.compressor(x, sr, smoother=smoother, **kw)
+        self.process_fn = lambda x, *a, **kw: F.compressor(x, *a, **{"smoother": smoother, **kw})
         self.param_ranges = {
             "threshold_db": (min_threshold_db, max_threshold_db),
             "ratio": (min_ratio, max_ratio),
@@ -393,7 +407,7 @@ class Expander(Processor):
     ):
         super().__init__()
         self.sample_rate = sample_rate
-        self.process_fn = lambda x, sr, **kw: F.expander(x, sr, smoother=smoother, **kw)
+        self.process_fn = lambda x, *a, **kw: F.expander(x, *a, **{"smoother": smoother, **kw})
         self.param_ranges = {
             "threshold_db": (min_threshold_db, max_threshold_db),
             "ratio": (min_ratio, max_ratio),
@@ -426,9 +440,13 @@ class NoiseShapedReverb(Processor):
     ):
         super().__init__()
         self.sample_rate = sample_rate
-        self.process_fn = lambda x, sr, **kw: F.noise_shaped_reverberation(
-            x, sr, num_samples=num_samples, num_bandpass_taps=num_bandpass_taps,
-            noise_mode=noise_mode, **kw
+        self.process_fn = lambda x, *a, **kw: F.noise_shaped_reverberation(
+            x, *a, **{
+                "num_samples": num_samples,
+                "num_bandpass_taps": num_bandpass_taps,
+                "noise_mode": noise_mode,
+                **kw,
+            }
         )
         ranges = {}
         for i in range(12):
@@ -477,7 +495,9 @@ class StereoBus(Processor):
             f"track{i}_send_db": (min_send_db, max_send_db) for i in range(num_tracks)
         }
 
-        def _process(x, sr, **sends):
+        def _process(x, sr, *args, **sends):
+            if args:  # raw positional passthrough: stereo_bus(x, sr, send_db)
+                return F.stereo_bus(x, sr, *args, **sends)
             send_db = jnp.stack(
                 [sends[f"track{i}_send_db"] for i in range(num_tracks)], axis=-1
             )

@@ -30,11 +30,28 @@ __all__ = [
     "onepole_exact",
     "onepole_varying",
     "lfilter1_exact",
+    "lfilter1_blockmat",
     "sosfilt_exact",
     "sosfilt_blockmat",
     "stabilize_sos",
     "ballistics_smooth",
 ]
+
+
+def lfilter1_blockmat(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """First-order IIR via the block-state formulation (b2 = a2 = 0).
+
+    Embeds (b, a) of shape (bs, 2) as a single degenerate biquad section
+    and runs :func:`sosfilt_blockmat` — the one place the
+    first-order-to-SOS layout is written down.
+
+    Args:
+        x: signal (bs, ..., T); b/a: (bs, 2) with a0 == 1.
+    """
+    zeros = jnp.zeros_like(b[..., :1])
+    ones = jnp.ones_like(zeros)
+    sec = jnp.concatenate([b, zeros, ones, a[..., 1:2], zeros], axis=-1)  # (bs, 6)
+    return sosfilt_blockmat(sec[:, None, :], x)
 
 
 def stabilize_sos(sos: jnp.ndarray, margin: float = 1e-6) -> jnp.ndarray:
@@ -54,9 +71,10 @@ def stabilize_sos(sos: jnp.ndarray, margin: float = 1e-6) -> jnp.ndarray:
     A second-order denominator z^2 + a1 z + a2 is stable iff |a2| < 1 and
     |a1| < 1 + a2 (the Jury triangle); this clamps (a1, a2) into that
     region, leaving stable sections bit-identical and replacing unstable
-    ones with a nearby stable neighbour. Gradients pass through unclamped
-    coefficients untouched and are zero for clamped ones (far better
-    than NaN).
+    ones with a nearby stable neighbour. The clamp is straight-through
+    for gradients (forward uses the projected value, backward is the
+    identity), so directly-learned raw coefficients keep receiving a
+    loss gradient while pinned at the boundary instead of freezing there.
 
     Args:
         sos: (..., 6) sections [b0, b1, b2, a0, a1, a2] with a0 == 1.
@@ -65,10 +83,14 @@ def stabilize_sos(sos: jnp.ndarray, margin: float = 1e-6) -> jnp.ndarray:
     Returns:
         sos with denominators clamped to stability.
     """
+
+    def ste_clip(v, lo, hi):
+        return v + lax.stop_gradient(jnp.clip(v, lo, hi) - v)
+
     a1 = sos[..., 4]
-    a2 = jnp.clip(sos[..., 5], -1.0 + margin, 1.0 - margin)
-    lim = 1.0 + a2 - margin
-    a1 = jnp.clip(a1, -lim, lim)
+    a2 = ste_clip(sos[..., 5], -1.0 + margin, 1.0 - margin)
+    lim = 1.0 + lax.stop_gradient(a2) - margin
+    a1 = ste_clip(a1, -lim, lim)
     return jnp.concatenate(
         [sos[..., :4], a1[..., None], a2[..., None]], axis=-1
     )

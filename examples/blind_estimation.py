@@ -41,11 +41,11 @@ def main():
 
     sr = args.sample_rate
     if args.processor == "expander":
-        # the expander's smoother default is the true-ballistics 'parallel'
-        smoother = "parallel" if args.smoother == "fsm" else args.smoother
-        processor = D.Expander(sr, smoother=smoother)
+        # --smoother None -> the expander's own default (true-ballistics
+        # 'parallel'); an explicit --smoother fsm is honoured
+        processor = D.Expander(sr, smoother=args.smoother or "parallel")
     else:
-        processor = D.Compressor(sr, smoother=args.smoother)
+        processor = D.Compressor(sr, smoother=args.smoother or "fsm")
     net = ParameterNetwork.blind_estimation(processor.num_params)
 
     rng = jax.random.PRNGKey(args.seed)

@@ -38,12 +38,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="IIR evaluation for EQ-based effects: 'fsm' = reference "
                         "parity; 'block' = exact block-state MXU formulation, "
                         "fastest on TPU (see docs/PERFORMANCE.md)")
-    p.add_argument("--smoother", default="fsm",
+    p.add_argument("--smoother", default=None,
                    choices=["fsm", "parallel", "attack_only", "pallas", "block",
                             "exact_pallas"],
                    help="envelope smoother for dynamics effects: 'fsm' = reference "
                         "parity (attack-only); 'block' = same filter, fastest on TPU; "
-                        "'parallel'/'exact_pallas' = true attack/release ballistics")
+                        "'parallel'/'exact_pallas' = true attack/release ballistics. "
+                        "Default: the processor's own default ('fsm' for the "
+                        "compressor, 'parallel' for the expander)")
     return p
 
 

@@ -53,7 +53,8 @@ def build(args, mesh=None):
         kw = dict(eq_filter_method="exact", compressor_smoother="parallel",
                   reverb_noise_mode="time")
     else:
-        kw = dict(eq_filter_method=args.filter_method, compressor_smoother=args.smoother)
+        kw = dict(eq_filter_method=args.filter_method,
+                  compressor_smoother=args.smoother or "fsm")
     if args.smoke:
         processors = make_style_processors(
             sr, reverb_num_samples=2048, reverb_ir_conv_fn=ir_conv, **kw)

@@ -103,6 +103,30 @@ class TestSosfiltBlockmat:
         assert bool(jnp.isfinite(l)) and bool(jnp.isfinite(gs).all()) and bool(jnp.isfinite(gx).all())
 
 
+class TestScanCombinePrecision:
+    def test_no_default_precision_dots_in_lowering(self):
+        # the CPU backend computes fp32 dots regardless of the precision
+        # attribute, so a numeric test cannot catch someone dropping
+        # precision=HIGHEST from the scan combines (the TPU NaN-at-training-
+        # scale regression). Assert on the lowered HLO instead: every
+        # dot_general in the blockmat/exact paths (forward AND backward)
+        # must carry HIGHEST precision.
+        import re
+
+        sos = make_sos(2)
+        x = jnp.zeros((2, 1, 1024))
+
+        def grad_fn(fn):
+            return jax.grad(lambda s, z: jnp.mean(fn(s, z) ** 2), argnums=(0, 1))
+
+        for fn in (sosfilt_blockmat, sosfilt_exact, grad_fn(sosfilt_blockmat),
+                   grad_fn(sosfilt_exact)):
+            txt = jax.jit(fn).lower(sos, x).as_text()
+            dots = re.findall(r"stablehlo\.dot_general.*", txt)
+            offender = [d for d in dots if "precision = [HIGHEST, HIGHEST]" not in d]
+            assert not offender, f"{fn}: non-HIGHEST dot_general:\n{offender[0][:200]}"
+
+
 class TestStabilizeSos:
     def test_stable_sections_untouched(self):
         sos = make_sos(2)

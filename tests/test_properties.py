@@ -274,6 +274,61 @@ class TestChain:
         with pytest.raises(ValueError, match="at least one"):
             D.Chain([])
 
+    def test_chain_noise_injection(self):
+        # noise= must reach the stochastic member (deterministic eval path)
+        rev = D.NoiseShapedReverb(SR, num_samples=2048)
+        chain = D.Chain([D.Gain(SR), rev])
+        x = stereo()
+        p = jnp.full((BS, chain.num_params), 0.5)
+        noise = jax.random.normal(jax.random.PRNGKey(5), (BS * 2, 12, 2048 + 1022))
+        y1 = chain.process_normalized(x, p, noise=noise)
+        y2 = chain.process_normalized(x, p, noise=noise)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=0)
+
+
+class TestProcessPassthrough:
+    """Processor.process(x, *args, **kwargs) is the documented raw
+    positional passthrough — must keep working for the wrapped classes."""
+
+    def test_compressor_positional(self):
+        x = stereo()
+        y = D.Compressor(SR).process(
+            x, SR, jnp.array([-24.0, -30.0]), jnp.array([4.0, 6.0]),
+            jnp.array([10.0, 20.0]), jnp.array([60.0, 80.0]),
+            jnp.array([6.0, 3.0]), jnp.array([0.0, 0.0]))
+        assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+
+    def test_advanced_distortion_positional_and_override(self):
+        x = stereo()
+        proc = D.AdvancedDistortion(SR)  # constructor default fsm
+        args = (jnp.array([12.0, 6.0]), jnp.array([-3.0, 0.0]),
+                jnp.array([0.3, 0.7]), jnp.array([0.01, -0.02]))
+        y_fsm = proc.process(x, SR, *args)
+        y_block = proc.process(x, SR, *args, filter_method="block")  # per-call override
+        assert bool(jnp.isfinite(y_fsm).all()) and bool(jnp.isfinite(y_block).all())
+        assert float(jnp.abs(y_fsm - y_block).max()) > 0
+
+    def test_graphic_eq_positional(self):
+        x = stereo()
+        gains = jnp.asarray(RNG.uniform(-6, 6, (BS, 10)).astype(np.float32))
+        y = D.GraphicEQ(SR).process(x, SR, gains)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(D.graphic_eq(x, SR, gains)), atol=1e-6)
+
+    def test_stereo_bus_positional(self):
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 3, T)).astype(np.float32))
+        sends = jnp.full((BS, 3), -3.0)
+        y = D.StereoBus(SR, num_tracks=3).process(x, SR, sends)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(D.stereo_bus(x, SR, sends)), atol=0)
+
+    def test_reverb_positional(self):
+        x = stereo()
+        p = [jnp.full((BS,), 0.5)] * 25
+        proc = D.NoiseShapedReverb(SR, num_samples=2048)
+        y = proc.process(x, SR, *p, key=jax.random.PRNGKey(0))
+        assert y.shape == (BS, 2, T) and bool(jnp.isfinite(y).all())
+
 
 class TestFilterMethodPlumbing:
     """The fast exact paths must agree with each other (and with the FSM
