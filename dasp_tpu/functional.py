@@ -58,6 +58,7 @@ __all__ = [
     "compressor",
     "expander",
     "noise_shaped_reverberation",
+    "spectral_band_noise",
     "stereo_widener",
     "stereo_panner",
     "GRAPHIC_EQ_BANDS",
@@ -270,7 +271,11 @@ def graphic_eq(
         sample_rate: audio sample rate (Hz).
         band_gains_db: per-band gains in dB, shape (bs, 10).
         filter_method: "fsm", "exact", "pallas" or "block" — same options
-            as :func:`parametric_eq`.
+            as :func:`parametric_eq`. Note the 31.5/63 Hz bands put poles
+            at |r| ~ 0.9999 where fp32 time-domain state accumulation is
+            at its worst; "fsm" is the numerically tighter choice when
+            sample-accurate long-tail behaviour of those bands matters
+            (docs/PERFORMANCE.md "one numerics caveat").
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -278,10 +283,16 @@ def graphic_eq(
     bs, chs, seq_len = x.shape
     band_gains_db = jnp.asarray(band_gains_db, x.dtype).reshape(bs, len(GRAPHIC_EQ_BANDS))
 
+    # clamp band centres below Nyquist (same 0.999 clip as
+    # ops.filterbank.octave_band_filterbank / reference signal.py:72):
+    # at sample rates below 32 kHz the fixed 16 kHz band would otherwise
+    # put w0 > pi, an unstable/aliased biquad. A clamped band sits at
+    # Nyquist and is near-transparent.
+    f_max = 0.999 * sample_rate / 2.0
     sections = []
     for i, fc in enumerate(GRAPHIC_EQ_BANDS):
         g = band_gains_db[:, i]
-        f = jnp.full((bs,), fc, dtype=x.dtype)
+        f = jnp.full((bs,), min(fc, f_max), dtype=x.dtype)
         q = jnp.full((bs,), _GRAPHIC_EQ_Q, dtype=x.dtype)
         b, a = biquad(g, f, q, sample_rate, "peaking")
         sections.append(jnp.concatenate([b, a], axis=-1))
@@ -331,7 +342,11 @@ def parametric_eq(
             (exact time-domain via the Pallas TPU kernel) or "block"
             (exact time-domain via block-state batched MXU matmuls +
             a 2x2 cross-block scan — the fastest on TPU; see
-            ops.iir.sosfilt_blockmat).
+            ops.iir.sosfilt_blockmat). "Exact" means exact *recursion
+            semantics*: for very-low-frequency high-Q sections (poles at
+            |r| ~ 0.9999, e.g. peaking bands below ~100 Hz) fp32 state
+            accumulation makes "fsm" the numerically tighter choice —
+            see docs/PERFORMANCE.md "one numerics caveat".
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -411,9 +426,11 @@ def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
         from .ops.pallas_ballistics import ballistics_pallas
 
         return ballistics_pallas(g_c, alpha_a, alpha_r)
-    if smoother in ("pallas", "block"):
-        # exact attack-only one-pole as a single (degenerate) biquad, via
-        # the Pallas IIR kernel or the block-state batched-matmul path
+    if smoother in ("pallas", "block", "fsm"):
+        # attack-only one-pole, evaluated exactly (degenerate biquad via
+        # the Pallas IIR kernel / the block-state batched-matmul path) or
+        # via the reference's frequency-sampling approximation
+        # (dasp_pytorch/functional.py:372-380, the parity path)
         eff_bs = g_c.shape[0]
         a_flat = alpha_a.reshape(eff_bs, 1)
         zeros = jnp.zeros((eff_bs, 1), dtype=g_c.dtype)
@@ -424,19 +441,10 @@ def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
             from .ops.iir import lfilter1_blockmat
 
             return lfilter1_blockmat(g_c, b, a)
-        from .ops.pallas_iir import lfilter1_pallas
+        if smoother == "pallas":
+            from .ops.pallas_iir import lfilter1_pallas
 
-        return lfilter1_pallas(g_c, b, a)
-    if smoother == "fsm":
-        # parity path: attack-only one-pole applied via the frequency
-        # sampling method, exactly like the reference
-        # (dasp_pytorch/functional.py:372-380).
-        eff_bs = g_c.shape[0]
-        zeros = jnp.zeros((eff_bs, 1), dtype=g_c.dtype)
-        ones = jnp.ones((eff_bs, 1), dtype=g_c.dtype)
-        a_flat = alpha_a.reshape(eff_bs, 1)
-        b = jnp.concatenate([1.0 - a_flat, zeros], axis=-1)
-        a = jnp.concatenate([ones, -a_flat], axis=-1)
+            return lfilter1_pallas(g_c, b, a)
         return lfilter_via_fsm(g_c, b, a)
     if smoother == "attack_only":
         return onepole_exact(g_c, alpha_a)
@@ -595,6 +603,44 @@ def expander(
 # ---------------------------------------------------------------------------
 
 
+def spectral_band_noise(
+    key, num_rows: int, filters: jnp.ndarray, num_samples: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Band-limited Gaussian noise sampled directly in the spectral domain.
+
+    Statistically identical to drawing time-domain white noise and
+    circularly convolving it with each band filter, at the cost of ONE
+    inverse FFT: the rfft of unit white noise has iid N(0, n/2) real and
+    imaginary parts on interior bins and real N(0, n) at DC (and at
+    Nyquist when ``num_samples`` is even — odd lengths have no Nyquist
+    bin and keep the last bin complex).
+
+    Args:
+        key: PRNG key.
+        num_rows: leading batch dimension of the draw.
+        filters: band FIR taps, shape (num_bands, taps).
+        num_samples: output length n.
+        dtype: real dtype of the result.
+
+    Returns:
+        Noise of shape (num_rows, num_bands, num_samples).
+    """
+    n = num_samples
+    num_bands = filters.shape[0]
+    nb = n // 2 + 1
+    k_re, k_im = jax.random.split(key)
+    re = jax.random.normal(k_re, (num_rows, num_bands, nb), dtype=dtype)
+    im = jax.random.normal(k_im, (num_rows, num_bands, nb), dtype=dtype)
+    scale = jnp.sqrt(jnp.asarray(n / 2.0, dtype))
+    edge = jnp.sqrt(jnp.asarray(2.0, dtype))  # DC/Nyquist: real, var n
+    z = (re + 1j * im) * scale
+    z = z.at[..., 0].set(re[..., 0] * edge * scale)
+    if n % 2 == 0:  # the last rfft bin is a real Nyquist bin only for even n
+        z = z.at[..., -1].set(re[..., -1] * edge * scale)
+    F = jnp.fft.rfft(filters, n, axis=-1)  # (num_bands, nb)
+    return jnp.fft.irfft(z * F, n, axis=-1)
+
+
 @_scoped("dasp.noise_shaped_reverberation")
 def noise_shaped_reverberation(
     x: jnp.ndarray,
@@ -719,22 +765,7 @@ def noise_shaped_reverberation(
         noise = jnp.asarray(noise, dtype)
         wn_filt = fft_correlate_valid(noise, filters[:, 0, :])  # (bs*2, 12, num_samples)
     elif noise_mode == "frequency":
-        # sample the band-limited Gaussian process directly in the spectral
-        # domain: rfft of unit white noise has iid N(0, n/2) re/im parts on
-        # interior bins and real N(0, n) at DC/Nyquist; multiply by the band
-        # filter's response and invert once.
-        n = num_samples
-        nb = n // 2 + 1
-        k_re, k_im = jax.random.split(key)
-        re = jax.random.normal(k_re, (bs * 2, num_bands, nb), dtype=dtype)
-        im = jax.random.normal(k_im, (bs * 2, num_bands, nb), dtype=dtype)
-        scale = jnp.sqrt(jnp.asarray(n / 2.0, dtype))
-        edge = jnp.sqrt(jnp.asarray(2.0, dtype))  # DC/Nyquist: real, var n
-        z = (re + 1j * im) * scale
-        z = z.at[..., 0].set(re[..., 0] * edge * scale)
-        z = z.at[..., -1].set(re[..., -1] * edge * scale)
-        F = jnp.fft.rfft(filters[:, 0, :], n, axis=-1)  # (12, nb)
-        wn_filt = jnp.fft.irfft(z * F, n, axis=-1)  # (bs*2, 12, num_samples)
+        wn_filt = spectral_band_noise(key, bs * 2, filters[:, 0, :], num_samples, dtype)
     elif noise_mode == "time":
         noise = jax.random.normal(key, (bs * 2, num_bands, num_samples + pad_size), dtype=dtype)
         # band-limit the noise (reference: grouped direct conv1d, here FFT)

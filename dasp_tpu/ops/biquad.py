@@ -12,7 +12,12 @@ import math
 
 import jax.numpy as jnp
 
-__all__ = ["biquad", "one_pole_butter_lowpass", "one_pole_filter"]
+__all__ = [
+    "biquad",
+    "one_pole_butter_lowpass",
+    "one_pole_butter_highpass",
+    "one_pole_filter",
+]
 
 _BIQUAD_TYPES = ("high_shelf", "low_shelf", "peaking", "low_pass", "high_pass")
 

@@ -91,7 +91,9 @@ def ola_conv_causal(x: jnp.ndarray, h: jnp.ndarray, block: int | None = None) ->
         seg = jnp.concatenate([hist, blk], axis=-1)  # (..., K-1+block)
         y = jnp.fft.irfft(jnp.fft.rfft(seg, n_fft, axis=-1) * H, n_fft, axis=-1)
         out = y[..., K - 1 : K - 1 + block]
-        new_hist = seg[..., -(K - 1):]
+        # explicit start index: -(K-1) with K == 1 is -0 and would select
+        # the WHOLE segment instead of an empty history
+        new_hist = seg[..., seg.shape[-1] - (K - 1):]
         return new_hist, out
 
     _, yb = jax.lax.scan(step, hist0, xb)

@@ -35,23 +35,77 @@ __all__ = [
     "sosfilt_blockmat",
     "stabilize_sos",
     "ballistics_smooth",
+    "embed_first_order_sos",
+    "ar_impulse_response",
+    "block_toeplitz_operators",
 ]
+
+
+def embed_first_order_sos(b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Embed first-order (b, a) of shape (bs, 2) as one degenerate biquad
+    section ``[b0, b1, 0, 1, a1, 0]`` of shape (bs, 6) — the ONE place the
+    first-order-to-SOS layout is written down (``lfilter1_blockmat`` and
+    ``pallas_iir.lfilter1_pallas`` both go through here)."""
+    zeros = jnp.zeros_like(b[..., :1])
+    ones = jnp.ones_like(zeros)
+    return jnp.concatenate([b, zeros, ones, a[..., 1:2], zeros], axis=-1)
 
 
 def lfilter1_blockmat(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     """First-order IIR via the block-state formulation (b2 = a2 = 0).
 
-    Embeds (b, a) of shape (bs, 2) as a single degenerate biquad section
-    and runs :func:`sosfilt_blockmat` — the one place the
-    first-order-to-SOS layout is written down.
-
     Args:
         x: signal (bs, ..., T); b/a: (bs, 2) with a0 == 1.
     """
-    zeros = jnp.zeros_like(b[..., :1])
-    ones = jnp.ones_like(zeros)
-    sec = jnp.concatenate([b, zeros, ones, a[..., 1:2], zeros], axis=-1)  # (bs, 6)
-    return sosfilt_blockmat(sec[:, None, :], x)
+    return sosfilt_blockmat(embed_first_order_sos(b, a)[:, None, :], x)
+
+
+def ar_impulse_response(a1: jnp.ndarray, a2: jnp.ndarray, length: int) -> jnp.ndarray:
+    """h[0..length-1] of 1/(1 + a1 z^-1 + a2 z^-2); a1/a2 shape (...,)."""
+
+    def step(carry, _):
+        hm1, hm2 = carry
+        h = -a1 * hm1 - a2 * hm2
+        return (h, hm1), h
+
+    h0 = jnp.ones_like(a1)
+    h1 = -a1
+    _, rest = lax.scan(step, (h1, h0), None, length=max(length - 2, 0))
+    # rest: (length-2, ...) -> stack [h0, h1, rest]
+    h = jnp.concatenate([h0[None], h1[None], rest], axis=0)[:length]
+    return jnp.moveaxis(h, 0, -1)  # (..., length)
+
+
+def block_toeplitz_operators(sos: jnp.ndarray, block: int):
+    """Per-(row, section) block-state operators shared by ``sosfilt_blockmat``
+    and the Pallas kernel (``pallas_iir._prep_section_operators``).
+
+    Args:
+        sos: (R, S, 6) normalized coefficients.
+        block: time block length L.
+
+    Returns:
+        h:  (R, S, L+1) AR impulse response
+        Tt: (R, S, L, L) with Tt[j, k] = h[k - j] for k >= j else 0
+            (so y_intra = f @ Tt)
+        h1: (R, S, L) = h[k + 1]        (multiplies carried y[-1])
+        h2: (R, S, L) = -a2 * h[k]      (multiplies carried y[-2])
+    """
+    import numpy as _np
+
+    a1 = sos[..., 4]
+    a2 = sos[..., 5]
+    h = ar_impulse_response(a1, a2, block + 1)  # (R, S, L+1)
+
+    k = _np.arange(block)
+    d = k[None, :] - k[:, None]  # D[j, k] = k - j
+    gather = jnp.asarray(_np.clip(d, 0, block), dtype=jnp.int32)
+    mask = jnp.asarray(d >= 0, dtype=h.dtype)
+    Tt = h[..., gather] * mask  # (R, S, L, L)
+
+    h1 = h[..., 1 : block + 1]
+    h2 = -a2[..., None] * h[..., :block]
+    return h, Tt, h1, h2
 
 
 def stabilize_sos(sos: jnp.ndarray, margin: float = 1e-6) -> jnp.ndarray:
@@ -122,9 +176,12 @@ def onepole_exact(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
 
 
 def onepole_varying(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
-    """One-pole smoother with a per-sample coefficient alpha[n]."""
-    alpha = jnp.broadcast_to(alpha, x.shape)
-    return _first_order_scan(alpha, (1.0 - alpha) * x)
+    """One-pole smoother with a per-sample coefficient alpha[n].
+
+    Same recurrence as :func:`onepole_exact`, which already broadcasts a
+    per-sample coefficient; kept as a named entry point for readability.
+    """
+    return onepole_exact(x, alpha)
 
 
 def lfilter1_exact(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
@@ -237,7 +294,11 @@ def sosfilt_blockmat(
     The total matmul work is O(T * L): the smallest MXU-tile block
     (L=128) is fastest. Same exactness class as ``sosfilt_exact`` /
     ``sosfilt_pallas`` (fp32, HIGHEST-precision matmuls); ~5-10x faster
-    than the Pallas sweep at reference scales on a v5e.
+    than the Pallas sweep at reference scales on a v5e. Exact means
+    exact *recursion semantics*: for poles extremely close to the unit
+    circle (|r| ~ 0.9999, i.e. high-Q sections below ~100 Hz at 44.1 kHz)
+    fp32 state accumulation dominates and the FSM frequency-domain path
+    is numerically tighter — see docs/PERFORMANCE.md.
 
     Args:
         sos: (bs, n_sections, 6) with a0 normalized to 1.
@@ -249,8 +310,6 @@ def sosfilt_blockmat(
     Returns:
         Filtered signal, same shape as x.
     """
-    from .pallas_iir import _ar_impulse_response
-
     if stabilize:
         sos = stabilize_sos(sos)
 
@@ -270,20 +329,8 @@ def sosfilt_blockmat(
     Tp = xp.shape[-1]
     nb = Tp // L
 
-    a1 = sos_rows[..., 4]
     a2 = sos_rows[..., 5]
-    h = _ar_impulse_response(a1, a2, L + 1)  # (R, S, L+1)
-
-    import numpy as _np
-
-    k = _np.arange(L)
-    d = k[None, :] - k[:, None]
-    gather = jnp.asarray(_np.clip(d, 0, L), dtype=jnp.int32)
-    mask = jnp.asarray(d >= 0, dtype=h.dtype)
-    Tt = h[..., gather] * mask  # (R, S, L, L): Tt[j, k] = h[k-j] (k >= j)
-
-    hi1 = h[..., 1 : L + 1]  # (R, S, L): multiplies y[-1]
-    hi2 = -a2[..., None] * h[..., :L]  # multiplies y[-2]
+    h, Tt, hi1, hi2 = block_toeplitz_operators(sos_rows, L)
 
     def shift(z, n):
         return jnp.pad(z, ((0, 0), (n, 0)))[:, :Tp]

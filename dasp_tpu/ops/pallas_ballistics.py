@@ -67,7 +67,7 @@ def _fwd_kernel(g_ref, aa_ref, ar_ref, out_ref, carry_ref):
 
 
 def _bwd_kernel(y_ref, g_ref, aa_ref, ar_ref, ct_ref, dg_ref, daa_ref, dar_ref,
-                lam_ref, daa_acc, dar_acc, *, first_block_has_t0: bool):
+                lam_ref, daa_acc, dar_acc):
     """Time blocks are fed in REVERSE via the index map; within a block the
     samples run backward. y[n-1] for the first sample of a block is the
     last sample of the PREVIOUS (earlier-in-time) block — read from y_ref
@@ -161,7 +161,7 @@ def _bwd_impl(y, g, aa, ar, ct, time_block, interpret):
     rev = lambda t: (n_blocks - 1 - t, 0)  # noqa: E731
 
     dg, daa, dar = pl.pallas_call(
-        functools.partial(_bwd_kernel, first_block_has_t0=True),
+        _bwd_kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((time_block, L), rev, memory_space=pltpu.VMEM),

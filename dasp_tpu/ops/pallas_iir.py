@@ -44,52 +44,31 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .iir import block_toeplitz_operators, embed_first_order_sos, stabilize_sos
+
 
 __all__ = ["sosfilt_pallas", "lfilter1_pallas"]
 
 
-def _ar_impulse_response(a1: jnp.ndarray, a2: jnp.ndarray, length: int) -> jnp.ndarray:
-    """h[0..length-1] of 1/(1 + a1 z^-1 + a2 z^-2); a1/a2 shape (...,)."""
-
-    def step(carry, _):
-        hm1, hm2 = carry
-        h = -a1 * hm1 - a2 * hm2
-        return (h, hm1), h
-
-    h0 = jnp.ones_like(a1)
-    h1 = -a1
-    _, rest = lax.scan(step, (h1, h0), None, length=max(length - 2, 0))
-    # rest: (length-2, ...) -> stack [h0, h1, rest]
-    h = jnp.concatenate([h0[None], h1[None], rest], axis=0)[:length]
-    return jnp.moveaxis(h, 0, -1)  # (..., length)
-
-
 def _prep_section_operators(sos: jnp.ndarray, block: int):
     """Precompute per-(row, section) operators for the kernel.
+
+    The operator math (Toeplitz matvec + state-injection vectors) is
+    shared with the pure-XLA path (:func:`..iir.block_toeplitz_operators`);
+    this wrapper only adds the kernel's section-major layout.
 
     Args:
         sos: (R, S, 6) normalized coefficients.
         block: time block length L.
 
     Returns:
-        b:  (R, S, 3)   FIR coefficients
-        Tt: (R, S, L, L) with Tt[j, k] = h[k - j] for k >= j else 0
+        b:  (S, R, 3)   FIR coefficients
+        Tt: (S, R, L, L) with Tt[j, k] = h[k - j] for k >= j else 0
             (so y_intra = f @ Tt)
-        h1: (R, S, L) = h[k + 1]        (multiplies y[-1])
-        h2: (R, S, L) = -a2 * h[k]      (multiplies y[-2])
+        h1: (S, R, L) = h[k + 1]        (multiplies y[-1])
+        h2: (S, R, L) = -a2 * h[k]      (multiplies y[-2])
     """
-    a1 = sos[..., 4]
-    a2 = sos[..., 5]
-    h = _ar_impulse_response(a1, a2, block + 1)  # (R, S, L+1)
-
-    k = np.arange(block)
-    d = k[None, :] - k[:, None]  # D[j, k] = k - j
-    gather = jnp.asarray(np.clip(d, 0, block), dtype=jnp.int32)
-    mask = jnp.asarray(d >= 0, dtype=h.dtype)
-    Tt = h[..., gather] * mask  # (R, S, L, L)
-
-    h1 = h[..., 1 : block + 1]
-    h2 = -a2[..., None] * h[..., :block]
+    _, Tt, h1, h2 = block_toeplitz_operators(sos, block)
     # section-major layouts: the kernel grid walks sections in the second
     # grid dim, so per-section blocking (1, rows, ...) keeps only the
     # active section's operators in VMEM (vital for the (S+1)-section
@@ -378,8 +357,6 @@ def sosfilt_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if stabilize:
-        from .iir import stabilize_sos
-
         sos = stabilize_sos(sos)
 
     bs = x.shape[0]
@@ -400,6 +377,4 @@ def lfilter1_pallas(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray, **kw) -> jnp
     Args:
         x: (bs, ..., T); b/a: (bs, 2) with a0 == 1.
     """
-    zeros = jnp.zeros_like(b[..., :1])
-    sec = jnp.concatenate([b, zeros, jnp.ones_like(zeros), a[..., 1:2], zeros], axis=-1)
-    return sosfilt_pallas(sec[:, None, :], x, **kw)
+    return sosfilt_pallas(embed_first_order_sos(b, a)[:, None, :], x, **kw)

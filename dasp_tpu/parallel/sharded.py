@@ -56,6 +56,10 @@ def _halo_conv_block(
 
     x_blk: (..., T_local) local sequence block; h: (..., K) replicated IR.
     """
+    conv = _direct_causal_conv if method == "direct" else fft_conv_causal
+    if halo == 0:  # 1-tap IR: pointwise, nothing to exchange
+        return conv(x_blk, h)
+
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
 
@@ -66,7 +70,6 @@ def _halo_conv_block(
     left_halo = jnp.where(idx == 0, jnp.zeros_like(left_halo), left_halo)
 
     x_ext = jnp.concatenate([left_halo, x_blk], axis=-1)
-    conv = _direct_causal_conv if method == "direct" else fft_conv_causal
     y = conv(x_ext, h)
     return y[..., halo:]
 

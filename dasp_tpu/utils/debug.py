@@ -52,7 +52,12 @@ def checked(fn: Callable, check_inputs: bool = True) -> Callable:
         assert_finite(y, "output")
         return y
 
-    checked_fn = checkify.checkify(inner, errors=checkify.float_checks)
+    # user_checks enables the explicit checkify.check assertions above
+    # (float_checks alone only instruments NaN-*producing* primitives, so a
+    # NaN already present in the input would sail through).
+    checked_fn = checkify.checkify(
+        inner, errors=checkify.float_checks | checkify.user_checks
+    )
 
     def wrapper(x, *args, **kwargs):
         err, y = checked_fn(x, *args, **kwargs)

@@ -174,6 +174,16 @@ class TestFFTConv:
         y_ola = ola_conv_causal(jnp.asarray(x), jnp.asarray(h))
         np.testing.assert_allclose(np.asarray(y_ola), np.asarray(y_ref), atol=1e-4)
 
+    def test_ola_one_tap_ir(self):
+        """Regression: K=1 made the -(K-1) history slice select the whole
+        segment (-0 == 0) and crash the scan with a carry-shape mismatch."""
+        from dasp_tpu.ops import ola_conv_causal
+
+        x = RNG.standard_normal((1, 1, 2000)).astype(np.float32)
+        h = np.asarray([[[0.5]]], dtype=np.float32)
+        y = ola_conv_causal(jnp.asarray(x), jnp.asarray(h), block=512)
+        np.testing.assert_allclose(np.asarray(y), 0.5 * x, atol=1e-6)
+
     def test_correlate_valid_vs_numpy(self):
         x = RNG.standard_normal((2, 4, 400)).astype(np.float32)
         h = RNG.standard_normal((4, 33)).astype(np.float32)
@@ -182,6 +192,37 @@ class TestFFTConv:
             for c in range(4):
                 ref = np.correlate(x[i, c], h[c], mode="valid")
                 np.testing.assert_allclose(np.asarray(y)[i, c], ref, atol=1e-4)
+
+
+class TestSpectralBandNoise:
+    """noise_mode="frequency" must draw the SAME Gaussian process as
+    band-limiting time-domain white noise, for even and odd lengths."""
+
+    def test_variance_matches_filter_energy(self):
+        from dasp_tpu.functional import spectral_band_noise
+
+        taps = RNG.standard_normal((2, 65)).astype(np.float32) * 0.2
+        for n in (4096, 4097):  # even and odd
+            y = spectral_band_noise(jax.random.PRNGKey(0), 64, jnp.asarray(taps), n)
+            assert y.shape == (64, 2, n)
+            # each sample is sum_j h_j * white: Var = sum(h^2) per band
+            var = np.var(np.asarray(y), axis=(0, 2))
+            np.testing.assert_allclose(var, (taps**2).sum(-1), rtol=0.08)
+
+    def test_odd_length_last_bin_is_complex(self):
+        """Regression: odd n has no Nyquist bin; the last rfft bin must be
+        an ordinary complex bin (Var(re) = Var(im) = n/2), not a doubled
+        real one."""
+        from dasp_tpu.functional import spectral_band_noise
+
+        n = 257
+        delta = jnp.zeros((1, 9)).at[0, 0].set(1.0)  # unit filter
+        y = spectral_band_noise(jax.random.PRNGKey(1), 4096, delta, n)
+        Y = np.fft.rfft(np.asarray(y)[:, 0, :], axis=-1)
+        v_re = np.var(Y[:, -1].real)
+        v_im = np.var(Y[:, -1].imag)
+        np.testing.assert_allclose(v_re, n / 2, rtol=0.15)
+        np.testing.assert_allclose(v_im, n / 2, rtol=0.15)
 
 
 class TestStereoIdentities:

@@ -43,6 +43,15 @@ class TestShardedConv:
         y = sharded_fft_conv_causal(x, h, mesh)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
 
+    def test_one_tap_ir(self, devices_ok):
+        """Regression: halo = K-1 = 0 made the -halo tail slice send the
+        whole block through ppermute and broke the output shape."""
+        mesh = make_mesh((1, 8))
+        x = jnp.asarray(RNG.standard_normal((1, 2, 1024)).astype(np.float32))
+        h = jnp.full((1, 2, 1), 0.25, jnp.float32)
+        y = sharded_fft_conv_causal(x, h, mesh)
+        np.testing.assert_allclose(np.asarray(y), 0.25 * np.asarray(x), atol=1e-6)
+
     def test_rejects_too_long_ir(self, devices_ok):
         mesh = make_mesh((1, 8))
         x = jnp.zeros((1, 1, 1024))

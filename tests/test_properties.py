@@ -315,6 +315,18 @@ class TestProcessPassthrough:
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(D.graphic_eq(x, SR, gains)), atol=1e-6)
 
+    def test_graphic_eq_low_sample_rate(self):
+        """Regression: at sample rates below 32 kHz the fixed 16 kHz band
+        put w0 > pi — an unstable biquad that diverged on the exact paths
+        and aliased on fsm. Band centres are now clamped below Nyquist."""
+        x = stereo()
+        gains = jnp.asarray(RNG.uniform(-6, 6, (BS, 10)).astype(np.float32))
+        for method in ("fsm", "exact", "block"):
+            y = D.graphic_eq(x, 22050, gains, filter_method=method)
+            assert bool(jnp.isfinite(y).all()), method
+            # near-transparent bands must not blow the signal up
+            assert float(jnp.abs(y).max()) < 40.0 * float(jnp.abs(x).max()), method
+
     def test_stereo_bus_positional(self):
         x = jnp.asarray(RNG.standard_normal((BS, 2, 3, T)).astype(np.float32))
         sends = jnp.full((BS, 3), -3.0)

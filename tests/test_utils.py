@@ -108,3 +108,12 @@ class TestDebug:
         safe = checked(D.gain)
         y = safe(jnp.ones((1, 1, 64)), 44100, jnp.asarray([3.0]))
         assert y.shape == (1, 1, 64)
+
+    def test_checked_catches_nan_input(self):
+        """Regression: user_checks must be enabled or the explicit
+        checkify.check assertions inside checked() never fire — a NaN
+        already present in the input would pass straight through."""
+        safe = checked(lambda x, sr: x)
+        x = jnp.ones((1, 1, 16)).at[0, 0, 3].set(jnp.nan)
+        with pytest.raises(Exception, match="NaN"):
+            safe(x, 44100)
