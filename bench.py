@@ -74,7 +74,7 @@ def main():
                          "(view with xprof/tensorboard; effects appear as "
                          "named_scope 'dasp.*' regions)")
     ap.add_argument("--eq-method", default="block",
-                    choices=["fsm", "exact", "pallas", "block"],
+                    choices=["fsm", "exact", "pallas", "block", "coupled"],
                     help="parametric EQ filter path inside the train step (block = "
                          "exact block-state MXU formulation, fastest; fsm = "
                          "reference-parity)")

@@ -203,8 +203,9 @@ def advanced_distortion(
         dc_offset: dc bias added before the shaper, shape (bs,).
         filter_method: how the two first-order tone filters run — "fsm"
             (frequency-sampling approximation, default), "exact"
-            (associative-scan recursion) or "block" (exact block-state
-            MXU formulation — fastest on TPU; see ops.iir).
+            (associative-scan recursion), "block" (exact block-state
+            MXU formulation — fastest on TPU; see ops.iir) or "coupled"
+            (block-state on the coupled realization).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -240,8 +241,15 @@ def _apply_first_order(y, b, a, filter_method: str):
         from .ops.iir import lfilter1_blockmat
 
         return lfilter1_blockmat(y, b, a)
+    if filter_method == "coupled":
+        # first-order sections have one real pole; the coupled dispatcher
+        # routes them to the controller form, still exact
+        from .ops.iir import embed_first_order_sos, sosfilt_coupled
+
+        return sosfilt_coupled(embed_first_order_sos(b, a)[:, None, :], y)
     raise ValueError(
-        f"Unknown filter_method: {filter_method!r}. Expected 'fsm', 'exact' or 'block'."
+        f"Unknown filter_method: {filter_method!r}. "
+        "Expected 'fsm', 'exact', 'block' or 'coupled'."
     )
 
 
@@ -270,12 +278,12 @@ def graphic_eq(
         x: input audio, shape (bs, chs, seq_len).
         sample_rate: audio sample rate (Hz).
         band_gains_db: per-band gains in dB, shape (bs, 10).
-        filter_method: "fsm", "exact", "pallas" or "block" — same options
-            as :func:`parametric_eq`. Note the 31.5/63 Hz bands put poles
-            at |r| ~ 0.9999 where fp32 time-domain state accumulation is
-            at its worst; "fsm" is the numerically tighter choice when
-            sample-accurate long-tail behaviour of those bands matters
-            (docs/PERFORMANCE.md "one numerics caveat").
+        filter_method: "fsm", "exact", "pallas", "block" or "coupled" —
+            same options as :func:`parametric_eq`. The 31.5/63 Hz bands
+            put poles at |r| ~ 0.9999 where the direct-form fp32 block
+            formulations are at their worst; prefer "coupled" (exact,
+            same MXU matmul cost, ~1000x tighter there) or "fsm" when
+            those bands matter (docs/PERFORMANCE.md).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -339,14 +347,14 @@ def parametric_eq(
             each shape (bs,).
         filter_method: "fsm" (reference parity), "exact" (scan-based
             time-domain sosfilt; no FFT, exact IIR semantics), "pallas"
-            (exact time-domain via the Pallas TPU kernel) or "block"
+            (exact time-domain via the Pallas TPU kernel), "block"
             (exact time-domain via block-state batched MXU matmuls +
             a 2x2 cross-block scan — the fastest on TPU; see
-            ops.iir.sosfilt_blockmat). "Exact" means exact *recursion
-            semantics*: for very-low-frequency high-Q sections (poles at
-            |r| ~ 0.9999, e.g. peaking bands below ~100 Hz) fp32 state
-            accumulation makes "fsm" the numerically tighter choice —
-            see docs/PERFORMANCE.md "one numerics caveat".
+            ops.iir.sosfilt_blockmat) or "coupled" (same block-state
+            matmul shape built on the Gold-Rader coupled realization —
+            ~1000x tighter fp32 accuracy for near-unit-circle poles,
+            i.e. high-Q sections below ~100 Hz; see
+            ops.iir.sosfilt_coupled and docs/PERFORMANCE.md).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -382,6 +390,10 @@ def _apply_sos(sos, x, filter_method: str):
         from .ops.iir import sosfilt_blockmat
 
         return sosfilt_blockmat(sos, x)
+    if filter_method == "coupled":
+        from .ops.iir import sosfilt_coupled
+
+        return sosfilt_coupled(sos, x)
     if filter_method == "pallas":
         from .ops.pallas_iir import sosfilt_pallas
 
@@ -390,7 +402,7 @@ def _apply_sos(sos, x, filter_method: str):
         return sosfilt_via_fsm(sos, x)
     raise ValueError(
         f"Unknown filter_method: {filter_method!r}. "
-        "Expected 'fsm', 'exact', 'block' or 'pallas'."
+        "Expected 'fsm', 'exact', 'block', 'coupled' or 'pallas'."
     )
 
 

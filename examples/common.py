@@ -34,7 +34,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=200)
     p.add_argument("--resume", action="store_true", help="resume from the last checkpoint")
     p.add_argument("--filter-method", default="fsm",
-                   choices=["fsm", "exact", "pallas", "block"],
+                   choices=["fsm", "exact", "pallas", "block", "coupled"],
                    help="IIR evaluation for EQ-based effects: 'fsm' = reference "
                         "parity; 'block' = exact block-state MXU formulation, "
                         "fastest on TPU (see docs/PERFORMANCE.md)")

@@ -15,7 +15,7 @@ import scipy.signal
 
 from dasp_tpu.ops import sosfilt_blockmat, sosfilt_exact
 from dasp_tpu.ops.biquad import biquad
-from dasp_tpu.ops.iir import stabilize_sos
+from dasp_tpu.ops.iir import sosfilt_coupled, stabilize_sos
 
 SR = 44100
 RNG = np.random.default_rng(11)
@@ -101,6 +101,103 @@ class TestSosfiltBlockmat:
         loss = lambda s, z: jnp.mean(sosfilt_blockmat(s, z) ** 2)  # noqa: E731
         l, (gs, gx) = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))(sos, x)
         assert bool(jnp.isfinite(l)) and bool(jnp.isfinite(gs).all()) and bool(jnp.isfinite(gx).all())
+
+
+class TestSosfiltCoupled:
+    """Gold-Rader coupled-form block-state path: exactness on every pole
+    configuration, and the headline ~1000x fp32 conditioning win on
+    near-unit-circle cascades that break the direct formulations."""
+
+    def _graphic_sos(self, gains):
+        from dasp_tpu.functional import GRAPHIC_EQ_BANDS
+
+        Q = np.sqrt(2.0)
+        secs = []
+        for g, fc in zip(gains, GRAPHIC_EQ_BANDS):
+            A = 10 ** (g / 40)
+            w0 = 2 * np.pi * fc / SR
+            al = np.sin(w0) / (2 * Q)
+            b = np.array([1 + al * A, -2 * np.cos(w0), 1 - al * A])
+            a = np.array([1 + al / A, -2 * np.cos(w0), 1 - al / A])
+            secs.append(np.concatenate([b / a[0], a / a[0]]))
+        return np.stack(secs)
+
+    def test_low_band_cascade_beats_blockmat(self):
+        # the full 10-band graphic EQ cascade at 44.1 kHz: poles at
+        # |r| ~ 0.9999 where the direct-form AR impulse response (O(1/im)
+        # entries) catastrophically cancels in fp32
+        gains = RNG.uniform(-6, 6, 10)
+        sos64 = self._graphic_sos(gains)
+        T = 2048
+        x = RNG.standard_normal((1, 1, T)).astype(np.float32)
+        y_ref = scipy.signal.sosfilt(sos64, x[0, 0].astype(np.float64))
+        scale = np.abs(y_ref).max()
+        sos32 = jnp.asarray(sos64.astype(np.float32))[None]
+        xj = jnp.asarray(x)
+        err_c = np.abs(np.asarray(sosfilt_coupled(sos32, xj))[0, 0] - y_ref).max() / scale
+        err_b = np.abs(np.asarray(sosfilt_blockmat(sos32, xj))[0, 0] - y_ref).max() / scale
+        assert err_c < 1e-3, err_c
+        assert err_c < err_b / 50, (err_c, err_b)
+
+    def test_real_and_repeated_poles(self):
+        # disc >= 0 sections route to the controller-canonical branch;
+        # the coupled formulas must not contaminate them (safe-where)
+        x = RNG.standard_normal((1, 1, 3000)).astype(np.float32)
+        xj = jnp.asarray(x)
+        for poles, zeros in [([0.9, 0.3], [0.5, -0.2]),
+                             ([0.707, 0.7071], [0.1, 0.0]),
+                             ([0.6, 0.6], [0.2, 0.1])]:
+            a = np.poly(poles)
+            b = 0.7 * np.poly(zeros)
+            y_ref = scipy.signal.lfilter(b, a, x[0, 0].astype(np.float64))
+            sosj = jnp.asarray(np.concatenate([b, a])[None, None, :].astype(np.float32))
+            y = np.asarray(sosfilt_coupled(sosj, xj))[0, 0]
+            np.testing.assert_allclose(y, y_ref, atol=2e-5)
+
+    def test_matches_scipy_mixed_cascade(self):
+        # complex-pole + real-pole sections in one cascade, channels folded
+        bs, ch, T = 2, 2, 777
+        x = jnp.asarray(RNG.standard_normal((bs, ch, T)).astype(np.float32) * 0.3)
+        sos = make_sos(bs)
+        y = sosfilt_coupled(sos, x)
+        assert y.shape == x.shape
+        for i in range(bs):
+            ref = scipy.signal.sosfilt(
+                np.asarray(sos, np.float64)[i], np.asarray(x, np.float64)[i]
+            )
+            np.testing.assert_allclose(np.asarray(y)[i], ref, atol=5e-4)
+
+    def test_gradients_finite_and_match_scan(self):
+        bs, T = 2, 640
+        x = jnp.asarray(RNG.standard_normal((bs, 1, T)).astype(np.float32) * 0.3)
+        sos = make_sos(bs)
+        g_c = jax.grad(lambda s, z: jnp.mean(sosfilt_coupled(s, z) ** 2), argnums=(0, 1))(sos, x)
+        g_s = jax.grad(lambda s, z: jnp.mean(sosfilt_exact(s, z) ** 2), argnums=(0, 1))(sos, x)
+        assert all(bool(jnp.isfinite(g).all()) for g in g_c)
+        np.testing.assert_allclose(np.asarray(g_c[1]), np.asarray(g_s[1]), atol=1e-3)
+        scale = np.abs(np.asarray(g_s[0])).max()
+        np.testing.assert_allclose(
+            np.asarray(g_c[0]) / scale, np.asarray(g_s[0]) / scale, atol=1e-2
+        )
+
+    def test_effect_layer_plumbing(self):
+        import dasp_tpu as D
+
+        bs, T = 2, 1024
+        x = jnp.asarray(RNG.standard_normal((bs, 2, T)).astype(np.float32) * 0.3)
+        gains = jnp.asarray(RNG.uniform(-6, 6, (bs, 10)).astype(np.float32))
+        y_c = jax.jit(
+            lambda x, g: D.graphic_eq(x, SR, g, filter_method="coupled")
+        )(x, gains)
+        y_f = D.graphic_eq(x, SR, gains, filter_method="fsm")
+        assert bool(jnp.isfinite(y_c).all())
+        # fsm and coupled are both tight here -> must agree closely
+        np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_f), atol=5e-3)
+
+    def test_unstable_section_stabilized(self):
+        sec = jnp.array([[[1.0, 0.0, 0.0, 1.0, -2.1, 1.05]]])
+        x = jnp.asarray(RNG.standard_normal((1, 1, 4096)).astype(np.float32) * 0.25)
+        assert bool(jnp.isfinite(sosfilt_coupled(sec, x)).all())
 
 
 class TestScanCombinePrecision:
