@@ -121,6 +121,12 @@ def main():
         "graphic_eq_block": (
             [jnp.zeros((bs, 10)) + 3.0],
             lambda x, p: D.graphic_eq(x, SR, *p, filter_method="block")),
+        "graphic_eq_coupled": (
+            [jnp.zeros((bs, 10)) + 3.0],
+            lambda x, p: D.graphic_eq(x, SR, *p, filter_method="coupled")),
+        "parametric_eq_coupled": (
+            [f(v) for v in eq_params],
+            lambda x, p: D.parametric_eq(x, SR, *p, filter_method="coupled")),
         "compressor_fsm": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="fsm")),
         "compressor_ballistics": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="parallel")),
         "compressor_pallas": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="pallas")),

@@ -333,52 +333,56 @@ def sosfilt_blockmat(
     a2 = sos_rows[..., 5]
     h, Tt, hi1, hi2 = block_toeplitz_operators(sos_rows, L)
 
+    # cross-block 2x2 transition v_i = A v_{i-1} + u_i,
+    # v = [y[L-1], y[L-2]] of each block
+    hL, hL1, hL2 = h[..., L], h[..., L - 1], h[..., L - 2]
+    A_all = jnp.stack(
+        [
+            jnp.stack([hL, -a2 * hL1], axis=-1),
+            jnp.stack([hL1, -a2 * hL2], axis=-1),
+        ],
+        axis=-2,
+    )  # (R, S, 2, 2)
+
     def shift(z, n):
         return jnp.pad(z, ((0, 0), (n, 0)))[:, :Tp]
 
-    y = xp
-    for s in range(S):
-        b0 = sos_rows[:, s, 0:1]
-        b1 = sos_rows[:, s, 1:2]
-        b2 = sos_rows[:, s, 2:3]
-        f = b0 * y + b1 * shift(y, 1) + b2 * shift(y, 2)  # (R, Tp)
+    def combine(e1, e2):
+        A1, u1 = e1
+        A2, u2 = e2
+        # HIGHEST: bf16 default-precision products compound over the
+        # nb-long block chain (see _sos_section_exact.combine)
+        mm = jnp.einsum("...ij,...jk->...ik", A2, A1, precision=lax.Precision.HIGHEST)
+        mv = jnp.einsum("...ij,...j->...i", A2, u1, precision=lax.Precision.HIGHEST)
+        return mm, mv + u2
+
+    # scan over section-stacked operators rather than a sliced Python
+    # loop: slicing makes reverse-mode AD pad each section's operator
+    # cotangent back to the full (R, S, L, L) tensor (see sosfilt_coupled)
+    def section(y, ops):
+        bc, Tt_s, h1_s, h2_s, A_s = ops
+        f = bc[:, 0:1] * y + bc[:, 1:2] * shift(y, 1) + bc[:, 2:3] * shift(y, 2)
 
         fb = f.reshape(R, nb, L)
         c = jnp.einsum(
-            "rnl,rlk->rnk", fb, Tt[:, s],
+            "rnl,rlk->rnk", fb, Tt_s,
             precision=lax.Precision.HIGHEST,
         )  # (R, nb, L) — one batched MXU matmul
 
-        # cross-block 2x2 recurrence v_i = A v_{i-1} + u_i,
-        # v = [y[L-1], y[L-2]] of each block
-        hS = h[:, s]  # (R, L+1)
-        A = jnp.stack(
-            [
-                jnp.stack([hS[:, L], -a2[:, s] * hS[:, L - 1]], axis=-1),
-                jnp.stack([hS[:, L - 1], -a2[:, s] * hS[:, L - 2]], axis=-1),
-            ],
-            axis=-2,
-        )  # (R, 2, 2)
         u = jnp.stack([c[..., L - 1], c[..., L - 2]], axis=-1)  # (R, nb, 2)
-        A_b = jnp.broadcast_to(A[:, None], (R, nb, 2, 2))
-
-        def combine(e1, e2):
-            A1, u1 = e1
-            A2, u2 = e2
-            # HIGHEST: bf16 default-precision products compound over the
-            # nb-long block chain (see _sos_section_exact.combine)
-            mm = jnp.einsum("...ij,...jk->...ik", A2, A1, precision=lax.Precision.HIGHEST)
-            mv = jnp.einsum("...ij,...j->...i", A2, u1, precision=lax.Precision.HIGHEST)
-            return mm, mv + u2
-
+        A_b = jnp.broadcast_to(A_s[:, None], (R, nb, 2, 2))
         _, v = lax.associative_scan(combine, (A_b, u), axis=1)
         v_prev = jnp.pad(v, ((0, 0), (1, 0), (0, 0)))[:, :nb]  # state entering block i
 
-        yb = c + hi1[:, s, None, :] * v_prev[..., 0:1] + hi2[:, s, None, :] * v_prev[..., 1:2]
-        y = yb.reshape(R, Tp)
+        yb = c + h1_s[:, None, :] * v_prev[..., 0:1] + h2_s[:, None, :] * v_prev[..., 1:2]
+        return yb.reshape(R, Tp), None
 
-    y = y[:, :T]
-    return y.reshape(x.shape)
+    xs = tuple(
+        jnp.moveaxis(t, 1, 0)
+        for t in (sos_rows[..., :3], Tt, hi1, hi2, A_all)
+    )
+    y, _ = lax.scan(section, xp, xs)
+    return y[:, :T].reshape(x.shape)
 
 
 def _coupled_state_space(sos: jnp.ndarray):
@@ -498,20 +502,22 @@ def sosfilt_coupled(
 
     A, bvec, cvec, d = _coupled_state_space(sos_rows)  # (R,S,2,2) ...
 
-    # powers A^0..A^L via an associative cumulative product (log depth)
-    A_rep = jnp.broadcast_to(A[None], (L,) + A.shape)
-    Ms = lax.associative_scan(
-        lambda m1, m2: jnp.einsum(
-            "...ij,...jk->...ik", m2, m1, precision=lax.Precision.HIGHEST
-        ),
-        A_rep,
-        axis=0,
-    )  # Ms[k] = A^(k+1), k = 0..L-1
-    eye = jnp.broadcast_to(jnp.eye(2, dtype=x.dtype), A.shape)
-    Ms = jnp.concatenate([eye[None], Ms], axis=0)  # A^0..A^L, (L+1, R,S,2,2)
+    # cvec A^k and A^k bvec for k = 0..L-1 via two VECTOR scans (cheap
+    # forward and — unlike a cumulative 2x2 matrix product — cheap
+    # backward: differentiating a matrix cumprod costs ~2.3x the grad
+    # time of the whole filter, measured on a v5e)
+    def vstep(c, _):
+        cn = jnp.einsum("...i,...ij->...j", c, A, precision=lax.Precision.HIGHEST)
+        return cn, c
+
+    def bstep(v, _):
+        vn = jnp.einsum("...ij,...j->...i", A, v, precision=lax.Precision.HIGHEST)
+        return vn, v
+
+    _, cA = lax.scan(vstep, cvec, None, length=L)  # (L, R, S, 2): cvec A^k
+    _, Ab = lax.scan(bstep, bvec, None, length=L)  # (L, R, S, 2): A^k bvec
 
     # impulse response t[0..L-1]: t[0] = d, t[m] = cvec A^(m-1) bvec
-    cA = jnp.einsum("rsi,krsij->krsj", cvec, Ms, precision=lax.Precision.HIGHEST)
     t_tail = jnp.einsum(
         "krsj,rsj->krs", cA[: L - 1], bvec, precision=lax.Precision.HIGHEST
     )
@@ -526,12 +532,23 @@ def sosfilt_coupled(
 
     # state-increment columns q[j] = A^(L-1-j) bvec and output-injection
     # rows inj[k] = cvec A^k
-    Ab = jnp.einsum(
-        "krsij,rsj->krsi", Ms[:L], bvec, precision=lax.Precision.HIGHEST
-    )  # (L, R, S, 2)
     q = jnp.moveaxis(jnp.flip(Ab, axis=0), 0, -2)  # (R, S, L, 2)
-    inj = jnp.moveaxis(cA[:L], 0, -2)  # (R, S, L, 2)
-    A_L = Ms[L]  # (R, S, 2, 2)
+    inj = jnp.moveaxis(cA, 0, -2)  # (R, S, L, 2)
+
+    # A^L by binary exponentiation (static L): ~log2(L) tiny matmuls
+    A_L = jnp.broadcast_to(jnp.eye(2, dtype=x.dtype), A.shape)
+    Apow = A
+    n_exp = L
+    while n_exp:
+        if n_exp & 1:
+            A_L = jnp.einsum(
+                "...ij,...jk->...ik", Apow, A_L, precision=lax.Precision.HIGHEST
+            )
+        n_exp >>= 1
+        if n_exp:
+            Apow = jnp.einsum(
+                "...ij,...jk->...ik", Apow, Apow, precision=lax.Precision.HIGHEST
+            )
 
     def combine(e1, e2):
         A1, u1 = e1
@@ -541,9 +558,17 @@ def sosfilt_coupled(
         mv = jnp.einsum("...ij,...j->...i", A2, u1, precision=lax.Precision.HIGHEST)
         return mm, mv + u2
 
-    y = xp
-    for s in range(S):
-        G = jnp.concatenate([Tt[:, s], q[:, s]], axis=-1)  # (R, L, L+2)
+    # the cascade runs as lax.scan over section-stacked operators: a
+    # Python loop slicing Tt[:, s] makes reverse-mode AD materialize a
+    # full padded (R, S, L, L) cotangent copy PER SECTION (measured: 10
+    # pads x 8 ms dominating the parameter-gradient time); scan's VJP
+    # accumulates the operator cotangents into one buffer instead
+    G_all = jnp.moveaxis(jnp.concatenate([Tt, q], axis=-1), 1, 0)  # (S, R, L, L+2)
+    inj_all = jnp.moveaxis(inj, 1, 0)  # (S, R, L, 2)
+    AL_all = jnp.moveaxis(A_L, 1, 0)  # (S, R, 2, 2)
+
+    def section(y, ops):
+        G, inj_s, A_s = ops
         out = jnp.einsum(
             "rnl,rlm->rnm", y.reshape(R, nb, L), G,
             precision=lax.Precision.HIGHEST,
@@ -551,15 +576,16 @@ def sosfilt_coupled(
         c = out[..., :L]
         w = out[..., L:]  # (R, nb, 2) per-block state increments
 
-        A_b = jnp.broadcast_to(A_L[:, s, None], (R, nb, 2, 2))
+        A_b = jnp.broadcast_to(A_s[:, None], (R, nb, 2, 2))
         _, v = lax.associative_scan(combine, (A_b, w), axis=1)
         v_prev = jnp.pad(v, ((0, 0), (1, 0), (0, 0)))[:, :nb]  # state entering block
 
         yb = c + jnp.einsum(
-            "rkm,rnm->rnk", inj[:, s], v_prev, precision=lax.Precision.HIGHEST
+            "rkm,rnm->rnk", inj_s, v_prev, precision=lax.Precision.HIGHEST
         )
-        y = yb.reshape(R, Tp)
+        return yb.reshape(R, Tp), None
 
+    y, _ = lax.scan(section, xp, (G_all, inj_all, AL_all))
     return y[:, :T].reshape(x.shape)
 
 
