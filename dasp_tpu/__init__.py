@@ -48,6 +48,7 @@ from dasp_tpu.modules import (
 
 from dasp_tpu import ops
 from dasp_tpu import functional
+from dasp_tpu import streaming
 
 __all__ = [
     "gain",

@@ -54,11 +54,15 @@ __all__ = [
     "distortion",
     "advanced_distortion",
     "graphic_eq",
+    "graphic_eq_sos",
     "parametric_eq",
+    "parametric_eq_sos",
     "compressor",
     "expander",
     "noise_shaped_reverberation",
+    "noise_shaped_ir",
     "spectral_band_noise",
+    "static_gain_computer",
     "stereo_widener",
     "stereo_panner",
     "GRAPHIC_EQ_BANDS",
@@ -289,23 +293,30 @@ def graphic_eq(
         Output audio, shape (bs, chs, seq_len).
     """
     bs, chs, seq_len = x.shape
-    band_gains_db = jnp.asarray(band_gains_db, x.dtype).reshape(bs, len(GRAPHIC_EQ_BANDS))
+    sos = graphic_eq_sos(bs, x.dtype, sample_rate, band_gains_db)
+    return _apply_sos(sos, x, filter_method)
 
-    # clamp band centres below Nyquist (same 0.999 clip as
-    # ops.filterbank.octave_band_filterbank / reference signal.py:72):
-    # at sample rates below 32 kHz the fixed 16 kHz band would otherwise
-    # put w0 > pi, an unstable/aliased biquad. A clamped band sits at
-    # Nyquist and is near-transparent.
+
+def graphic_eq_sos(bs, dtype, sample_rate, band_gains_db) -> jnp.ndarray:
+    """Build the 10-band graphic EQ cascade as a (bs, 10, 6) SOS tensor.
+
+    Shared by the offline effect and the streaming layer. Band centres
+    are clamped below Nyquist (same 0.999 clip as
+    ops.filterbank.octave_band_filterbank / reference signal.py:72): at
+    sample rates below 32 kHz the fixed 16 kHz band would otherwise put
+    w0 > pi, an unstable/aliased biquad. A clamped band sits at Nyquist
+    and is near-transparent.
+    """
+    band_gains_db = jnp.asarray(band_gains_db, dtype).reshape(bs, len(GRAPHIC_EQ_BANDS))
     f_max = 0.999 * sample_rate / 2.0
     sections = []
     for i, fc in enumerate(GRAPHIC_EQ_BANDS):
         g = band_gains_db[:, i]
-        f = jnp.full((bs,), min(fc, f_max), dtype=x.dtype)
-        q = jnp.full((bs,), _GRAPHIC_EQ_Q, dtype=x.dtype)
+        f = jnp.full((bs,), min(fc, f_max), dtype=dtype)
+        q = jnp.full((bs,), _GRAPHIC_EQ_Q, dtype=dtype)
         b, a = biquad(g, f, q, sample_rate, "peaking")
         sections.append(jnp.concatenate([b, a], axis=-1))
-    sos = jnp.stack(sections, axis=1)  # (bs, 10, 6)
-    return _apply_sos(sos, x, filter_method)
+    return jnp.stack(sections, axis=1)  # (bs, 10, 6)
 
 
 @_scoped("dasp.parametric_eq")
@@ -360,27 +371,36 @@ def parametric_eq(
         Output audio, shape (bs, chs, seq_len).
     """
     bs, chs, seq_len = x.shape
-    dtype = x.dtype
+    sos = parametric_eq_sos(
+        bs, x.dtype, sample_rate,
+        low_shelf_gain_db, low_shelf_cutoff_freq, low_shelf_q_factor,
+        band0_gain_db, band0_cutoff_freq, band0_q_factor,
+        band1_gain_db, band1_cutoff_freq, band1_q_factor,
+        band2_gain_db, band2_cutoff_freq, band2_q_factor,
+        band3_gain_db, band3_cutoff_freq, band3_q_factor,
+        high_shelf_gain_db, high_shelf_cutoff_freq, high_shelf_q_factor,
+    )
+    return _apply_sos(sos, x, filter_method)
 
-    band_params = [
-        (low_shelf_gain_db, low_shelf_cutoff_freq, low_shelf_q_factor, "low_shelf"),
-        (band0_gain_db, band0_cutoff_freq, band0_q_factor, "peaking"),
-        (band1_gain_db, band1_cutoff_freq, band1_q_factor, "peaking"),
-        (band2_gain_db, band2_cutoff_freq, band2_q_factor, "peaking"),
-        (band3_gain_db, band3_cutoff_freq, band3_q_factor, "peaking"),
-        (high_shelf_gain_db, high_shelf_cutoff_freq, high_shelf_q_factor, "high_shelf"),
-    ]
 
+def parametric_eq_sos(bs, dtype, sample_rate, *params) -> jnp.ndarray:
+    """Build the 6-band parametric EQ cascade as a (bs, 6, 6) SOS tensor.
+
+    ``params`` are the same 18 per-band scalars as :func:`parametric_eq`.
+    Shared by the offline effect and the streaming layer
+    (:mod:`dasp_tpu.streaming`), which needs the coefficients separately
+    from the filtering.
+    """
+    assert len(params) == 18, f"expected 18 EQ params, got {len(params)}"
+    types = ["low_shelf", "peaking", "peaking", "peaking", "peaking", "high_shelf"]
     sections = []
-    for g, f, q, ftype in band_params:
-        g = _param(g, bs, dtype).reshape(bs)
-        f = _param(f, bs, dtype).reshape(bs)
-        q = _param(q, bs, dtype).reshape(bs)
+    for i, ftype in enumerate(types):
+        g = _param(params[3 * i], bs, dtype).reshape(bs)
+        f = _param(params[3 * i + 1], bs, dtype).reshape(bs)
+        q = _param(params[3 * i + 2], bs, dtype).reshape(bs)
         b, a = biquad(g, f, q, sample_rate, ftype)
         sections.append(jnp.concatenate([b, a], axis=-1))
-    sos = jnp.stack(sections, axis=1)  # (bs, 6, 6)
-
-    return _apply_sos(sos, x, filter_method)
+    return jnp.stack(sections, axis=1)  # (bs, 6, 6)
 
 
 def _apply_sos(sos, x, filter_method: str):
@@ -428,6 +448,42 @@ def _dynamics_common(x, sample_rate, attack_ms, release_ms, eps):
     # level in dB
     x_db = 20.0 * jnp.log10(jnp.maximum(jnp.abs(x_side), eps))
     return x_side, x_db, alpha_a, alpha_r
+
+
+def static_gain_computer(x_db, threshold_db, ratio, knee_db, mode: str) -> jnp.ndarray:
+    """Soft-knee static gain curve shared by compressor and expander.
+
+    ``mode="compressor"``: reference functional.py:350-366 (in-place
+    boolean masking expressed as jnp.where). ``mode="expander"``:
+    Giannoulis et al. 2012 Eq. 4 (downward expansion below threshold).
+    Memoryless, so also shared verbatim by the streaming layer.
+
+    Returns the gain-computer output ``g_c = x_sc - x_db`` (dB, <= 0).
+    """
+    dtype = x_db.dtype
+    half_knee = knee_db / 2.0
+    knee_safe = jnp.maximum(knee_db, jnp.asarray(1e-6, dtype))
+    if mode == "compressor":
+        x_sc_knee = x_db + ((1.0 / ratio) - 1.0) * (
+            (x_db - threshold_db + half_knee) ** 2
+        ) / (2.0 * knee_safe)
+        x_sc_out = threshold_db + ((x_db - threshold_db) / ratio)
+        outside = x_db > threshold_db + half_knee
+    elif mode == "expander":
+        x_sc_knee = x_db + (1.0 - ratio) * (
+            (x_db - threshold_db - half_knee) ** 2
+        ) / (2.0 * knee_safe)
+        x_sc_out = threshold_db + (x_db - threshold_db) * ratio
+        outside = x_db < threshold_db - half_knee
+    else:
+        raise ValueError(f"Unknown mode: {mode!r}")
+
+    in_knee = jnp.logical_and(
+        x_db >= threshold_db - half_knee, x_db <= threshold_db + half_knee
+    )
+    x_sc = jnp.where(in_knee, x_sc_knee, x_db)
+    x_sc = jnp.where(outside, x_sc_out, x_sc)
+    return x_sc - x_db
 
 
 def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
@@ -519,23 +575,7 @@ def compressor(
     makeup_gain_db = _param(makeup_gain_db, bs, dtype)
 
     x_side, x_db, alpha_a, alpha_r = _dynamics_common(x, sample_rate, attack_ms, release_ms, eps)
-
-    # static characteristic with soft knee (reference functional.py:350-366,
-    # in-place boolean masking expressed as jnp.where)
-    half_knee = knee_db / 2.0
-    knee_safe = jnp.maximum(knee_db, jnp.asarray(1e-6, dtype))
-    x_sc_knee = x_db + ((1.0 / ratio) - 1.0) * ((x_db - threshold_db + half_knee) ** 2) / (
-        2.0 * knee_safe
-    )
-    x_sc_above = threshold_db + ((x_db - threshold_db) / ratio)
-
-    in_knee = jnp.logical_and(x_db >= threshold_db - half_knee, x_db <= threshold_db + half_knee)
-    x_sc = jnp.where(in_knee, x_sc_knee, x_db)
-    x_sc = jnp.where(x_db > threshold_db + half_knee, x_sc_above, x_sc)
-
-    # gain computer output
-    g_c = x_sc - x_db
-
+    g_c = static_gain_computer(x_db, threshold_db, ratio, knee_db, "compressor")
     g_smooth = _smooth_gain(g_c, alpha_a, alpha_r, smoother)
 
     # lookahead: delay audio relative to the gain curve
@@ -592,18 +632,7 @@ def expander(
     makeup_gain_db = _param(makeup_gain_db, bs, dtype)
 
     x_side, x_db, alpha_a, alpha_r = _dynamics_common(x, sample_rate, attack_ms, release_ms, eps)
-
-    # Giannoulis et al. 2012, Eq. 4: downward expander static curve.
-    half_knee = knee_db / 2.0
-    knee_safe = jnp.maximum(knee_db, jnp.asarray(1e-6, dtype))
-    x_sc_knee = x_db + (1.0 - ratio) * ((x_db - threshold_db - half_knee) ** 2) / (2.0 * knee_safe)
-    x_sc_below = threshold_db + (x_db - threshold_db) * ratio
-
-    in_knee = jnp.logical_and(x_db >= threshold_db - half_knee, x_db <= threshold_db + half_knee)
-    x_sc = jnp.where(in_knee, x_sc_knee, x_db)
-    x_sc = jnp.where(x_db < threshold_db - half_knee, x_sc_below, x_sc)
-
-    g_c = x_sc - x_db
+    g_c = static_gain_computer(x_db, threshold_db, ratio, knee_db, "expander")
     g_smooth = _smooth_gain(g_c, alpha_a, alpha_r, smoother)
 
     g_lin = db_to_linear(g_smooth + makeup_gain_db)
@@ -761,6 +790,42 @@ def noise_shaped_reverberation(
     )  # (bs, 12)
     mix = _param(mix, bs, dtype)
 
+    ir = noise_shaped_ir(
+        sample_rate, band_gains, band_decays,
+        num_samples=num_samples, num_bandpass_taps=num_bandpass_taps,
+        key=key, noise=noise, noise_mode=noise_mode, dtype=dtype,
+    )
+
+    # convolve signal with the IR (reference: vmapped direct conv1d with a
+    # 65536-tap kernel — here a single batched FFT convolution)
+    y = (ir_conv_fn or fft_conv_causal)(x, ir)
+
+    return (1.0 - mix) * x + mix * y
+
+
+def noise_shaped_ir(
+    sample_rate: float,
+    band_gains: jnp.ndarray,
+    band_decays: jnp.ndarray,
+    *,
+    num_samples: int = 65536,
+    num_bandpass_taps: int = 1023,
+    key=None,
+    noise: jnp.ndarray | None = None,
+    noise_mode: str = "time",
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Synthesize the stereo filtered-noise impulse response on its own.
+
+    The IR-building core of :func:`noise_shaped_reverberation` (band
+    gains/decays stacked as (bs, 12) arrays of (0, 1) values), exposed
+    for the streaming layer, which draws the IR once per stream and then
+    convolves chunk by chunk.
+
+    Returns:
+        ir of shape (bs, 2, num_samples).
+    """
+    bs = band_gains.shape[0]
     filters = octave_band_filterbank(num_bandpass_taps, sample_rate).astype(dtype)
     num_bands = filters.shape[0]
 
@@ -794,13 +859,7 @@ def noise_shaped_reverberation(
     band_decays = (band_decays * 10.0) + 1.0
     env = jnp.exp(-band_decays * t.reshape(1, 1, 1, -1))
     wn_filt = wn_filt * env * band_gains
-    ir = jnp.mean(wn_filt, axis=2)  # (bs, 2, num_samples)
-
-    # convolve signal with the IR (reference: vmapped direct conv1d with a
-    # 65536-tap kernel — here a single batched FFT convolution)
-    y = (ir_conv_fn or fft_conv_causal)(x, ir)
-
-    return (1.0 - mix) * x + mix * y
+    return jnp.mean(wn_filt, axis=2)  # (bs, 2, num_samples)
 
 
 # ---------------------------------------------------------------------------

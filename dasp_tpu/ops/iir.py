@@ -273,8 +273,13 @@ def sosfilt_exact(sos: jnp.ndarray, x: jnp.ndarray, stabilize: bool = True) -> j
 
 
 def sosfilt_blockmat(
-    sos: jnp.ndarray, x: jnp.ndarray, block: int = 128, stabilize: bool = True
-) -> jnp.ndarray:
+    sos: jnp.ndarray,
+    x: jnp.ndarray,
+    block: int = 128,
+    stabilize: bool = True,
+    zi: jnp.ndarray | None = None,
+    return_zf: bool = False,
+):
     """Exact biquad cascade via block-state batched matmuls (pure XLA).
 
     The time-domain recursion of one section with AR part 1/A, impulse
@@ -301,15 +306,26 @@ def sosfilt_blockmat(
     fp32 state accumulation dominates and the FSM frequency-domain path
     is numerically tighter — see docs/PERFORMANCE.md.
 
+    Streaming: pass ``zi`` (and set ``return_zf``) to carry exact filter
+    state across consecutive chunks — processing a signal chunk by chunk
+    reproduces the one-shot result to fp32 roundoff. The state layout is
+    per section ``[x[-1], x[-2], y[-1], y[-2]]`` (section input and
+    output history), shape ``x.shape[:-1] + (n_sections, 4)``; zeros ==
+    rest. See :mod:`dasp_tpu.streaming` for the effect-level wrappers.
+
     Args:
         sos: (bs, n_sections, 6) with a0 normalized to 1.
         x: signal (bs, ..., T).
         block: intra-block length L (MXU tile multiple, 128 natural).
         stabilize: clamp denominators into the stability triangle (no-op
             for stable sections; see :func:`stabilize_sos`).
+        zi: optional initial state, shape x.shape[:-1] + (n_sections, 4).
+        return_zf: also return the final state in the same layout
+            (requires T to be a multiple of ``block``).
 
     Returns:
-        Filtered signal, same shape as x.
+        Filtered signal, same shape as x; with ``return_zf`` a tuple
+        ``(y, zf)``.
     """
     if stabilize:
         sos = stabilize_sos(sos)
@@ -326,9 +342,19 @@ def sosfilt_blockmat(
     S = sos_rows.shape[1]
     L = block
     pad_t = (-T) % L
+    if return_zf and pad_t:
+        raise ValueError(
+            f"return_zf requires T ({T}) to be a multiple of block ({L}); "
+            "pick a streaming chunk size that divides by the block length"
+        )
     xp = jnp.pad(rows, ((0, 0), (0, pad_t)))
     Tp = xp.shape[-1]
     nb = Tp // L
+
+    if zi is None:
+        zi_rows = jnp.zeros((R, S, 4), x.dtype)
+    else:
+        zi_rows = jnp.asarray(zi, x.dtype).reshape(R, S, 4)
 
     a2 = sos_rows[..., 5]
     h, Tt, hi1, hi2 = block_toeplitz_operators(sos_rows, L)
@@ -360,8 +386,13 @@ def sosfilt_blockmat(
     # loop: slicing makes reverse-mode AD pad each section's operator
     # cotangent back to the full (R, S, L, L) tensor (see sosfilt_coupled)
     def section(y, ops):
-        bc, Tt_s, h1_s, h2_s, A_s = ops
-        f = bc[:, 0:1] * y + bc[:, 1:2] * shift(y, 1) + bc[:, 2:3] * shift(y, 2)
+        bc, Tt_s, h1_s, h2_s, A_s, z_s = ops
+        # section-input history from the carried state (zeros == rest, in
+        # which case these concats reduce to plain zero-fill shifts)
+        x1, x2 = z_s[:, 0:1], z_s[:, 1:2]
+        s1 = jnp.concatenate([x1, y[:, :-1]], axis=1)
+        s2 = jnp.concatenate([x2, x1, y[:, :-2]], axis=1)
+        f = bc[:, 0:1] * y + bc[:, 1:2] * s1 + bc[:, 2:3] * s2
 
         fb = f.reshape(R, nb, L)
         c = jnp.einsum(
@@ -370,19 +401,30 @@ def sosfilt_blockmat(
         )  # (R, nb, L) — one batched MXU matmul
 
         u = jnp.stack([c[..., L - 1], c[..., L - 2]], axis=-1)  # (R, nb, 2)
+        # fold the incoming output-history state into block 0's increment
+        v_init = z_s[:, 2:4]  # (R, 2) = [y[-1], y[-2]]
+        u = u.at[:, 0].add(
+            jnp.einsum("rij,rj->ri", A_s, v_init, precision=lax.Precision.HIGHEST)
+        )
         A_b = jnp.broadcast_to(A_s[:, None], (R, nb, 2, 2))
         _, v = lax.associative_scan(combine, (A_b, u), axis=1)
-        v_prev = jnp.pad(v, ((0, 0), (1, 0), (0, 0)))[:, :nb]  # state entering block i
+        v_prev = jnp.concatenate(
+            [v_init[:, None], v[:, : nb - 1]], axis=1
+        )  # state entering block i
 
         yb = c + h1_s[:, None, :] * v_prev[..., 0:1] + h2_s[:, None, :] * v_prev[..., 1:2]
-        return yb.reshape(R, Tp), None
+        zf_s = jnp.concatenate([y[:, -1:], y[:, -2:-1], v[:, -1]], axis=-1)
+        return yb.reshape(R, Tp), zf_s
 
     xs = tuple(
         jnp.moveaxis(t, 1, 0)
-        for t in (sos_rows[..., :3], Tt, hi1, hi2, A_all)
+        for t in (sos_rows[..., :3], Tt, hi1, hi2, A_all, zi_rows)
     )
-    y, _ = lax.scan(section, xp, xs)
-    return y[:, :T].reshape(x.shape)
+    y, zf = lax.scan(section, xp, xs)
+    y = y[:, :T].reshape(x.shape)
+    if return_zf:
+        return y, jnp.moveaxis(zf, 0, 1).reshape(x.shape[:-1] + (S, 4))
+    return y
 
 
 def _coupled_state_space(sos: jnp.ndarray):
@@ -444,8 +486,13 @@ def _coupled_state_space(sos: jnp.ndarray):
 
 
 def sosfilt_coupled(
-    sos: jnp.ndarray, x: jnp.ndarray, block: int = 128, stabilize: bool = True
-) -> jnp.ndarray:
+    sos: jnp.ndarray,
+    x: jnp.ndarray,
+    block: int = 128,
+    stabilize: bool = True,
+    zi: jnp.ndarray | None = None,
+    return_zf: bool = False,
+):
     """Exact biquad cascade, block-state MXU matmuls in *coupled form*.
 
     Same algorithmic shape as :func:`sosfilt_blockmat` — one batched
@@ -469,15 +516,26 @@ def sosfilt_coupled(
     sections matter; ``filter_method="coupled"`` selects it in the
     effect layer.
 
+    Streaming: the realization state s fully captures the past (the
+    Toeplitz operator holds the full impulse response, so no separate
+    input history is needed). Pass ``zi`` of shape
+    ``x.shape[:-1] + (n_sections, 2)`` (zeros == rest) and set
+    ``return_zf`` to carry it across chunks; the state is *opaque*
+    realization state, not interchangeable with ``sosfilt_blockmat``'s.
+
     Args:
         sos: (bs, n_sections, 6) with a0 normalized to 1.
         x: signal (bs, ..., T).
         block: intra-block length L (MXU tile multiple, 128 natural).
         stabilize: clamp denominators onto the stability triangle first
             (see :func:`stabilize_sos`).
+        zi: optional initial state, shape x.shape[:-1] + (n_sections, 2).
+        return_zf: also return the final state (requires T to be a
+            multiple of ``block``).
 
     Returns:
-        Filtered signal, same shape as x.
+        Filtered signal, same shape as x; with ``return_zf`` a tuple
+        ``(y, zf)``.
     """
     import numpy as _np
 
@@ -496,9 +554,19 @@ def sosfilt_coupled(
     S = sos_rows.shape[1]
     L = block
     pad_t = (-T) % L
+    if return_zf and pad_t:
+        raise ValueError(
+            f"return_zf requires T ({T}) to be a multiple of block ({L}); "
+            "pick a streaming chunk size that divides by the block length"
+        )
     xp = jnp.pad(rows, ((0, 0), (0, pad_t)))
     Tp = xp.shape[-1]
     nb = Tp // L
+
+    if zi is None:
+        zi_rows = jnp.zeros((R, S, 2), x.dtype)
+    else:
+        zi_rows = jnp.asarray(zi, x.dtype).reshape(R, S, 2)
 
     A, bvec, cvec, d = _coupled_state_space(sos_rows)  # (R,S,2,2) ...
 
@@ -568,7 +636,7 @@ def sosfilt_coupled(
     AL_all = jnp.moveaxis(A_L, 1, 0)  # (S, R, 2, 2)
 
     def section(y, ops):
-        G, inj_s, A_s = ops
+        G, inj_s, A_s, z_s = ops
         out = jnp.einsum(
             "rnl,rlm->rnm", y.reshape(R, nb, L), G,
             precision=lax.Precision.HIGHEST,
@@ -576,17 +644,26 @@ def sosfilt_coupled(
         c = out[..., :L]
         w = out[..., L:]  # (R, nb, 2) per-block state increments
 
+        # fold the incoming realization state into block 0's increment
+        w = w.at[:, 0].add(
+            jnp.einsum("rij,rj->ri", A_s, z_s, precision=lax.Precision.HIGHEST)
+        )
         A_b = jnp.broadcast_to(A_s[:, None], (R, nb, 2, 2))
         _, v = lax.associative_scan(combine, (A_b, w), axis=1)
-        v_prev = jnp.pad(v, ((0, 0), (1, 0), (0, 0)))[:, :nb]  # state entering block
+        v_prev = jnp.concatenate(
+            [z_s[:, None], v[:, : nb - 1]], axis=1
+        )  # state entering block
 
         yb = c + jnp.einsum(
             "rkm,rnm->rnk", inj_s, v_prev, precision=lax.Precision.HIGHEST
         )
-        return yb.reshape(R, Tp), None
+        return yb.reshape(R, Tp), v[:, -1]
 
-    y, _ = lax.scan(section, xp, (G_all, inj_all, AL_all))
-    return y[:, :T].reshape(x.shape)
+    y, zf = lax.scan(section, xp, (G_all, inj_all, AL_all, jnp.moveaxis(zi_rows, 1, 0)))
+    y = y[:, :T].reshape(x.shape)
+    if return_zf:
+        return y, jnp.moveaxis(zf, 0, 1).reshape(x.shape[:-1] + (S, 2))
+    return y
 
 
 def ballistics_smooth(

@@ -1,0 +1,195 @@
+"""Streaming layer: chunk-by-chunk processing == offline processing.
+
+Each test renders a signal offline, then re-renders it through the
+jitted stream step in chunks with carried state, and asserts the outputs
+match to fp32 roundoff. This is the whole contract of
+``dasp_tpu.streaming``: a serving deployment slicing audio into
+2.9-ms chunks must produce the same samples an offline render does.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dasp_tpu as D
+from dasp_tpu import streaming
+from dasp_tpu.ops.biquad import biquad
+
+SR = 44100
+BS = 2
+RNG = np.random.default_rng(21)
+
+
+def _chunks(x, n):
+    T = x.shape[-1]
+    assert T % n == 0
+    return [x[..., i : i + n] for i in range(0, T, n)]
+
+
+def _stream_all(step, x, chunk, state=None):
+    outs = []
+    for c in _chunks(x, chunk):
+        y, state = step(c, state)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=-1), state
+
+
+class TestSosfiltStream:
+    def _sos(self, resonant=True):
+        specs = [
+            (4.0, 200.0, 0.7, "low_shelf"),
+            (-6.0, 1000.0, 2.0, "peaking"),
+            (3.0, 8000.0, 0.7, "high_shelf"),
+        ]
+        if resonant:
+            # near-unit-circle resonant band — only the coupled
+            # realization holds fp32 accuracy there (docs/PERFORMANCE.md)
+            specs.insert(1, (6.0, 40.0, 2.0, "peaking"))
+        secs = []
+        for g, fc, q, ft in specs:
+            b, a = biquad(jnp.full((BS,), g), jnp.full((BS,), fc),
+                          jnp.full((BS,), q), SR, ft)
+            secs.append(jnp.concatenate([b, a], axis=-1))
+        return jnp.stack(secs, axis=1)
+
+    @pytest.mark.parametrize("method", ["coupled", "block"])
+    def test_chunked_equals_offline(self, method):
+        from dasp_tpu.ops.iir import sosfilt_blockmat, sosfilt_coupled
+
+        # the direct-form "block" state drifts from its own one-shot
+        # rounding path on near-unit-circle bands (both are ~1e-1 from
+        # f64 there), so it is exercised on the well-conditioned cascade;
+        # "coupled" holds chunked == offline through the resonant band
+        sos = self._sos(resonant=(method == "coupled"))
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 4096)).astype(np.float32) * 0.3)
+        offline = (sosfilt_coupled if method == "coupled" else sosfilt_blockmat)(sos, x)
+        step = jax.jit(lambda c, s: streaming.sosfilt_stream(sos, c, zi=s, filter_method=method))
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
+
+    def test_coupled_chunked_matches_float64(self):
+        import scipy.signal
+
+        sos = self._sos()
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 4096)).astype(np.float32) * 0.3)
+        step = jax.jit(lambda c, s: streaming.sosfilt_stream(sos, c, zi=s))
+        y, _ = _stream_all(step, x, 512)
+        ref = scipy.signal.sosfilt(np.asarray(sos, np.float64)[0], np.asarray(x, np.float64)[0])
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(y)[0] - ref).max() / scale < 1e-4
+
+    def test_rejects_unaligned_chunk(self):
+        sos = self._sos()
+        x = jnp.zeros((BS, 2, 200))  # not a multiple of block=128
+        with pytest.raises(ValueError, match="multiple of block"):
+            streaming.sosfilt_stream(sos, x)
+
+
+class TestEQStreams:
+    def test_parametric_eq_stream(self):
+        p = [jnp.full((BS,), v) for v in
+             [2.0, 200.0, 0.7, 3.0, 400.0, 1.0, -2.0, 3000.0, 2.0,
+              1.0, 9000.0, 1.0, 2.0, 13000.0, 1.0, -3.0, 8000.0, 0.7]]
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 2048)).astype(np.float32) * 0.3)
+        offline = D.parametric_eq(x, SR, *p, filter_method="coupled")
+        step = jax.jit(lambda c, s: streaming.parametric_eq_stream(c, SR, *p, zi=s))
+        y, zf = _stream_all(step, x, 256)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
+        assert zf.shape == (BS, 2, 6, 2)
+
+    def test_graphic_eq_stream(self):
+        gains = jnp.asarray(RNG.uniform(-6, 6, (BS, 10)).astype(np.float32))
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 2048)).astype(np.float32) * 0.3)
+        offline = D.graphic_eq(x, SR, gains, filter_method="coupled")
+        step = jax.jit(lambda c, s: streaming.graphic_eq_stream(c, SR, gains, zi=s))
+        y, _ = _stream_all(step, x, 256)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
+
+
+class TestDynamicsStreams:
+    def _params(self):
+        f = lambda v: jnp.full((BS,), v)  # noqa: E731
+        return dict(threshold_db=f(-24.0), ratio=f(4.0), attack_ms=f(10.0),
+                    release_ms=f(60.0), knee_db=f(6.0), makeup_gain_db=f(1.0))
+
+    def test_compressor_stream(self):
+        kw = self._params()
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 4096)).astype(np.float32) * 0.5)
+        offline = D.compressor(x, SR, **kw, smoother="block")
+        step = jax.jit(functools.partial(
+            lambda c, s, kw: streaming.compressor_stream(c, SR, **kw, zi=s), kw=kw))
+        y, zf = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=1e-5)
+        assert zf.shape == (BS, 1, 1, 4)
+
+    def test_expander_stream(self):
+        kw = self._params()
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 4096)).astype(np.float32) * 0.3)
+        offline = D.expander(x, SR, **kw, smoother="block")
+        step = jax.jit(functools.partial(
+            lambda c, s, kw: streaming.expander_stream(c, SR, **kw, zi=s), kw=kw))
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=1e-5)
+
+
+class TestReverbStream:
+    def test_reverb_stream_matches_offline(self):
+        num_samples = 1024
+        gains = jnp.asarray(RNG.uniform(0.2, 0.9, (BS, 12)).astype(np.float32))
+        decays = jnp.asarray(RNG.uniform(0.2, 0.9, (BS, 12)).astype(np.float32))
+        mix = jnp.full((BS,), 0.7)
+        key = jax.random.PRNGKey(5)
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 2048)).astype(np.float32) * 0.3)
+
+        # offline render with the SAME noise (inject via noise_mode +
+        # identical key through the shared IR builder)
+        offline = D.noise_shaped_reverberation(
+            x, SR, *[gains[:, i] for i in range(12)],
+            *[decays[:, i] for i in range(12)], mix,
+            num_samples=num_samples, key=key, noise_mode="frequency",
+        )
+
+        state = streaming.reverb_stream_init(
+            SR, gains, decays, mix, key, num_samples=num_samples,
+            noise_mode="frequency",
+        )
+        step = jax.jit(streaming.reverb_stream)
+        y, state = _stream_all(step, x, 256, state)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=1e-4)
+        assert state["hist"].shape == (BS, 2, num_samples - 1)
+
+    def test_mono_input_duplicated(self):
+        state = streaming.reverb_stream_init(
+            SR, jnp.full((1, 12), 0.5), jnp.full((1, 12), 0.5), 0.5,
+            jax.random.PRNGKey(0), num_samples=512,
+        )
+        y, _ = streaming.reverb_stream(jnp.zeros((1, 1, 256)), state)
+        assert y.shape == (1, 2, 256)
+
+
+class TestStreamingChainScan:
+    def test_stream_under_lax_scan(self):
+        """The step is a pure function — drive a whole stream with ONE
+        lax.scan (the production serving shape: no Python loop)."""
+        gains = jnp.asarray(RNG.uniform(-6, 6, (BS, 10)).astype(np.float32))
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 2048)).astype(np.float32) * 0.3)
+        offline = D.graphic_eq(x, SR, gains, filter_method="coupled")
+
+        nb = 8
+        xb = jnp.stack(_chunks(x, 2048 // nb), axis=0)  # (nb, bs, 2, 256)
+        zi0 = jnp.zeros((BS, 2, 10, 2))
+
+        @jax.jit
+        def run(xb, zi):
+            def body(s, c):
+                y, s = streaming.graphic_eq_stream(c, SR, gains, zi=s)
+                return s, y
+            _, yb = jax.lax.scan(body, zi, xb)
+            return yb
+
+        yb = run(xb, zi0)
+        y = jnp.concatenate(list(yb), axis=-1)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
