@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import dasp_tpu as D
 from dasp_tpu import streaming
 
 SR = 44100

@@ -499,12 +499,9 @@ def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
         # the Pallas IIR kernel / the block-state batched-matmul path) or
         # via the reference's frequency-sampling approximation
         # (dasp_pytorch/functional.py:372-380, the parity path)
-        eff_bs = g_c.shape[0]
-        a_flat = alpha_a.reshape(eff_bs, 1)
-        zeros = jnp.zeros((eff_bs, 1), dtype=g_c.dtype)
-        ones = jnp.ones((eff_bs, 1), dtype=g_c.dtype)
-        b = jnp.concatenate([1.0 - a_flat, zeros], axis=-1)
-        a = jnp.concatenate([ones, -a_flat], axis=-1)
+        from .ops.iir import onepole_ba
+
+        b, a = onepole_ba(alpha_a.reshape(g_c.shape[0], 1).astype(g_c.dtype))
         if smoother == "block":
             from .ops.iir import lfilter1_blockmat
 

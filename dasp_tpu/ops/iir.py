@@ -37,6 +37,7 @@ __all__ = [
     "stabilize_sos",
     "ballistics_smooth",
     "embed_first_order_sos",
+    "onepole_ba",
     "ar_impulse_response",
     "block_toeplitz_operators",
 ]
@@ -59,6 +60,20 @@ def lfilter1_blockmat(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.nda
         x: signal (bs, ..., T); b/a: (bs, 2) with a0 == 1.
     """
     return sosfilt_blockmat(embed_first_order_sos(b, a)[:, None, :], x)
+
+
+def onepole_ba(alpha: jnp.ndarray):
+    """Coefficients of the one-pole lowpass ``y[n] = (1-a) x[n] + a y[n-1]``
+    as first-order (b, a) arrays of shape (bs, 2) — the layout
+    ``lfilter_via_fsm`` / ``lfilter1_*`` expect. The ONE place this
+    construction lives: shared by the offline smoother branches
+    (functional._smooth_gain) and the streaming dynamics layer."""
+    alpha = alpha.reshape(alpha.shape[0], 1)
+    zeros = jnp.zeros_like(alpha)
+    ones = jnp.ones_like(alpha)
+    b = jnp.concatenate([1.0 - alpha, zeros], axis=-1)
+    a = jnp.concatenate([ones, -alpha], axis=-1)
+    return b, a
 
 
 def ar_impulse_response(a1: jnp.ndarray, a2: jnp.ndarray, length: int) -> jnp.ndarray:

@@ -36,7 +36,12 @@ import jax.numpy as jnp
 
 from . import functional as F
 from .ops.fir import fft_conv_causal
-from .ops.iir import embed_first_order_sos, sosfilt_blockmat, sosfilt_coupled
+from .ops.iir import (
+    embed_first_order_sos,
+    onepole_ba,
+    sosfilt_blockmat,
+    sosfilt_coupled,
+)
 
 __all__ = [
     "sosfilt_stream",
@@ -125,11 +130,7 @@ def _dynamics_stream(
 
     # exact attack-only one-pole smoother (the offline smoother="block"
     # path) with carried state
-    a_flat = alpha_a.reshape(bs, 1)
-    zeros = jnp.zeros((bs, 1), dtype)
-    ones = jnp.ones((bs, 1), dtype)
-    b = jnp.concatenate([1.0 - a_flat, zeros], axis=-1)
-    a = jnp.concatenate([ones, -a_flat], axis=-1)
+    b, a = onepole_ba(alpha_a.reshape(bs, 1).astype(dtype))
     sec = embed_first_order_sos(b, a)[:, None, :]
     g_smooth, zf = sosfilt_blockmat(sec, g_c, zi=zi, return_zf=True)
 

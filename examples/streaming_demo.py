@@ -34,7 +34,13 @@ def main():
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--reverb-samples", type=int, default=16384)
     ap.add_argument("--out-dir", default="outputs/streaming_demo")
+    ap.add_argument("--smoke", action="store_true",
+                    help="short clip / small IR for a fast functional check")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="accepted for CLI uniformity with the trainers (unused)")
     args = ap.parse_args()
+    if args.smoke:
+        args.seconds, args.reverb_samples = 0.5, 2048
 
     T = int(args.seconds * SR) // args.chunk * args.chunk
     rng = np.random.default_rng(0)

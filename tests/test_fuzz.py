@@ -31,7 +31,7 @@ def _p(proc):
     return jnp.asarray(RNG.uniform(0.0, 1.0, (BS, proc.num_params)).astype(np.float32))
 
 
-def _assert_healthy(proc, x, p, n_draws=3, **kwargs):
+def _assert_healthy(proc, x, n_draws=3, **kwargs):
     @jax.jit
     def loss(x, p):
         return jnp.mean(proc.process_normalized(x, p, clip_params=True, **kwargs) ** 2)
@@ -48,33 +48,33 @@ def _assert_healthy(proc, x, p, n_draws=3, **kwargs):
 
 
 class TestFuzzProcessors:
-    @pytest.mark.parametrize("method", ["fsm", "exact", "block"])
+    @pytest.mark.parametrize("method", ["fsm", "exact", "block", "coupled"])
     def test_parametric_eq_long(self, method):
-        _assert_healthy(D.ParametricEQ(SR, filter_method=method), _x(1, 16384), None)
+        _assert_healthy(D.ParametricEQ(SR, filter_method=method), _x(1, 16384))
 
     @pytest.mark.parametrize("smoother", ["fsm", "parallel", "block"])
     def test_compressor_long(self, smoother):
-        _assert_healthy(D.Compressor(SR, smoother=smoother), _x(2, 16384), None)
+        _assert_healthy(D.Compressor(SR, smoother=smoother), _x(2, 16384))
 
     def test_expander(self):
-        _assert_healthy(D.Expander(SR), _x(2, 8192), None)
+        _assert_healthy(D.Expander(SR), _x(2, 8192))
 
-    @pytest.mark.parametrize("method", ["fsm", "block"])
+    @pytest.mark.parametrize("method", ["fsm", "block", "coupled"])
     def test_graphic_eq(self, method):
-        _assert_healthy(D.GraphicEQ(SR, filter_method=method), _x(2, 8192), None)
+        _assert_healthy(D.GraphicEQ(SR, filter_method=method), _x(2, 8192))
 
     @pytest.mark.parametrize("method", ["fsm", "block"])
     def test_advanced_distortion(self, method):
-        _assert_healthy(D.AdvancedDistortion(SR, filter_method=method), _x(2, 8192), None)
+        _assert_healthy(D.AdvancedDistortion(SR, filter_method=method), _x(2, 8192))
 
     def test_gain_distortion_widener(self):
-        _assert_healthy(D.Gain(SR), _x(2, 4096), None)
-        _assert_healthy(D.Distortion(SR), _x(1, 4096), None)
-        _assert_healthy(D.StereoWidener(SR), _x(2, 4096), None)
+        _assert_healthy(D.Gain(SR), _x(2, 4096))
+        _assert_healthy(D.Distortion(SR), _x(1, 4096))
+        _assert_healthy(D.StereoWidener(SR), _x(2, 4096))
 
     def test_reverb(self):
         _assert_healthy(
-            D.NoiseShapedReverb(SR, num_samples=2048), _x(2, 8192), None,
+            D.NoiseShapedReverb(SR, num_samples=2048), _x(2, 8192),
             key=jax.random.PRNGKey(0),
         )
 

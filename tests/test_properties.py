@@ -321,7 +321,7 @@ class TestProcessPassthrough:
         and aliased on fsm. Band centres are now clamped below Nyquist."""
         x = stereo()
         gains = jnp.asarray(RNG.uniform(-6, 6, (BS, 10)).astype(np.float32))
-        for method in ("fsm", "exact", "block"):
+        for method in ("fsm", "exact", "block", "coupled", "pallas"):
             y = D.graphic_eq(x, 22050, gains, filter_method=method)
             assert bool(jnp.isfinite(y).all()), method
             # near-transparent bands must not blow the signal up
