@@ -507,6 +507,7 @@ def sosfilt_coupled(
     stabilize: bool = True,
     zi: jnp.ndarray | None = None,
     return_zf: bool = False,
+    seq_axis_name: str | None = None,
 ):
     """Exact biquad cascade, block-state MXU matmuls in *coupled form*.
 
@@ -547,6 +548,15 @@ def sosfilt_coupled(
         zi: optional initial state, shape x.shape[:-1] + (n_sections, 2).
         return_zf: also return the final state (requires T to be a
             multiple of ``block``).
+        seq_axis_name: when called inside ``shard_map`` with the TIME
+            axis sharded over this mesh axis, makes the recursion exact
+            across the shard boundaries: each device runs its local
+            block-state chain from rest, then a per-section
+            ``all_gather`` of the device's affine state map (one 2x2
+            matrix + one 2-vector per row — a few hundred bytes over
+            ICI) lets every device reconstruct its true incoming state
+            and linearly correct its outputs. Use via
+            ``parallel.sharded_sosfilt_coupled``; ``zi`` must be None.
 
     Returns:
         Filtered signal, same shape as x; with ``return_zf`` a tuple
@@ -573,6 +583,11 @@ def sosfilt_coupled(
         raise ValueError(
             f"return_zf requires T ({T}) to be a multiple of block ({L}); "
             "pick a streaming chunk size that divides by the block length"
+        )
+    if seq_axis_name is not None and (zi is not None or pad_t):
+        raise ValueError(
+            "sequence-sharded filtering requires zi=None and a per-device "
+            f"length divisible by block ({L}); got T={T}"
         )
     xp = jnp.pad(rows, ((0, 0), (0, pad_t)))
     Tp = xp.shape[-1]
@@ -664,7 +679,31 @@ def sosfilt_coupled(
             jnp.einsum("rij,rj->ri", A_s, z_s, precision=lax.Precision.HIGHEST)
         )
         A_b = jnp.broadcast_to(A_s[:, None], (R, nb, 2, 2))
-        _, v = lax.associative_scan(combine, (A_b, w), axis=1)
+        mm, v = lax.associative_scan(combine, (A_b, w), axis=1)
+
+        if seq_axis_name is not None:
+            # cross-device state fixup: this shard maps an incoming state
+            # v_in affinely to v_out = M_dev v_in + c_dev; gather every
+            # shard's tiny map, chain the shards before us to get OUR
+            # true incoming state, and correct the local chain linearly
+            # (v_i depends on v_in exactly as mm_i = A^(i+1) dictates)
+            M_dev = mm[:, -1]  # (R, 2, 2)
+            c_dev = v[:, -1]  # (R, 2)
+            Ms_all = lax.all_gather(M_dev, seq_axis_name)  # (n, R, 2, 2)
+            cs_all = lax.all_gather(c_dev, seq_axis_name)  # (n, R, 2)
+            idx = lax.axis_index(seq_axis_name)
+            v_in = jnp.zeros_like(c_dev)
+            for j in range(Ms_all.shape[0]):  # static, <= mesh axis size
+                upd = jnp.einsum(
+                    "rij,rj->ri", Ms_all[j], v_in,
+                    precision=lax.Precision.HIGHEST,
+                ) + cs_all[j]
+                v_in = jnp.where(j < idx, upd, v_in)
+            v = v + jnp.einsum(
+                "rnij,rj->rni", mm, v_in, precision=lax.Precision.HIGHEST
+            )
+            z_s = v_in  # state entering this shard's first block
+
         v_prev = jnp.concatenate(
             [z_s[:, None], v[:, : nb - 1]], axis=1
         )  # state entering block

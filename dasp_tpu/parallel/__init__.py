@@ -8,7 +8,7 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
-from .sharded import sharded_fft_conv_causal
+from .sharded import sharded_fft_conv_causal, sharded_sosfilt_coupled
 
 __all__ = [
     "make_mesh",
@@ -17,4 +17,5 @@ __all__ = [
     "shard_batch",
     "replicate",
     "sharded_fft_conv_causal",
+    "sharded_sosfilt_coupled",
 ]

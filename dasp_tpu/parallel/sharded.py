@@ -26,7 +26,7 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-__all__ = ["sharded_fft_conv_causal"]
+__all__ = ["sharded_fft_conv_causal", "sharded_sosfilt_coupled"]
 
 
 def _direct_causal_conv(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
@@ -125,3 +125,55 @@ def sharded_fft_conv_causal(
     # inputs and chokes on layouts chosen across the boundary)
     x, h = lax.optimization_barrier((x, h))
     return lax.optimization_barrier(fn(x, h))
+
+
+def sharded_sosfilt_coupled(
+    sos: jnp.ndarray,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    seq_axis_name: str = "sp",
+    block: int = 128,
+) -> jnp.ndarray:
+    """Exact biquad-cascade IIR with the TIME axis sharded over the mesh —
+    a true recurrence evaluated across chips.
+
+    Each device runs the coupled-form block-state chain
+    (``ops.iir.sosfilt_coupled``) on its local sequence shard from rest;
+    one tiny per-section ``all_gather`` (a 2x2 matrix + 2-vector per
+    row, a few hundred bytes over ICI) communicates every shard's affine
+    state map, and each device linearly corrects its outputs with its
+    true incoming state. Bit-compatible with the unsharded filter up to
+    fp32 reassociation; compute and memory per device drop by the sp
+    factor. This is the IIR counterpart of
+    :func:`sharded_fft_conv_causal`'s halo exchange — together they make
+    every effect's hot path sequence-shardable.
+
+    Args:
+        sos: (bs, n_sections, 6), a0 normalized to 1 (replicated).
+        x: signal (bs, ch, T); T must divide by the sp axis size and the
+            per-device shard by ``block``.
+        mesh: a mesh containing ``seq_axis_name``.
+        seq_axis_name: mesh axis to shard time over.
+        block: intra-block length of the block-state formulation.
+
+    Returns:
+        Filtered signal, sharded over the sequence axis like x.
+    """
+    from ..ops.iir import sosfilt_coupled
+
+    sp = mesh.shape[seq_axis_name]
+    T = x.shape[-1]
+    assert T % sp == 0, f"sequence length {T} not divisible by sp={sp}"
+    assert (T // sp) % block == 0, (
+        f"per-device shard {T // sp} not divisible by block={block}"
+    )
+
+    fn = shard_map(
+        partial(sosfilt_coupled, block=block, seq_axis_name=seq_axis_name),
+        mesh=mesh,
+        in_specs=(P(), P(None, None, seq_axis_name)),
+        out_specs=P(None, None, seq_axis_name),
+        check_vma=False,
+    )
+    x_b, sos_b = lax.optimization_barrier((x, sos))
+    return lax.optimization_barrier(fn(sos_b, x_b))

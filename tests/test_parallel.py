@@ -8,12 +8,15 @@ import pytest
 
 import dasp_tpu as D
 from dasp_tpu.ops import fft_conv_causal
+from dasp_tpu.ops.biquad import biquad
+from dasp_tpu.ops.iir import sosfilt_coupled
 from dasp_tpu.parallel import (
     batch_sharding,
     make_mesh,
     replicate,
     shard_batch,
     sharded_fft_conv_causal,
+    sharded_sosfilt_coupled,
 )
 
 SR = 44100
@@ -58,6 +61,55 @@ class TestShardedConv:
         h = jnp.zeros((1, 1, 512))  # halo 511 > block 128
         with pytest.raises(AssertionError, match="halo"):
             sharded_fft_conv_causal(x, h, mesh)
+
+
+class TestShardedIIR:
+    """Sequence-sharded exact recurrence: each device filters its time
+    shard from rest; a per-section all_gather of tiny affine state maps
+    reconstructs the true incoming state (ops.iir.sosfilt_coupled's
+    seq_axis_name path)."""
+
+    def _sos(self, bs):
+        secs = []
+        for g, fc, q, ft in [
+            (4.0, 200.0, 0.7, "low_shelf"),
+            (6.0, 40.0, 2.0, "peaking"),  # near-unit-circle resonant band
+            (-6.0, 1000.0, 2.0, "peaking"),
+            (3.0, 8000.0, 0.7, "high_shelf"),
+        ]:
+            b, a = biquad(jnp.full((bs,), g), jnp.full((bs,), fc),
+                          jnp.full((bs,), q), SR, ft)
+            secs.append(jnp.concatenate([b, a], axis=-1))
+        return jnp.stack(secs, axis=1)
+
+    def test_matches_unsharded(self, devices_ok):
+        mesh = make_mesh((1, 8))
+        bs = 2
+        sos = self._sos(bs)
+        x = jnp.asarray(RNG.standard_normal((bs, 2, 8192)).astype(np.float32) * 0.3)
+        y_ref = sosfilt_coupled(sos, x)
+        y = jax.jit(lambda s, x: sharded_sosfilt_coupled(s, x, mesh))(sos, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=5e-4)
+
+    def test_gradients_match_unsharded(self, devices_ok):
+        mesh = make_mesh((1, 8))
+        bs = 2
+        sos = self._sos(bs)
+        x = jnp.asarray(RNG.standard_normal((bs, 1, 2048)).astype(np.float32) * 0.3)
+        g_sh = jax.jit(jax.grad(
+            lambda s, x: jnp.mean(sharded_sosfilt_coupled(s, x, mesh) ** 2),
+            argnums=(0, 1)))(sos, x)
+        g_rf = jax.grad(
+            lambda s, x: jnp.mean(sosfilt_coupled(s, x) ** 2), argnums=(0, 1))(sos, x)
+        np.testing.assert_allclose(np.asarray(g_sh[1]), np.asarray(g_rf[1]), atol=1e-5)
+        scale = np.abs(np.asarray(g_rf[0])).max()
+        np.testing.assert_allclose(
+            np.asarray(g_sh[0]) / scale, np.asarray(g_rf[0]) / scale, atol=1e-2)
+
+    def test_rejects_unaligned(self, devices_ok):
+        mesh = make_mesh((1, 8))
+        with pytest.raises(AssertionError, match="divisible"):
+            sharded_sosfilt_coupled(self._sos(1), jnp.zeros((1, 1, 8000)), mesh)
 
 
 class TestDataParallelTraining:
