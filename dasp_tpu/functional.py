@@ -510,7 +510,18 @@ def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
             from .ops.pallas_iir import lfilter1_pallas
 
             return lfilter1_pallas(g_c, b, a)
-        return lfilter_via_fsm(g_c, b, a)
+        # DC-split: the gain curve has a large DC component (tens of dB)
+        # whose fp32 rounding through the big FSM FFT dominated parity
+        # error (~3e-4 vs the 1e-4 north star). FSM is linear, so filter
+        # the zero-mean part and add the mean times the exact closed-form
+        # FSM step response back — identical in exact arithmetic, ~10x
+        # less fp32 rounding.
+        from .ops.fft_filter import fsm_onepole_step_response
+
+        mean = jnp.mean(g_c, axis=-1, keepdims=True)
+        alpha = alpha_a.reshape(g_c.shape[0], *([1] * (g_c.ndim - 1))).astype(g_c.dtype)
+        step = fsm_onepole_step_response(alpha, g_c.shape[-1])
+        return lfilter_via_fsm(g_c - mean, b, a) + mean * step
     if smoother == "attack_only":
         return onepole_exact(g_c, alpha_a)
     return ballistics_smooth(g_c, alpha_a, alpha_r, mode=smoother)

@@ -28,6 +28,7 @@ __all__ = [
     "freqdomain_fir",
     "lfilter_via_fsm",
     "sosfilt_via_fsm",
+    "fsm_onepole_step_response",
 ]
 
 
@@ -126,6 +127,38 @@ def lfilter_via_fsm(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray | None = None
 
     y = freqdomain_fir(x, H, n_fft)
     return y[..., :seq_len]
+
+
+def fsm_onepole_step_response(alpha: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+    """Exact FSM response of the attack one-pole to a length-T ones block.
+
+    ``lfilter_via_fsm`` with b=[1-a, 0], a=[1, -a] is circular convolution
+    with the time-aliased impulse response h[n] = (1-a) a^n / (1-a^N)
+    (frequency sampling <=> time aliasing), so its output for the input
+    u = [1]*T ++ [0]*(N-T) has the closed form (ratio of geometric sums)
+
+        y[n] = (1 - a^(n+1) + a^(N-T+1+n) - a^N) / (1 - a^N),  n in [0, T)
+
+    with N the FSM FFT size for T. Used to DC-split the compressor's
+    gain-curve smoothing: filtering ``g_c - mean`` through the (fp32) FFT
+    and adding back ``mean * step`` removes the large-DC rounding term of
+    the big FFT while being mathematically identical (FSM is linear).
+
+    Args:
+        alpha: one-pole coefficient, any shape broadcastable against a
+            trailing time axis (e.g. (bs, 1, 1)).
+        seq_len: T, the cropped output length (static).
+
+    Returns:
+        Step response of shape ``alpha.shape[:-1] + (seq_len,)`` (alpha's
+        trailing singleton axis broadcast over time).
+    """
+    n_fft = fsm_fft_size(seq_len)
+    n = jnp.arange(seq_len, dtype=alpha.dtype)
+    a_n1 = alpha ** (n + 1.0)
+    a_tail = alpha ** (n_fft - seq_len + 1.0 + n)
+    a_N = alpha ** float(n_fft)
+    return (1.0 - a_n1 + a_tail - a_N) / (1.0 - a_N)
 
 
 def sosfilt_via_fsm(sos: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

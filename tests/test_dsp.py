@@ -14,6 +14,7 @@ from dasp_tpu.ops import (
     fft_conv_full,
     fft_correlate_valid,
     lfilter1_exact,
+    lfilter_via_fsm,
     onepole_exact,
     sosfilt_exact,
     sosfilt_via_fsm,
@@ -106,6 +107,28 @@ class TestExactIIR:
         y_fsm = jax.jit(sosfilt_via_fsm)(sos, jnp.asarray(x))
         y_exact = jax.jit(sosfilt_exact)(sos, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(y_fsm), np.asarray(y_exact), atol=1e-3)
+
+    def test_fsm_onepole_step_response_closed_form(self):
+        """The closed-form FSM step response (used to DC-split the
+        compressor's gain smoothing) must equal lfilter_via_fsm applied to
+        a ones block, per alpha, to fp64 accuracy."""
+        from dasp_tpu.ops.fft_filter import fsm_onepole_step_response
+        from dasp_tpu.ops.iir import onepole_ba
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            T = 1000
+            for alpha in (0.2, 0.9, 0.998, 0.99995):
+                a_arr = jnp.full((1, 1), alpha, jnp.float64)
+                b, a = onepole_ba(a_arr)
+                u = jnp.ones((1, 1, T), jnp.float64)
+                y_fsm = lfilter_via_fsm(u, b, a)
+                y_closed = fsm_onepole_step_response(
+                    jnp.full((1, 1, 1), alpha, jnp.float64), T)
+                np.testing.assert_allclose(
+                    np.asarray(y_fsm), np.asarray(y_closed), atol=1e-12)
+        finally:
+            jax.config.update("jax_enable_x64", False)
 
     def test_ballistics_exact_vs_naive(self):
         """Sequential 'exact' ballistics equals a per-sample python loop."""
