@@ -40,11 +40,11 @@ def make_style_processors(
     for sequence-parallel rendering).
     """
     reverb = NoiseShapedReverb(
-        sample_rate, num_samples=reverb_num_samples, noise_mode=reverb_noise_mode
+        sample_rate,
+        num_samples=reverb_num_samples,
+        noise_mode=reverb_noise_mode,
+        ir_conv_fn=reverb_ir_conv_fn,
     )
-    if reverb_ir_conv_fn is not None:
-        inner = reverb.process_fn
-        reverb.process_fn = lambda x, sr, **kw: inner(x, sr, ir_conv_fn=reverb_ir_conv_fn, **kw)
     return {
         "equalizer": ParametricEQ(sample_rate, filter_method=eq_filter_method),
         "compressor": Compressor(sample_rate, smoother=compressor_smoother),

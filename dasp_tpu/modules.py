@@ -209,8 +209,10 @@ class Chain(Processor):
                 f"Parameter tensor has {param_tensor.shape[1]} parameters, "
                 f"but processor has {self.num_params} parameters."
             )
-        if self.stochastic and key is None and not kwargs:
-            raise ValueError("Chain contains a stochastic processor: pass key=.")
+        if self.stochastic and key is None and "noise" not in kwargs:
+            raise ValueError(
+                "Chain contains a stochastic processor: pass key= (or noise=)."
+            )
         y = x
         col = 0
         for i, p in enumerate(self.processors):
@@ -437,16 +439,22 @@ class NoiseShapedReverb(Processor):
         num_samples: int = 65536,
         num_bandpass_taps: int = 1023,
         noise_mode: str = "time",
+        ir_conv_fn=None,
     ):
+        """``ir_conv_fn`` plugs a custom signal-with-IR convolution into
+        the effect (e.g. ``parallel.sharded_fft_conv_causal`` bound to a
+        mesh, for sequence-parallel rendering)."""
         super().__init__()
         self.sample_rate = sample_rate
+        defaults = {
+            "num_samples": num_samples,
+            "num_bandpass_taps": num_bandpass_taps,
+            "noise_mode": noise_mode,
+        }
+        if ir_conv_fn is not None:
+            defaults["ir_conv_fn"] = ir_conv_fn
         self.process_fn = lambda x, *a, **kw: F.noise_shaped_reverberation(
-            x, *a, **{
-                "num_samples": num_samples,
-                "num_bandpass_taps": num_bandpass_taps,
-                "noise_mode": noise_mode,
-                **kw,
-            }
+            x, *a, **{**defaults, **kw}
         )
         ranges = {}
         for i in range(12):

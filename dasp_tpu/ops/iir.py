@@ -385,9 +385,6 @@ def sosfilt_blockmat(
         axis=-2,
     )  # (R, S, 2, 2)
 
-    def shift(z, n):
-        return jnp.pad(z, ((0, 0), (n, 0)))[:, :Tp]
-
     def combine(e1, e2):
         A1, u1 = e1
         A2, u2 = e2

@@ -35,6 +35,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 
 from . import functional as F
+from .ops.fft_filter import next_pow2
 from .ops.fir import fft_conv_causal
 from .ops.iir import (
     embed_first_order_sos,
@@ -193,16 +194,21 @@ def reverb_stream_init(
     num_samples: int = 65536,
     num_bandpass_taps: int = 1023,
     noise_mode: str = "frequency",
+    chunk_len: Optional[int] = None,
     dtype=jnp.float32,
 ) -> Dict[str, Any]:
     """Start a reverberation stream: draw the stereo filtered-noise IR
-    ONCE (explicit PRNG key) and allocate the convolution history.
+    ONCE (explicit PRNG key), transform it ONCE, and allocate the
+    convolution history.
 
     Args:
         band_gains / band_decays: (bs, 12) arrays of (0, 1) values (the
             offline effect's 24 band parameters, stacked).
         mix: wet/dry mix on (0, 1), shape (bs,) or scalar.
         key: PRNG key for the noise draw.
+        chunk_len: expected per-step chunk length T. Sizes the
+            overlap-save FFT at next_pow2(K - 1 + T); default supports
+            any T up to ~K with the same spectrum.
 
     Returns:
         Opaque state dict for :func:`reverb_stream`.
@@ -213,8 +219,10 @@ def reverb_stream_init(
         num_samples=num_samples, num_bandpass_taps=num_bandpass_taps,
         key=key, noise_mode=noise_mode, dtype=dtype,
     )
+    n_fft = next_pow2(num_samples - 1 + (chunk_len or num_samples))
     return {
         "ir": ir,
+        "ir_rfft": jnp.fft.rfft(ir, n_fft, axis=-1),
         "hist": jnp.zeros((bs, 2, num_samples - 1), dtype),
         "mix": F._param(mix, bs, dtype),
     }
@@ -238,7 +246,16 @@ def reverb_stream(
     hist = state["hist"]
     K = state["ir"].shape[-1]
     seg = jnp.concatenate([hist, x], axis=-1)
-    wet = fft_conv_causal(seg, state["ir"])[..., hist.shape[-1]:]
+    ir_rfft = state.get("ir_rfft")
+    n_fft = 2 * (ir_rfft.shape[-1] - 1) if ir_rfft is not None else 0
+    if n_fft >= seg.shape[-1]:
+        # overlap-save with the spectrum transformed once at init:
+        # alias-free for outputs >= K-1 as long as n_fft >= K-1+T
+        wet_full = jnp.fft.irfft(
+            jnp.fft.rfft(seg, n_fft, axis=-1) * ir_rfft, n_fft, axis=-1)
+        wet = wet_full[..., K - 1 : K - 1 + x.shape[-1]]
+    else:  # oversized chunk for the precomputed spectrum: exact fallback
+        wet = fft_conv_causal(seg, state["ir"])[..., hist.shape[-1]:]
     new_hist = seg[..., seg.shape[-1] - (K - 1):]
     y = (1.0 - state["mix"]) * x + state["mix"] * wet
     return y, {**state, "hist": new_hist}

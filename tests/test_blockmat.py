@@ -216,8 +216,9 @@ class TestScanCombinePrecision:
         def grad_fn(fn):
             return jax.grad(lambda s, z: jnp.mean(fn(s, z) ** 2), argnums=(0, 1))
 
-        for fn in (sosfilt_blockmat, sosfilt_exact, grad_fn(sosfilt_blockmat),
-                   grad_fn(sosfilt_exact)):
+        for fn in (sosfilt_blockmat, sosfilt_exact, sosfilt_coupled,
+                   grad_fn(sosfilt_blockmat), grad_fn(sosfilt_exact),
+                   grad_fn(sosfilt_coupled)):
             txt = jax.jit(fn).lower(sos, x).as_text()
             dots = re.findall(r"stablehlo\.dot_general.*", txt)
             offender = [d for d in dots if "precision = [HIGHEST, HIGHEST]" not in d]
