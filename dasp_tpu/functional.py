@@ -233,8 +233,12 @@ def advanced_distortion(
     return y * db_to_linear(output_gain_db)
 
 
-def _apply_first_order(y, b, a, filter_method: str):
+def _apply_first_order(y, b, a, filter_method):
     """Run a batched first-order IIR (b, a of shape (bs, 2)) over (bs, chs, T)."""
+    if callable(filter_method):  # custom sosfilt: fn(sos, x) -> y
+        from .ops.iir import embed_first_order_sos
+
+        return filter_method(embed_first_order_sos(b, a)[:, None, :], y)
     if filter_method == "fsm":
         return lfilter_via_fsm(y, b, a)
     if filter_method == "exact":
@@ -403,7 +407,12 @@ def parametric_eq_sos(bs, dtype, sample_rate, *params) -> jnp.ndarray:
     return jnp.stack(sections, axis=1)  # (bs, 6, 6)
 
 
-def _apply_sos(sos, x, filter_method: str):
+def _apply_sos(sos, x, filter_method):
+    if callable(filter_method):
+        # custom sosfilt: fn(sos, x) -> y. E.g. parallel.sharded_sosfilt_coupled
+        # bound to a mesh, which evaluates the exact recurrence with the time
+        # axis sequence-sharded across chips.
+        return filter_method(sos, x)
     if filter_method == "exact":
         return sosfilt_exact(sos, x)
     if filter_method == "block":

@@ -116,9 +116,6 @@ def sharded_fft_conv_causal(
         mesh=mesh,
         in_specs=(P(None, None, seq_axis_name), P()),
         out_specs=P(None, None, seq_axis_name),
-        # ppermute + replicated-IR inputs trip the varying-mesh-axis type
-        # checker under reverse-mode AD; the specs above are the contract
-        check_vma=False,
     )
     # optimization_barrier fences layout propagation between the shard_map
     # region and surrounding FFT ops (XLA-CPU's fft thunk requires row-major
@@ -173,7 +170,6 @@ def sharded_sosfilt_coupled(
         mesh=mesh,
         in_specs=(P(), P(None, None, seq_axis_name)),
         out_specs=P(None, None, seq_axis_name),
-        check_vma=False,
     )
     x_b, sos_b = lax.optimization_barrier((x, sos))
     return lax.optimization_barrier(fn(sos_b, x_b))

@@ -15,6 +15,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# make the JAX_PLATFORMS env var reliable for all examples: a sitecustomize
+# can latch another platform at interpreter start, in which case the env var
+# is ignored — the config API is honored as long as no backend initialized
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from dasp_tpu.utils.audio import index_wav_dataset, load_clip, synthetic_batch  # noqa: E402
 
 

@@ -40,21 +40,26 @@ from common import base_parser, batch_iterator
 def build(args, mesh=None):
     sr = args.sample_rate
     ir_conv = None
-    kw = {}
+    kw = dict(eq_filter_method=args.filter_method,
+              compressor_smoother=args.smoother or "fsm")
     if mesh is not None and mesh.shape.get("sp", 1) > 1:
         from functools import partial
 
-        from dasp_tpu.parallel import sharded_fft_conv_causal
+        from dasp_tpu.parallel import sharded_fft_conv_causal, sharded_sosfilt_coupled
 
+        # sequence-shard BOTH long-sequence hot paths: the reverb's
+        # signal-with-IR convolution (halo exchange) and the EQ's exact
+        # IIR recurrence (coupled block-state chain across chips)
         ir_conv = partial(sharded_fft_conv_causal, mesh=mesh)
-        # FFTs adjacent to the shard_map region break on XLA-CPU's
-        # row-major-only fft thunk: use the exact scan filter paths and
-        # time-domain noise next to the sharded convolution
-        kw = dict(eq_filter_method="exact", compressor_smoother="parallel",
-                  reverb_noise_mode="time")
-    else:
-        kw = dict(eq_filter_method=args.filter_method,
-                  compressor_smoother=args.smoother or "fsm")
+        kw["eq_filter_method"] = partial(sharded_sosfilt_coupled, mesh=mesh)
+        if jax.default_backend() == "cpu":
+            # CPU-backend-only workarounds (NOT sp semantics): XLA-CPU's
+            # fft thunk requires row-major layouts, which shard_map-adjacent
+            # FFTs violate — keep the compressor on the scan smoother and
+            # draw reverb noise in the time domain. TPU meshes keep the
+            # faster fsm/frequency paths.
+            kw["compressor_smoother"] = "parallel"
+            kw["reverb_noise_mode"] = "time"
     if args.smoke:
         processors = make_style_processors(
             sr, reverb_num_samples=2048, reverb_ir_conv_fn=ir_conv, **kw)
@@ -156,7 +161,14 @@ def main():
     if args.dp or args.sp > 1:
         n = len(jax.devices())
         mesh = make_mesh((n // args.sp, args.sp))
-        print(f"mesh: dp={n // args.sp} sp={args.sp}")
+        dp_size = n // args.sp
+        print(f"mesh: dp={dp_size} sp={args.sp}")
+        if args.batch_size % dp_size:
+            if "--batch-size" in sys.argv:
+                raise SystemExit(
+                    f"--batch-size {args.batch_size} not divisible by dp={dp_size}")
+            args.batch_size = dp_size * max(1, args.batch_size // dp_size)
+            print(f"batch size rounded to {args.batch_size} (divisible by dp)")
 
     processors, net = build(args, mesh)
     half = args.length // 2

@@ -150,6 +150,86 @@ class TestDataParallelTraining:
         np.testing.assert_allclose(float(drive8), float(drive1), atol=1e-5)
         np.testing.assert_allclose(float(loss8), float(loss1), atol=1e-6)
 
+    def test_dpsp_step_matches_dp_only(self, devices_ok):
+        """The FULL dp x sp style-transfer train step — EQ recurrence AND
+        reverb IR conv both sequence-sharded — produces the same loss and
+        gradients as the dp-only step at equal shapes (VERDICT r1 #2).
+
+        Both configs use identical numerics (coupled EQ, scan-smoothed
+        compressor, time-domain noise, DFT-matmul loss); the only
+        difference is whether the EQ/reverb evaluate sharded over sp.
+        """
+        from functools import partial
+
+        from dasp_tpu.models import StyleTransferNet, make_style_processors
+        from dasp_tpu.utils import multi_resolution_stft_loss
+
+        bs, half, reverb_len = 4, 1024, 256
+
+        def build(mesh_sp):
+            kw = dict(
+                reverb_num_samples=reverb_len,
+                compressor_smoother="parallel",
+                reverb_noise_mode="time",
+            )
+            if mesh_sp is not None:
+                kw["eq_filter_method"] = partial(sharded_sosfilt_coupled, mesh=mesh_sp)
+                kw["reverb_ir_conv_fn"] = partial(
+                    sharded_fft_conv_causal, mesh=mesh_sp, method="direct")
+            else:
+                kw["eq_filter_method"] = "coupled"
+                kw["reverb_ir_conv_fn"] = _direct_conv
+            return make_style_processors(SR, **kw)
+
+        def _direct_conv(x, h):
+            from dasp_tpu.parallel.sharded import _direct_causal_conv
+
+            return _direct_causal_conv(x, h)
+
+        net = StyleTransferNet(embed_dim=8, ch_dim=4, encoder_dilations=(1, 2))
+        x = jnp.asarray(RNG.standard_normal((bs, 1, half)).astype(np.float32) * 0.25)
+        ref = jnp.asarray(RNG.standard_normal((bs, 1, half)).astype(np.float32) * 0.25)
+        variables = net.init(jax.random.PRNGKey(0), x, x, train=False)
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+        key = jax.random.PRNGKey(5)
+
+        def make_grads_fn(processors):
+            def loss_fn(params, x, ref):
+                p, _ = net.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, jnp.mean(ref, axis=1, keepdims=True),
+                    train=True, mutable=["batch_stats"],
+                )
+                y = processors["equalizer"].process_normalized(x, p["equalizer"], clip_params=True)
+                y = processors["compressor"].process_normalized(y, p["compressor"], clip_params=True)
+                y = processors["reverb"].process_normalized(y, p["reverb"], clip_params=True, key=key)
+                y = processors["gain"].process_normalized(y, p["gain"], clip_params=True)
+                return multi_resolution_stft_loss(
+                    y, jnp.tile(ref, (1, y.shape[1], 1)), cpu_fft_workaround=True)
+
+            return jax.jit(jax.value_and_grad(loss_fn))
+
+        # dp-only reference (replicated data, no mesh)
+        loss_ref, grads_ref = make_grads_fn(build(None))(params, x, ref)
+
+        # dp=4 x sp=2, batch sharded over dp
+        mesh = make_mesh((4, 2))
+        xs, refs = shard_batch(x, mesh), shard_batch(ref, mesh)
+        params_r = replicate(params, mesh)
+        loss_sp, grads_sp = make_grads_fn(build(mesh))(params_r, xs, refs)
+
+        np.testing.assert_allclose(float(loss_sp), float(loss_ref), atol=2e-5, rtol=2e-5)
+        flat_ref = jax.tree_util.tree_leaves_with_path(grads_ref)
+        flat_sp = jax.tree.leaves(grads_sp)
+        assert len(flat_ref) == len(flat_sp)
+        for (path, g_ref), g_sp in zip(flat_ref, flat_sp):
+            scale = max(np.abs(np.asarray(g_ref)).max(), 1e-6)
+            # 3e-3: fp32 reassociation (psum order, sharded partial sums)
+            # amplified through the log-magnitude loss terms
+            np.testing.assert_allclose(
+                np.asarray(g_sp) / scale, np.asarray(g_ref) / scale,
+                atol=3e-3, err_msg=str(path))
+
     def test_batch_sharding_layout(self, devices_ok):
         mesh = make_mesh((8, 1))
         x = jnp.zeros((16, 2, 128))
