@@ -9,10 +9,14 @@ magnitude terms over one or many STFT resolutions, with optional
 A-weighted perceptual weighting.
 
 Design note: auraloss implements ``perceptual_weighting`` as a
-time-domain A-weighting FIR prefilter; here the A-weighting curve is
-applied directly to the magnitude spectrograms per rFFT bin — the same
-weighting where it matters (the magnitude terms) with no extra
-convolution.
+time-domain A-weighting FIR prefilter; here the default applies the
+A-weighting curve directly to the magnitude spectrograms per rFFT bin —
+the same weighting where it matters (the magnitude terms) with no extra
+convolution. Pass ``auraloss_compat=True`` for auraloss's exact
+semantics: the 101-tap FIR prefilter (bilinear analog A-weighting ->
+freqz -> least-squares FIR fit), per-item spectral convergence, and the
+(120, 240, 50) default hops. Golden-tested against an independent torch
+reimplementation of the auraloss pipeline (tests/make_fixtures.py).
 """
 
 from __future__ import annotations
@@ -24,7 +28,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["stft_magnitude", "stft_loss", "multi_resolution_stft_loss", "a_weighting"]
+__all__ = [
+    "stft_magnitude",
+    "stft_loss",
+    "multi_resolution_stft_loss",
+    "a_weighting",
+    "a_weighting_fir_taps",
+    "fir_prefilter",
+]
 
 
 def _rdft_mag(frames: jnp.ndarray, n: int, eps: float) -> jnp.ndarray:
@@ -53,7 +64,8 @@ def _rdft_mag(frames: jnp.ndarray, n: int, eps: float) -> jnp.ndarray:
 def _hann(win_length: int, dtype) -> jnp.ndarray:
     n = np.arange(win_length)
     w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)  # periodic Hann
-    return jnp.asarray(w.astype(np.float32)).astype(dtype)
+    # cast from f64 once (not through f32): f64 losses keep full precision
+    return jnp.asarray(w, dtype=dtype)
 
 
 def _frame(x: jnp.ndarray, frame_size: int, hop: int) -> jnp.ndarray:
@@ -117,6 +129,64 @@ def stft_magnitude(
     return mag
 
 
+def a_weighting_fir_taps(sample_rate: float, ntaps: int = 101) -> np.ndarray:
+    """A-weighting FIR prefilter taps, designed the way auraloss designs
+    them (auraloss/perceptual.py FIRFilter(filter_type="aw")): the IEC
+    61672 analog A-weighting transfer function is discretized with the
+    bilinear transform, its response sampled with freqz at 512 points,
+    and a linear-phase ``ntaps``-tap FIR is least-squares fit to it.
+
+    Host-side design (scipy), cached per (sample_rate, ntaps). Taps are
+    symmetric, so correlation == convolution.
+    """
+    return _a_weighting_fir_taps_cached(float(sample_rate), int(ntaps))
+
+
+def _a_weighting_fir_taps_impl(sample_rate: float, ntaps: int) -> np.ndarray:
+    import scipy.signal
+
+    f1, f2, f3, f4 = 20.598997, 107.65265, 737.86223, 12194.217
+    a1000 = 1.9997
+    num = [(2 * np.pi * f4) ** 2 * (10 ** (a1000 / 20)), 0, 0, 0, 0]
+    den = np.polymul(
+        [1, 4 * np.pi * f4, (2 * np.pi * f4) ** 2],
+        [1, 4 * np.pi * f1, (2 * np.pi * f1) ** 2],
+    )
+    den = np.polymul(np.polymul(den, [1, 2 * np.pi * f3]), [1, 2 * np.pi * f2])
+    b, a = scipy.signal.bilinear(num, den, fs=sample_rate)
+    w_iir, h_iir = scipy.signal.freqz(b, a, worN=512, fs=sample_rate)
+    taps = scipy.signal.firls(ntaps, w_iir, abs(h_iir), fs=sample_rate)
+    return taps.astype(np.float32)
+
+
+_AW_TAP_CACHE: dict = {}
+
+
+def _a_weighting_fir_taps_cached(sample_rate: float, ntaps: int) -> np.ndarray:
+    key = (sample_rate, ntaps)
+    if key not in _AW_TAP_CACHE:
+        _AW_TAP_CACHE[key] = _a_weighting_fir_taps_impl(sample_rate, ntaps)
+    return _AW_TAP_CACHE[key]
+
+
+def fir_prefilter(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """'Same'-padded FIR prefilter of (..., T) along the last axis —
+    torch ``conv1d(padding=ntaps//2)`` semantics (cross-correlation; the
+    A-weighting taps are symmetric so it equals convolution)."""
+    from jax import lax
+
+    ntaps = len(taps)
+    lead = x.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    lhs = x.reshape(n, 1, x.shape[-1])
+    rhs = jnp.asarray(taps, x.dtype).reshape(1, 1, ntaps)
+    out = lax.conv_general_dilated(
+        lhs, rhs, (1,), [(ntaps // 2, ntaps // 2)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out.reshape(x.shape)
+
+
 def a_weighting(freqs_hz: np.ndarray) -> np.ndarray:
     """A-weighting curve (linear amplitude) per frequency (IEC 61672)."""
     f = np.maximum(np.asarray(freqs_hz, dtype=np.float64), 1e-6)
@@ -143,16 +213,29 @@ def stft_loss(
     sample_rate: Optional[float] = None,
     eps: float = 1e-8,
     cpu_fft_workaround: bool = False,
+    auraloss_compat: bool = False,
 ) -> jnp.ndarray:
     """Single-resolution STFT loss (auraloss ``STFTLoss`` defaults).
 
     loss = w_sc * spectral_convergence + w_log_mag * L1(log|S|)
          + w_lin_mag * L1(|S|)
+
+    ``auraloss_compat=True`` reproduces auraloss exactly: perceptual
+    weighting as the time-domain A-weighting FIR prefilter (not per-bin
+    magnitude weighting) and spectral convergence computed per item
+    (Frobenius over the last two axes, no denominator eps, mean over
+    items) instead of one global norm ratio.
     """
+    if perceptual_weighting and auraloss_compat:
+        assert sample_rate is not None, "perceptual_weighting requires sample_rate"
+        taps = a_weighting_fir_taps(sample_rate)
+        y_hat = fir_prefilter(y_hat, taps)
+        y = fir_prefilter(y, taps)
+
     mag_hat = stft_magnitude(y_hat, fft_size, hop_size, win_length, eps, cpu_fft_workaround)
     mag = stft_magnitude(y, fft_size, hop_size, win_length, eps, cpu_fft_workaround)
 
-    if perceptual_weighting:
+    if perceptual_weighting and not auraloss_compat:
         assert sample_rate is not None, "perceptual_weighting requires sample_rate"
         freqs = np.fft.rfftfreq(fft_size, 1.0 / sample_rate)
         w = jnp.asarray(a_weighting(freqs))
@@ -161,7 +244,12 @@ def stft_loss(
 
     loss = jnp.asarray(0.0, y.dtype)
     if w_sc:
-        sc = jnp.sqrt(jnp.sum((mag - mag_hat) ** 2)) / (jnp.sqrt(jnp.sum(mag**2)) + eps)
+        if auraloss_compat:
+            num = jnp.sqrt(jnp.sum((mag - mag_hat) ** 2, axis=(-2, -1)))
+            den = jnp.sqrt(jnp.sum(mag**2, axis=(-2, -1)))
+            sc = jnp.mean(num / den)
+        else:
+            sc = jnp.sqrt(jnp.sum((mag - mag_hat) ** 2)) / (jnp.sqrt(jnp.sum(mag**2)) + eps)
         loss = loss + w_sc * sc
     if w_log_mag:
         loss = loss + w_log_mag * jnp.mean(jnp.abs(jnp.log(mag) - jnp.log(mag_hat)))
@@ -174,7 +262,7 @@ def multi_resolution_stft_loss(
     y_hat: jnp.ndarray,
     y: jnp.ndarray,
     fft_sizes: Sequence[int] = (1024, 2048, 512),
-    hop_sizes: Sequence[int] = (256, 512, 128),
+    hop_sizes: Optional[Sequence[int]] = None,
     win_lengths: Sequence[int] = (600, 1200, 240),
     w_sc: float = 1.0,
     w_log_mag: float = 1.0,
@@ -182,24 +270,29 @@ def multi_resolution_stft_loss(
     perceptual_weighting: bool = False,
     sample_rate: Optional[float] = None,
     cpu_fft_workaround: bool = False,
+    auraloss_compat: bool = False,
 ) -> jnp.ndarray:
     """Multi-resolution STFT loss; average of :func:`stft_loss` over the
     resolutions.
 
-    Matches auraloss ``MultiResolutionSTFTLoss`` except the default hops:
-    auraloss uses (120, 240, 50); here the defaults are fft/4 (the
-    torch.stft convention) because power-of-two hops let the gather-free
-    TPU framing use gcd-sized blocks — fft/hop static slices instead of
-    hundreds. Pass auraloss's hops explicitly if exact auraloss behaviour
-    is wanted (correct, merely slower to compile).
+    Default hops are fft/4 (the torch.stft convention) because
+    power-of-two hops let the gather-free TPU framing use gcd-sized
+    blocks — fft/hop static slices instead of hundreds.
+    ``auraloss_compat=True`` switches the default hops to auraloss's
+    (120, 240, 50) and uses auraloss's exact per-term semantics (see
+    :func:`stft_loss`) — bit-matching the loss the reference's examples
+    train with (ref style_transfer.py:341, auto_eq.py:252-262), at the
+    cost of a slower-to-compile framing.
     """
+    if hop_sizes is None:
+        hop_sizes = (120, 240, 50) if auraloss_compat else tuple(n // 4 for n in fft_sizes)
     total = jnp.asarray(0.0, y.dtype)
     for n_fft, hop, win in zip(fft_sizes, hop_sizes, win_lengths):
         total = total + stft_loss(
             y_hat, y, n_fft, hop, win,
             w_sc=w_sc, w_log_mag=w_log_mag, w_lin_mag=w_lin_mag,
             perceptual_weighting=perceptual_weighting, sample_rate=sample_rate,
-            cpu_fft_workaround=cpu_fft_workaround,
+            cpu_fft_workaround=cpu_fft_workaround, auraloss_compat=auraloss_compat,
         )
     return total / len(fft_sizes)
 

@@ -122,7 +122,9 @@ def main():
                 y, train=True, mutable=["batch_stats"])
             x_hat = equalizer.process_normalized(y, p_hat, clip_params=True)
             x_hat = jnp.tanh(x_hat)  # auto_eq.py:303-304
-            loss = multi_resolution_stft_loss(x_hat, x, sample_rate=sr, **MRSTFT_KW)
+            loss = multi_resolution_stft_loss(
+                x_hat, x, sample_rate=sr,
+                auraloss_compat=args.auraloss_compat, **MRSTFT_KW)
             return loss, (updates["batch_stats"], p_hat, x_hat)
 
         (loss, (new_stats, p_hat, x_hat)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -68,7 +68,7 @@ def main():
                 y, train=True, mutable=["batch_stats"],
             )
             y_hat = processor.process_normalized(x, p_hat, clip_params=True)
-            loss = stft_loss(y_hat, y)
+            loss = stft_loss(y_hat, y, auraloss_compat=args.auraloss_compat)
             return loss, (updates["batch_stats"], p_hat)
 
         (loss, (new_stats, p_hat)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

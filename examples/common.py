@@ -46,6 +46,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="IIR evaluation for EQ-based effects: 'fsm' = reference "
                         "parity; 'block' = exact block-state MXU formulation, "
                         "fastest on TPU (see docs/PERFORMANCE.md)")
+    p.add_argument("--auraloss-compat", action="store_true",
+                   help="bit-exact auraloss loss semantics (hops 120/240/50 "
+                        "defaults, per-item spectral convergence, time-domain "
+                        "A-weighting FIR prefilter) instead of the TPU-native "
+                        "defaults; matches the reference examples' training "
+                        "loss exactly, compiles slower")
     p.add_argument("--smoother", default=None,
                    choices=["fsm", "parallel", "attack_only", "pallas", "block",
                             "exact_pallas"],

@@ -116,7 +116,8 @@ def make_step(args, processors, net, opt, mesh=None):
                 # reach the fft ops XLA's own rfft transpose builds
                 output_a = jax.lax.with_sharding_constraint(output_a, batch_only)
             loss = multi_resolution_stft_loss(
-                output_a, ref_a, cpu_fft_workaround=batch_only is not None)
+                output_a, ref_a, cpu_fft_workaround=batch_only is not None,
+                auraloss_compat=args.auraloss_compat)
             return loss, updates["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

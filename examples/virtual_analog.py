@@ -127,7 +127,9 @@ def main():
     def train_step(params, opt_state, src, target):
         def loss_fn(params):
             y_hat = forward(params, src)
-            freq = multi_resolution_stft_loss(y_hat, target, sample_rate=sr, **MRSTFT_KW)
+            freq = multi_resolution_stft_loss(
+                y_hat, target, sample_rate=sr,
+                auraloss_compat=args.auraloss_compat, **MRSTFT_KW)
             time_l = jnp.mean((y_hat - target) ** 2)
             return freq + 100.0 * time_l, (freq, time_l)
 

@@ -210,4 +210,116 @@ ylf = dasp_pytorch.signal.lfilter_via_fsm(
 )
 save("lfilter_fsm", {"x": xs, "b": b, "a": a, "y": ylf.numpy()})
 
+# --- auraloss-exact MR-STFT loss fixtures -------------------------------
+# auraloss itself is not installed in this image, so the golden side is an
+# independent torch+scipy reimplementation of auraloss's documented
+# pipeline (auraloss/freq.py STFTLoss/MultiResolutionSTFTLoss and
+# auraloss/perceptual.py FIRFilter("aw")): torch.stft magnitudes
+# (center/reflect, periodic hann, clamp(1e-8)), per-item spectral
+# convergence, L1 log/linear magnitude means, A-weighting prefilter =
+# bilinear analog filter -> freqz(512) -> firls(101) -> conv1d(padding=50).
+# The JAX loss (dasp_tpu.utils.loss auraloss_compat=True) is then parity-
+# tested against these fixtures through a fully independent code path
+# (framed matmul/rfft STFT vs torch.stft; lax.conv vs torch conv1d).
+
+
+def _aw_taps_torch(sample_rate, ntaps=101):
+    import scipy.signal
+
+    f1, f2, f3, f4 = 20.598997, 107.65265, 737.86223, 12194.217
+    a1000 = 1.9997
+    num = [(2 * np.pi * f4) ** 2 * (10 ** (a1000 / 20)), 0, 0, 0, 0]
+    den = np.polymul(
+        [1, 4 * np.pi * f4, (2 * np.pi * f4) ** 2],
+        [1, 4 * np.pi * f1, (2 * np.pi * f1) ** 2],
+    )
+    den = np.polymul(np.polymul(den, [1, 2 * np.pi * f3]), [1, 2 * np.pi * f2])
+    b, a = scipy.signal.bilinear(num, den, fs=sample_rate)
+    w_iir, h_iir = scipy.signal.freqz(b, a, worN=512, fs=sample_rate)
+    return scipy.signal.firls(ntaps, w_iir, abs(h_iir), fs=sample_rate).astype("float32")
+
+
+def _stft_mag_torch(x2d, n_fft, hop, win_length, eps=1e-8):
+    window = torch.hann_window(win_length, dtype=x2d.dtype)
+    spec = torch.stft(x2d, n_fft, hop, win_length, window, return_complex=True)
+    return torch.sqrt(torch.clamp(spec.real**2 + spec.imag**2, min=eps))
+
+
+def _auraloss_stft_loss(y_hat, y, n_fft, hop, win, w_sc, w_log, w_lin,
+                        perceptual, sample_rate):
+    bs, chs, t = y.shape
+    if perceptual:
+        taps = torch.from_numpy(_aw_taps_torch(sample_rate)).to(y.dtype).view(1, 1, -1)
+        y_hat = torch.nn.functional.conv1d(
+            y_hat.reshape(bs * chs, 1, t), taps, padding=taps.shape[-1] // 2
+        ).view(bs, chs, -1)
+        y = torch.nn.functional.conv1d(
+            y.reshape(bs * chs, 1, t), taps, padding=taps.shape[-1] // 2
+        ).view(bs, chs, -1)
+    mx = _stft_mag_torch(y_hat.reshape(-1, y_hat.shape[-1]), n_fft, hop, win)
+    my = _stft_mag_torch(y.reshape(-1, y.shape[-1]), n_fft, hop, win)
+    loss = 0.0
+    if w_sc:
+        sc = torch.norm(my - mx, p="fro", dim=[-2, -1]) / torch.norm(my, p="fro", dim=[-2, -1])
+        loss = loss + w_sc * sc.mean()
+    if w_log:
+        loss = loss + w_log * torch.nn.functional.l1_loss(torch.log(mx), torch.log(my))
+    if w_lin:
+        loss = loss + w_lin * torch.nn.functional.l1_loss(mx, my)
+    return loss
+
+
+def _auraloss_mrstft(y_hat, y, fft_sizes, hops, wins, w_sc, w_log, w_lin,
+                     perceptual=False, sample_rate=None):
+    total = 0.0
+    for n_fft, hop, win in zip(fft_sizes, hops, wins):
+        total = total + _auraloss_stft_loss(
+            y_hat, y, n_fft, hop, win, w_sc, w_log, w_lin, perceptual, sample_rate)
+    return total / len(fft_sizes)
+
+
+T_LOSS = 8192
+x_hat_np = rng.standard_normal((BS, 2, T_LOSS)).astype(np.float32) * 0.25
+x_ref_np = (x_hat_np + rng.standard_normal((BS, 2, T_LOSS)).astype(np.float32) * 0.05)
+
+# (a) auraloss MultiResolutionSTFTLoss() defaults — the style-transfer loss
+# (ref style_transfer.py:341): ffts (1024, 2048, 512), hops (120, 240, 50),
+# wins (600, 1200, 240), w_sc=1, w_log_mag=1
+yh = torch.from_numpy(x_hat_np).requires_grad_(True)
+yr = torch.from_numpy(x_ref_np)
+loss = _auraloss_mrstft(yh, yr, (1024, 2048, 512), (120, 240, 50), (600, 1200, 240),
+                        1.0, 1.0, 0.0)
+loss.backward()
+save("mrstft_auraloss_default", {
+    "y_hat": x_hat_np, "y": x_ref_np,
+    "loss": np.float32(loss.item()), "grad_y_hat": yh.grad.numpy(),
+})
+
+# (b) the auto_eq/virtual_analog config (ref auto_eq.py:252-262): 7 ffts,
+# w_sc=0, lin+log, perceptual_weighting=True (time-domain A-weighting FIR)
+yh = torch.from_numpy(x_hat_np).requires_grad_(True)
+ffts = (128, 256, 512, 1024, 2048, 4096, 8192)
+hops = tuple(n // 2 for n in ffts)
+loss = _auraloss_mrstft(yh, yr, ffts, hops, ffts, 0.0, 1.0, 1.0,
+                        perceptual=True, sample_rate=SR)
+loss.backward()
+save("mrstft_auraloss_autoeq", {
+    "y_hat": x_hat_np, "y": x_ref_np,
+    "loss": np.float32(loss.item()), "grad_y_hat": yh.grad.numpy(),
+})
+
+# (b') same config in float64: gradients of the log-magnitude term are
+# 1/mag-amplified near the eps clamp, so fp32 grad parity floors around
+# ~3e-4 from FFT roundoff alone; the f64 fixture proves the SEMANTICS
+# match to 1e-6 while the fp32 test uses a documented looser tolerance
+yh64 = torch.from_numpy(x_hat_np.astype(np.float64)).requires_grad_(True)
+yr64 = torch.from_numpy(x_ref_np.astype(np.float64))
+loss = _auraloss_mrstft(yh64, yr64, ffts, hops, ffts, 0.0, 1.0, 1.0,
+                        perceptual=True, sample_rate=SR)
+loss.backward()
+save("mrstft_auraloss_autoeq_f64", {
+    "y_hat": x_hat_np.astype(np.float64), "y": x_ref_np.astype(np.float64),
+    "loss": np.float64(loss.item()), "grad_y_hat": yh64.grad.numpy(),
+})
+
 print("all fixtures written to", OUT)
