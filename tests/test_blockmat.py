@@ -11,6 +11,7 @@ scipy float64 (3.1e-4 vs 6.7e-4 max error on a 6-section high-Q EQ over
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.signal
 
 from dasp_tpu.ops import sosfilt_blockmat, sosfilt_exact
@@ -223,6 +224,59 @@ class TestScanCombinePrecision:
             dots = re.findall(r"stablehlo\.dot_general.*", txt)
             offender = [d for d in dots if "precision = [HIGHEST, HIGHEST]" not in d]
             assert not offender, f"{fn}: non-HIGHEST dot_general:\n{offender[0][:200]}"
+
+
+class TestCoupledFuzz:
+    """Property-fuzz the coupled realization (and its sequence-sharded
+    path) against float64 scipy over random stable cascades including
+    near-unit-circle poles (VERDICT r1 #5). Calibrated worst-case
+    relative error over poles up to r=0.9995 is ~3e-5; assert 2e-4."""
+
+    def _random_sos(self, rng, n_sec):
+        secs = []
+        for _ in range(n_sec):
+            r = rng.uniform(0.9, 0.9995)
+            th = rng.uniform(0.01, np.pi - 0.01)
+            rz = rng.uniform(0.3, 1.0)
+            tz = rng.uniform(0, np.pi)
+            b0 = rng.uniform(0.1, 2.0)
+            secs.append([b0, -2 * rz * np.cos(tz) * b0, rz * rz * b0,
+                         1.0, -2 * r * np.cos(th), r * r])
+        return np.asarray(secs, np.float32)[None]
+
+    @pytest.mark.parametrize("n_sec", [1, 3, 5])
+    def test_coupled_vs_scipy_f64(self, n_sec):
+        rng = np.random.default_rng(100 + n_sec)
+        T = 8192
+        fn = jax.jit(sosfilt_coupled)
+        for _ in range(3):
+            sos = self._random_sos(rng, n_sec)
+            x = rng.standard_normal((1, 1, T)).astype(np.float32) * 0.25
+            y_ref = scipy.signal.sosfilt(
+                sos[0].astype(np.float64), x[0, 0].astype(np.float64))
+            scale = max(np.abs(y_ref).max(), 1e-3)
+            y = np.asarray(fn(jnp.asarray(sos), jnp.asarray(x)))[0, 0]
+            assert np.abs(y - y_ref).max() / scale < 2e-4
+
+    def test_sharded_coupled_vs_scipy_f64(self):
+        """The seq_axis_name path: recurrence split over an 8-device mesh
+        still matches float64 scipy at the same tolerance."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from dasp_tpu.parallel import make_mesh, sharded_sosfilt_coupled
+
+        mesh = make_mesh((1, 8))
+        rng = np.random.default_rng(77)
+        T = 8192
+        fn = jax.jit(lambda s, x: sharded_sosfilt_coupled(s, x, mesh))
+        for _ in range(3):
+            sos = self._random_sos(rng, 4)
+            x = rng.standard_normal((1, 1, T)).astype(np.float32) * 0.25
+            y_ref = scipy.signal.sosfilt(
+                sos[0].astype(np.float64), x[0, 0].astype(np.float64))
+            scale = max(np.abs(y_ref).max(), 1e-3)
+            y = np.asarray(fn(jnp.asarray(sos), jnp.asarray(x)))[0, 0]
+            assert np.abs(y - y_ref).max() / scale < 2e-4
 
 
 class TestStabilizeSos:

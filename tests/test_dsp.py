@@ -108,6 +108,61 @@ class TestExactIIR:
         y_exact = jax.jit(sosfilt_exact)(sos, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(y_fsm), np.asarray(y_exact), atol=1e-3)
 
+    def test_one_pole_butter_lowpass_matches_scipy_butter(self):
+        """C7 coefficient math == scipy.signal.butter(1, ., 'low')
+        (both are the bilinear transform of the analog 1-pole)."""
+        from dasp_tpu.ops.biquad import one_pole_butter_lowpass
+
+        fc = np.array([500.0, 4000.0], np.float64)
+        b, a = one_pole_butter_lowpass(jnp.asarray(fc, jnp.float32), SR)
+        for i, f in enumerate(fc):
+            b_ref, a_ref = scipy.signal.butter(1, f / (SR / 2), btype="low")
+            np.testing.assert_allclose(np.asarray(b)[i], b_ref, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(a)[i], a_ref, rtol=1e-5)
+
+    def test_one_pole_butter_highpass_matches_scipy_butter(self):
+        from dasp_tpu.ops.biquad import one_pole_butter_highpass
+
+        fc = np.array([500.0, 4000.0], np.float64)
+        b, a = one_pole_butter_highpass(jnp.asarray(fc, jnp.float32), SR)
+        for i, f in enumerate(fc):
+            b_ref, a_ref = scipy.signal.butter(1, f / (SR / 2), btype="high")
+            np.testing.assert_allclose(np.asarray(b)[i], b_ref, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(a)[i], a_ref, rtol=1e-5)
+
+    @pytest.mark.parametrize("ftype", ["lowpass", "highpass"])
+    def test_one_pole_filter_behavior(self, ftype):
+        """C8 (reference signal.py:199-239): the designed coefficients
+        must produce a unity-gain monotone 1-pole response — unity at DC
+        for lowpass / at Nyquist for highpass — and filtering white noise
+        through them via our exact scan matches float64 scipy.lfilter."""
+        from dasp_tpu.ops.biquad import one_pole_filter
+
+        cut = np.array([0.2, 0.7], np.float32)  # normalized (fs=2 default)
+        b, a = one_pole_filter(jnp.asarray(cut), ftype)
+        b_np, a_np = np.asarray(b), np.asarray(a)
+        for i in range(len(cut)):
+            w, h = scipy.signal.freqz(b_np[i], a_np[i], worN=512)
+            mag = np.abs(h)
+            if ftype == "lowpass":
+                assert abs(mag[0] - 1.0) < 1e-5  # unity DC gain
+                assert np.all(np.diff(mag) < 1e-7)  # monotone decreasing
+            else:
+                # unity Nyquist gain, evaluated exactly at z = -1 (the freqz
+                # grid stops just short of pi)
+                h_nyq = (b_np[i, 0] - b_np[i, 1]) / (a_np[i, 0] - a_np[i, 1])
+                assert abs(h_nyq - 1.0) < 1e-6
+                assert np.all(np.diff(mag) > -1e-7)  # monotone increasing
+
+        # time-domain: exact scan through the designed coefficients == scipy
+        x = RNG.standard_normal((2, 1, 2048)).astype(np.float32)
+        y = jax.jit(lfilter1_exact)(
+            jnp.asarray(x), b[:, None, :], a[:, None, :])
+        for i in range(len(cut)):
+            y_ref = scipy.signal.lfilter(
+                b_np[i].astype(np.float64), a_np[i].astype(np.float64), x[i, 0])
+            np.testing.assert_allclose(np.asarray(y)[i, 0], y_ref, atol=1e-4)
+
     def test_fsm_onepole_step_response_closed_form(self):
         """The closed-form FSM step response (used to DC-split the
         compressor's gain smoothing) must equal lfilter_via_fsm applied to
