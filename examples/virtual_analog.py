@@ -7,7 +7,14 @@ to fit tanh; the whole model is fit to (clean, amp-processed) pairs with
 MR-STFT + 100*MSE. Without the IDMT dataset, targets are synthesized by a
 hidden reference "amp" (EQ -> distortion -> EQ with fixed params).
 
+The real-data reproduction (reference virtual_analog.py:349-448) trains
+one model per IDMT amp recording: ``--amps`` downloads the six
+(input, amp-output) pairs from csteinmetz1.github.io and loops over
+them, saving a checkpoint + prediction/input/target wavs per amp.
+
     python examples/virtual_analog.py [--data-dir wavs/] [--steps N] [--smoke]
+    python examples/virtual_analog.py --amps                       # all six
+    python examples/virtual_analog.py --amps jazz-amp --smoke --steps 3
 """
 
 import functools
@@ -50,6 +57,57 @@ class MLPNonlinearity(nn.Module):
         return nn.Dense(1)(h)[..., 0]
 
 
+# the six IDMT-SMT-Audio-Effects amp recordings the reference trains on
+# (virtual_analog.py:349-375), all responses to the same varying-gain input
+IDMT_SRC = "idmt-rock-input-varying-gain.wav"
+IDMT_AMPS = {
+    "65twin-reverb": "idmt-rock-clean1-65twin-reverb.wav",
+    "jazz-amp": "idmt-rock-clean2-jazz-amp-120.wav",
+    "orange-dual-terror": "idmt-rock-crunch1-orange-dual-terror.wav",
+    "british-blue-tube-30": "idmt-rock-crunch2-british-blue-tube-30tb.wav",
+    "brit-8000": "idmt-rock-high-gain1-brit-8000.wav",
+    "mesa-triple-rectifier": "idmt-rock-high-gain2-mesa-triple-rectifier.wav",
+}
+IDMT_URL = "https://csteinmetz1.github.io/sounds/assets/amps/"
+
+
+def fetch_idmt_amps(audio_dir: str, names) -> None:
+    """Download the IDMT amp pairs (reference virtual_analog.py:377-385,
+    wget replaced with urllib). Already-present files are kept."""
+    import urllib.request
+
+    os.makedirs(audio_dir, exist_ok=True)
+    files = [IDMT_SRC] + [IDMT_AMPS[n] for n in names]
+    for fname in files:
+        path = os.path.join(audio_dir, fname)
+        if os.path.exists(path):
+            continue
+        url = IDMT_URL + fname
+        print(f"downloading {url}")
+        try:
+            urllib.request.urlretrieve(url, path)
+        except Exception as e:
+            if os.path.exists(path):
+                os.remove(path)
+            raise SystemExit(
+                f"could not download {url} ({e}); place the file at {path} "
+                "manually, or run without --amps for synthetic targets"
+            )
+
+
+def paired_chunk_iterator(src, target, length, batch_size, nprng):
+    """Random batches of aligned (src, target) chunks — the reference's
+    FileDataset (sequential length-32768 segments, shuffled; :159-184)."""
+    n_segments = src.shape[-1] // length
+    assert n_segments > 0, f"file shorter than one {length}-sample segment"
+    while True:
+        idx = nprng.integers(0, n_segments, size=batch_size)
+        starts = idx * length
+        sb = np.stack([src[:, s : s + length] for s in starts])
+        tb = np.stack([target[:, s : s + length] for s in starts])
+        yield sb, tb
+
+
 def hidden_amp(x, sr):
     """The 'real amp' used to synthesize targets when no dataset is given."""
     bs = x.shape[0]
@@ -64,16 +122,11 @@ def hidden_amp(x, sr):
     return y
 
 
-def main():
-    args = base_parser(__doc__).parse_args()
-    args.lr = args.lr if args.lr != 1e-4 else 1e-2  # reference default (virtual_analog.py:281)
-    if args.smoke:
-        args.length, args.batch_size = 8192, 2
-    elif args.length == 131072:
-        args.length = 32768  # reference trains on 32768 (virtual_analog.py:392)
-    log_dir = args.log_dir or "outputs/virtual_analog"
+def fit_distortion_model(args, sr, data_iter, log_dir, synth_amp=None):
+    """Pretrain the MLP nonlinearity, then fit the grey-box model to
+    (src, target) batches from ``data_iter`` (target None => rendered by
+    ``synth_amp``). Returns (params, jitted forward)."""
     os.makedirs(log_dir, exist_ok=True)
-    sr = args.sample_rate
 
     equalizer = D.ParametricEQ(sr, min_gain_db=-48.0, max_gain_db=48.0,  # :198
                                filter_method=args.filter_method)
@@ -137,13 +190,12 @@ def main():
         upd, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, upd), opt_state, loss, freq, time_l
 
-    amp = jax.jit(lambda x: hidden_amp(x, sr))
     logger = MetricsLogger(log_dir)
-    data = batch_iterator(args)
     params = model_params
     for step in range(args.steps):
-        src = jnp.asarray(next(data))
-        target = amp(src)
+        src_np, target_np = next(data_iter)
+        src = jnp.asarray(src_np)
+        target = synth_amp(src) if target_np is None else jnp.asarray(target_np)
         params, opt_state, loss, freq, time_l = train_step(params, opt_state, src, target)
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step:5d}  loss {float(loss):.4f}  (freq {float(freq):.4f}, "
@@ -152,6 +204,82 @@ def main():
 
     save_checkpoint(os.path.join(log_dir, "ckpt.pkl"), {"params": params, "step": args.steps})
     print(f"done; metrics at {logger.path}")
+    return params, jax.jit(forward)
+
+
+def run_amps(args):
+    """Per-amp reproduction loop (reference virtual_analog.py:388-448):
+    one grey-box model per IDMT amp, prediction wavs saved per amp."""
+    from dasp_tpu.utils.audio import load_wav, save_wav
+
+    sr = args.sample_rate
+    names = args.amps if args.amps else list(IDMT_AMPS)
+    bad = [n for n in names if n not in IDMT_AMPS]
+    if bad:
+        raise SystemExit(f"unknown amp(s) {bad}; choose from {list(IDMT_AMPS)}")
+    fetch_idmt_amps(args.amp_audio_dir, names)
+
+    src, file_sr = load_wav(os.path.join(args.amp_audio_dir, IDMT_SRC))
+    if file_sr != sr:
+        print(f"warning: file rate {file_sr} != --sample-rate {sr}; using {file_sr}")
+        sr = file_sr
+    src = src[0:1]  # mono, like the reference (:425-428)
+
+    base_log = args.log_dir or "outputs/virtual_analog"
+    for name in names:
+        print(f"=== amp: {name} ===")
+        target, _ = load_wav(os.path.join(args.amp_audio_dir, IDMT_AMPS[name]))
+        target = target[0:1]
+        t = min(src.shape[-1], target.shape[-1])
+        nprng = np.random.default_rng(args.seed)
+        data_iter = paired_chunk_iterator(
+            src[:, :t], target[:, :t], args.length, args.batch_size, nprng)
+
+        log_dir = os.path.join(base_log, name)
+        params, forward = fit_distortion_model(args, sr, data_iter, log_dir)
+
+        # render a bounded-length prediction (chunks of args.length so the
+        # FSM FFT stays at training size) and save the wav triple (:430-448)
+        n_render = min(t // args.length, 8) * args.length
+        chunks = [
+            np.asarray(forward(params, jnp.asarray(src[None, :, s : s + args.length])))[0]
+            for s in range(0, n_render, args.length)
+        ]
+        y_hat = np.concatenate(chunks, axis=-1)
+        os.makedirs(os.path.join(log_dir, "audio"), exist_ok=True)
+        stem = IDMT_AMPS[name].replace(".wav", "")
+        save_wav(os.path.join(log_dir, "audio", f"{stem}-pred.wav"), y_hat, sr)
+        save_wav(os.path.join(log_dir, "audio", f"{stem}-input.wav"),
+                 np.asarray(src[:, :n_render]), sr)
+        save_wav(os.path.join(log_dir, "audio", f"{stem}-target.wav"),
+                 np.asarray(target[:, :n_render]), sr)
+        print(f"saved prediction wavs under {log_dir}/audio")
+
+
+def main():
+    parser = base_parser(__doc__)
+    parser.add_argument("--amps", nargs="*", default=None,
+                        help="train one model per IDMT amp recording "
+                             "(downloads the pairs on first use; no names = all six)")
+    parser.add_argument("--amp-audio-dir", default="audio/amps",
+                        help="where the IDMT wav pairs live / are downloaded to")
+    args = parser.parse_args()
+    args.lr = args.lr if args.lr != 1e-4 else 1e-2  # reference default (virtual_analog.py:281)
+    if args.smoke:
+        args.length, args.batch_size = 8192, 2
+    elif args.length == 131072:
+        args.length = 32768  # reference trains on 32768 (virtual_analog.py:392)
+    sr = args.sample_rate
+
+    if args.amps is not None:
+        run_amps(args)
+        return
+
+    log_dir = args.log_dir or "outputs/virtual_analog"
+    data = batch_iterator(args)
+    data_iter = ((next(data), None) for _ in iter(int, 1))
+    fit_distortion_model(args, sr, data_iter, log_dir,
+                         synth_amp=jax.jit(lambda x: hidden_amp(x, sr)))
 
 
 if __name__ == "__main__":

@@ -151,6 +151,39 @@ def test_virtual_analog_pretrain_mlp():
     assert float(loss) < 1e-2
 
 
+def test_virtual_analog_amps_recipe(tmp_path):
+    """E6's real-data path: --amps trains one model per (input, amp-output)
+    wav pair and writes prediction/input/target wavs (reference
+    virtual_analog.py:388-448). Download is skipped by pre-placing a
+    stand-in pair, which is exactly the documented offline fallback."""
+    import os
+    import subprocess
+    import sys
+
+    from dasp_tpu.utils.audio import save_wav
+
+    amp_dir = tmp_path / "amps"
+    amp_dir.mkdir()
+    rng = np.random.default_rng(0)
+    src = (rng.standard_normal((1, 8192 * 4)) * 0.2).astype(np.float32)
+    save_wav(str(amp_dir / "idmt-rock-input-varying-gain.wav"), src, 44100)
+    save_wav(str(amp_dir / "idmt-rock-clean2-jazz-amp-120.wav"),
+             np.tanh(3.0 * src).astype(np.float32), 44100)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    proc = subprocess.run(
+        [sys.executable, "examples/virtual_analog.py", "--amps", "jazz-amp",
+         "--smoke", "--steps", "2", "--amp-audio-dir", str(amp_dir),
+         "--log-dir", str(tmp_path / "out")],
+        cwd=root, env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
+    out_audio = tmp_path / "out" / "jazz-amp" / "audio"
+    names = sorted(p.name for p in out_audio.iterdir())
+    assert any(n.endswith("-pred.wav") for n in names), names
+    assert any(n.endswith("-target.wav") for n in names), names
+
+
 def test_checked_wrapper_catches_nan():
     from functools import partial
 
