@@ -193,19 +193,77 @@ def main():
     eprint(f"device throughput: {steps_per_sec:.3f} steps/s ({dt*1e3:.2f} ms/step), "
            f"final loss {float(loss):.4f}")
 
-    # --- secondary: host-streamed through this harness's tunnel ------------
+    # --- secondary: host-streamed input pipeline ---------------------------
+    # N producer threads synthesize batches; device_prefetch double-buffers
+    # async device_put so transfer overlaps compute (utils.pipeline — the
+    # reference's DataLoader(num_workers=8) analogue). Two rows:
+    #   input_pipeline: batches delivered device-resident per sec, no
+    #     training — proves whether the pipeline can feed the chip;
+    #   host_streamed: the train loop actually fed by that pipeline.
+    from dasp_tpu.utils import device_prefetch, threaded_iterator
+
+    def source(wid):
+        srng = np.random.default_rng(1000 + wid)
+        while True:
+            x = (srng.standard_normal((bs, 1, 2 * half)).astype(np.float32) * 0.25)
+            rand = {
+                "eq": srng.uniform(0, 1, (bs, 18)).astype(np.float32),
+                "comp": srng.uniform(0, 1, (bs, 6)).astype(np.float32),
+                "reverb": srng.uniform(0, 1, (bs, 25)).astype(np.float32),
+                "g1": srng.uniform(0, 24, (bs, 1, 1)).astype(np.float32),
+                "g2": srng.uniform(0, 24, (bs, 1, 1)).astype(np.float32),
+            }
+            yield x, rand
+
+    # steady-state measurement: consume well past the buffer depth before
+    # timing, so the rate reflects sustained production, not buffer drain
+    PREFETCH, DEPTH = 6, 2
+    n2 = min(args.steps, 32)
+    warm2 = PREFETCH + DEPTH
+
+    pipe = device_prefetch(threaded_iterator(source, num_workers=4, prefetch=PREFETCH),
+                           size=DEPTH)
+    for _ in range(warm2):
+        jax.block_until_ready(next(pipe)[0])
     t0 = time.time()
-    nxt = make_inputs(200)
-    n2 = min(args.steps, 8)
-    for i in range(n2):
-        x, rand, key = nxt
+    # block once on everything delivered: per-batch sync would add one
+    # host<->device round trip per pull and measure RTT, not throughput
+    delivered = [next(pipe)[0] for _ in range(n2)]
+    jax.block_until_ready(delivered)
+    feed_rate = n2 / (time.time() - t0)
+    del delivered
+    eprint(f"input pipeline alone: {feed_rate:.3f} batches/s "
+           f"({'not ' if feed_rate < steps_per_sec else ''}able to feed "
+           f"{steps_per_sec:.2f} steps/s compute)")
+
+    pipe = device_prefetch(threaded_iterator(source, num_workers=4, prefetch=PREFETCH),
+                           size=DEPTH)
+    for i in range(warm2):
+        x, rand = next(pipe)
         params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, x, rand, key)
-        if i + 1 < n2:
-            nxt = make_inputs(201 + i)
+            params, batch_stats, opt_state, x, rand, jax.random.PRNGKey(290 + i))
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for i in range(n2):
+        x, rand = next(pipe)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, x, rand, jax.random.PRNGKey(300 + i))
     jax.block_until_ready((params, loss))
     streamed = n2 / (time.time() - t0)
-    eprint(f"host-streamed (tunnel-bound): {streamed:.3f} steps/s")
+    eprint(f"host-streamed training: {streamed:.3f} steps/s")
+
+    report = {
+        "device_resident_steps_per_sec": round(steps_per_sec, 4),
+        "input_pipeline_batches_per_sec": round(feed_rate, 4),
+        "host_streamed_steps_per_sec": round(streamed, 4),
+        "batch_size": bs, "clip_len": 2 * half,
+        "pipeline": {"num_workers": 4, "prefetch": PREFETCH, "device_prefetch": DEPTH},
+    }
+    try:
+        with open(os.path.join(HERE, "benchmarks", "input_pipeline_report.json"), "w") as f:
+            json.dump(report, f, indent=1)
+    except OSError:
+        pass
 
     if args.smoke:
         vs = float("nan")

@@ -1,8 +1,10 @@
-"""Utilities: losses, audio I/O, metrics/checkpointing."""
+"""Utilities: losses, audio I/O, input pipeline, metrics/checkpointing."""
 
 from .loss import (
     a_weighting,
+    a_weighting_fir_taps,
     auto_eq_mrstft,
+    fir_prefilter,
     multi_resolution_stft_loss,
     stft_loss,
     stft_magnitude,
@@ -10,10 +12,13 @@ from .loss import (
 from .audio import index_wav_dataset, load_clip, load_wav, save_wav, synthetic_batch
 from .logging import MetricsLogger, load_checkpoint, save_checkpoint
 from .debug import assert_finite, assert_normalized, checked
+from .pipeline import device_prefetch, threaded_iterator
 
 __all__ = [
     "a_weighting",
+    "a_weighting_fir_taps",
     "auto_eq_mrstft",
+    "fir_prefilter",
     "multi_resolution_stft_loss",
     "stft_loss",
     "stft_magnitude",
@@ -28,4 +33,6 @@ __all__ = [
     "assert_finite",
     "assert_normalized",
     "checked",
+    "device_prefetch",
+    "threaded_iterator",
 ]

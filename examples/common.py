@@ -63,13 +63,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def _batches(args, channels: int) -> Iterator[np.ndarray]:
-    rng = np.random.default_rng(args.seed)
-    if args.data_dir:
-        examples = index_wav_dataset(args.data_dir, args.length)
-        if not examples:
-            raise SystemExit(f"no usable wav chunks of length {args.length} in {args.data_dir}")
-        print(f"dataset: {len(examples)} chunks from {args.data_dir}")
+def _batches(args, channels: int, seed: int, examples=None) -> Iterator[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    if examples is not None:
         while True:
             idx = rng.choice(len(examples), size=args.batch_size, replace=True)
             batch = np.stack([load_clip(examples[i], args.length)[:channels] for i in idx])
@@ -84,20 +80,22 @@ def _batches(args, channels: int) -> Iterator[np.ndarray]:
             yield b
 
 
-def batch_iterator(args, channels: int = 1, prefetch: int = 2) -> Iterator[np.ndarray]:
-    """Yield (batch, channels, length) float32 batches forever, produced by
-    a background thread `prefetch` batches ahead (the reference's
-    DataLoader(num_workers=8) analogue, style_transfer.py:401-406)."""
-    import queue
-    import threading
+def batch_iterator(args, channels: int = 1, prefetch: int = 4,
+                   num_workers: int = 2) -> Iterator[np.ndarray]:
+    """Yield (batch, channels, length) float32 batches forever, produced
+    by ``num_workers`` background threads up to ``prefetch`` batches ahead
+    (the reference's DataLoader(num_workers=8) analogue,
+    style_transfer.py:401-406; see dasp_tpu.utils.pipeline)."""
+    from dasp_tpu.utils import threaded_iterator
 
-    src = _batches(args, channels)
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    examples = None
+    if args.data_dir:
+        examples = index_wav_dataset(args.data_dir, args.length)
+        if not examples:
+            raise SystemExit(f"no usable wav chunks of length {args.length} in {args.data_dir}")
+        print(f"dataset: {len(examples)} chunks from {args.data_dir}")
 
-    def worker():
-        for b in src:
-            q.put(b)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        yield q.get()
+    return threaded_iterator(
+        lambda wid: _batches(args, channels, args.seed + 7919 * wid, examples),
+        num_workers=num_workers, prefetch=prefetch,
+    )

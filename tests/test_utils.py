@@ -164,6 +164,58 @@ class TestLossInternals:
         assert w[np.argmin(np.abs(f - 2000))] > w[-1]
 
 
+class TestInputPipeline:
+    def test_threaded_iterator_delivers_all_items(self):
+        from dasp_tpu.utils import threaded_iterator
+
+        def factory(wid):
+            return iter([(wid, i) for i in range(5)])
+
+        items = list(threaded_iterator(factory, num_workers=3, prefetch=2))
+        assert len(items) == 15
+        assert {w for w, _ in items} == {0, 1, 2}  # every worker contributed
+        for w in range(3):  # per-worker order preserved
+            assert [i for ww, i in items if ww == w] == list(range(5))
+
+    def test_threaded_iterator_propagates_worker_error(self):
+        from dasp_tpu.utils import threaded_iterator
+
+        def factory(wid):
+            def gen():
+                yield 1
+                raise RuntimeError("boom")
+            return gen()
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(threaded_iterator(factory, num_workers=1))
+
+    def test_device_prefetch_stages_pytrees(self):
+        from dasp_tpu.utils import device_prefetch
+
+        batches = [{"x": np.full((2, 4), i, np.float32), "i": np.int32(i)}
+                   for i in range(6)]
+        out = list(device_prefetch(iter(batches), size=2))
+        assert len(out) == 6
+        for i, b in enumerate(out):  # order preserved, on device, values intact
+            assert isinstance(b["x"], jax.Array)
+            np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+    def test_batch_iterator_multiworker(self):
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+        from types import SimpleNamespace
+
+        from common import batch_iterator
+
+        args = SimpleNamespace(data_dir=None, batch_size=2, length=1024,
+                               sample_rate=44100, seed=0)
+        it = batch_iterator(args, channels=1, num_workers=2)
+        for _ in range(4):
+            b = next(it)
+            assert b.shape == (2, 1, 1024) and b.dtype == np.float32
+
+
 class TestDebug:
     def test_assert_normalized_raises(self):
         def f(p):
