@@ -45,6 +45,9 @@ def _direct_causal_conv(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         lhs, rhs, (1,), "VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=bs * ch,
+        # bit-compatibility with the fp32 FFT path requires fp32
+        # accumulation (TPU convs default to bf16)
+        precision=lax.Precision.HIGHEST,
     )
     return out.reshape(bs, ch, T)
 

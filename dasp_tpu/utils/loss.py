@@ -183,6 +183,10 @@ def fir_prefilter(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     out = lax.conv_general_dilated(
         lhs, rhs, (1,), [(ntaps // 2, ntaps // 2)],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        # TPU convs default to bf16; the prefiltered signal feeds
+        # 1/mag-amplified log-magnitude terms, so the advertised 1e-4
+        # auraloss parity needs full-precision accumulation
+        precision=lax.Precision.HIGHEST,
     )
     return out.reshape(x.shape)
 

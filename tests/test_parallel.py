@@ -55,6 +55,23 @@ class TestShardedConv:
         y = sharded_fft_conv_causal(x, h, mesh)
         np.testing.assert_allclose(np.asarray(y), 0.25 * np.asarray(x), atol=1e-6)
 
+    def test_direct_conv_carries_highest_precision(self):
+        """Lowered-HLO guard: the direct grouped-conv body claims
+        bit-compatibility with the fp32 FFT path, so its convolution must
+        pin HIGHEST precision (TPU convs default to bf16)."""
+        import re
+
+        from dasp_tpu.parallel.sharded import _direct_causal_conv
+
+        x = jnp.zeros((2, 2, 1024))
+        h = jnp.zeros((2, 2, 64))
+        txt = jax.jit(_direct_causal_conv).lower(x, h).as_text()
+        convs = re.findall(r"stablehlo\.convolution.*", txt)
+        assert convs
+        bad = [c for c in convs
+               if c.count("#stablehlo<precision HIGHEST>") != 2]
+        assert not bad, bad[0][:200]
+
     def test_rejects_too_long_ir(self, devices_ok):
         mesh = make_mesh((1, 8))
         x = jnp.zeros((1, 1, 1024))

@@ -155,6 +155,25 @@ class TestLossInternals:
         finally:
             jax.config.update("jax_enable_x64", False)
 
+    def test_fir_prefilter_conv_carries_highest_precision(self):
+        """Lowered-HLO guard (cf. TestScanCombinePrecision): the CPU
+        backend computes fp32 convs regardless of the precision attr, so
+        assert on the lowering that the A-weighting prefilter conv pins
+        HIGHEST — on TPU the default is bf16, which would silently break
+        the advertised 1e-4 auraloss parity."""
+        import re
+
+        from dasp_tpu.utils.loss import a_weighting_fir_taps, fir_prefilter
+
+        taps = a_weighting_fir_taps(44100)
+        x = jnp.zeros((2, 1, 4096))
+        txt = jax.jit(lambda x: fir_prefilter(x, taps)).lower(x).as_text()
+        convs = re.findall(r"stablehlo\.convolution.*", txt)
+        assert convs, "expected a convolution in the lowering"
+        bad = [c for c in convs
+               if c.count("#stablehlo<precision HIGHEST>") != 2]
+        assert not bad, bad[0][:200]
+
     def test_a_weighting_shape(self):
         w = a_weighting(np.fft.rfftfreq(1024, 1 / 44100))
         assert w.shape == (513,)
