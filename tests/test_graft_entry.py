@@ -19,10 +19,36 @@ def test_dryrun_multichip_8():
     mod.dryrun_multichip(8)  # raises / asserts on failure
 
 
-def test_dryrun_multichip_self_bootstraps_from_latched_interpreter():
+def test_force_device_count_flag():
+    """The flag helper must append when absent, raise a smaller preset
+    count, and leave an equal/larger preset (and unrelated flags) alone."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "__graft_entry__.py")
+    spec = importlib.util.spec_from_file_location("graft_entry_flag", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    f = mod._force_device_count_flag
+
+    assert f("", 8) == "--xla_force_host_platform_device_count=8"
+    assert f("--xla_cpu_foo=1", 8) == (
+        "--xla_cpu_foo=1 --xla_force_host_platform_device_count=8")
+    # preset smaller count is replaced in place
+    assert f("--xla_force_host_platform_device_count=1 --xla_cpu_foo=1", 8) == (
+        "--xla_force_host_platform_device_count=8 --xla_cpu_foo=1")
+    # preset equal/larger count is kept
+    assert f("--xla_force_host_platform_device_count=16", 8) == (
+        "--xla_force_host_platform_device_count=16")
+
+
+@pytest.mark.parametrize("preset_xla_flags", [None, "--xla_force_host_platform_device_count=1"])
+def test_dryrun_multichip_self_bootstraps_from_latched_interpreter(preset_xla_flags):
     """Simulate the driver: an interpreter that already initialized a
-    1-device backend (no env preset) must still complete dryrun_multichip(8)
-    — the function has to bootstrap the virtual mesh itself (VERDICT r1 #1)."""
+    1-device backend must still complete dryrun_multichip(8) — the function
+    has to bootstrap the virtual mesh itself (VERDICT r1 #1). The second
+    case additionally presets XLA_FLAGS with a *smaller* device count,
+    which the re-exec must override rather than inherit."""
     import subprocess
     import sys
 
@@ -39,6 +65,8 @@ def test_dryrun_multichip_self_bootstraps_from_latched_interpreter():
     )
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    if preset_xla_flags is not None:
+        env["XLA_FLAGS"] = preset_xla_flags
     proc = subprocess.run([sys.executable, "-c", code], cwd=root, env=env,
                           capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
