@@ -28,6 +28,11 @@ from dasp_tpu.functional import (
     advanced_distortion,
     graphic_eq,
     parametric_eq,
+    delay,
+    modulated_delay,
+    tremolo,
+    limiter,
+    multiband_compressor,
 )
 
 from dasp_tpu.modules import (
@@ -44,6 +49,12 @@ from dasp_tpu.modules import (
     StereoWidener,
     StereoPanner,
     StereoBus,
+    Delay,
+    Chorus,
+    Flanger,
+    Tremolo,
+    Limiter,
+    MultibandCompressor,
 )
 
 from dasp_tpu import ops
@@ -62,6 +73,11 @@ __all__ = [
     "advanced_distortion",
     "graphic_eq",
     "parametric_eq",
+    "delay",
+    "modulated_delay",
+    "tremolo",
+    "limiter",
+    "multiband_compressor",
     "Processor",
     "Chain",
     "Compressor",
@@ -75,6 +91,12 @@ __all__ = [
     "StereoWidener",
     "StereoPanner",
     "StereoBus",
+    "Delay",
+    "Chorus",
+    "Flanger",
+    "Tremolo",
+    "Limiter",
+    "MultibandCompressor",
     "ops",
     "functional",
 ]

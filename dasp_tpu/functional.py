@@ -37,6 +37,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ops.biquad import (
     biquad,
@@ -65,6 +66,11 @@ __all__ = [
     "static_gain_computer",
     "stereo_widener",
     "stereo_panner",
+    "delay",
+    "modulated_delay",
+    "tremolo",
+    "limiter",
+    "multiband_compressor",
     "GRAPHIC_EQ_BANDS",
 ]
 
@@ -465,14 +471,21 @@ def static_gain_computer(x_db, threshold_db, ratio, knee_db, mode: str) -> jnp.n
     ``mode="compressor"``: reference functional.py:350-366 (in-place
     boolean masking expressed as jnp.where). ``mode="expander"``:
     Giannoulis et al. 2012 Eq. 4 (downward expansion below threshold).
-    Memoryless, so also shared verbatim by the streaming layer.
+    ``mode="limiter"``: the ratio -> infinity limit of the compressor
+    curve (``ratio`` is ignored): above the knee the output level is
+    pinned at the threshold. Memoryless, so also shared verbatim by the
+    streaming layer.
 
     Returns the gain-computer output ``g_c = x_sc - x_db`` (dB, <= 0).
     """
     dtype = x_db.dtype
     half_knee = knee_db / 2.0
     knee_safe = jnp.maximum(knee_db, jnp.asarray(1e-6, dtype))
-    if mode == "compressor":
+    if mode == "limiter":
+        x_sc_knee = x_db - ((x_db - threshold_db + half_knee) ** 2) / (2.0 * knee_safe)
+        x_sc_out = jnp.broadcast_to(threshold_db, x_db.shape).astype(dtype)
+        outside = x_db > threshold_db + half_knee
+    elif mode == "compressor":
         x_sc_knee = x_db + ((1.0 / ratio) - 1.0) * (
             (x_db - threshold_db + half_knee) ** 2
         ) / (2.0 * knee_safe)
@@ -948,3 +961,328 @@ def stereo_panner(x: jnp.ndarray, sample_rate: float, pan) -> jnp.ndarray:
     x = jnp.tile(x[:, None, :, :], (1, 2, 1, 1))  # (bs, 2, tracks, T)
     gains = jnp.stack([left_gain, right_gain], axis=1)[..., None]  # (bs, 2, tracks, 1)
     return x * gains
+
+
+# ---------------------------------------------------------------------------
+# time-based / modulation effects (beyond the reference's processor set)
+# ---------------------------------------------------------------------------
+
+
+@_scoped("dasp.delay")
+def delay(
+    x: jnp.ndarray,
+    sample_rate: float,
+    delay_ms,
+    feedback,
+    mix,
+) -> jnp.ndarray:
+    """Feedback delay (echo) with a continuous, differentiable delay time.
+
+    The reference ships no delay; this evaluates the feedback comb
+    ``H(z) = z^{-D} / (1 - fb * z^{-D})`` in closed form over rFFT bins
+    of a zero-padded spectrum — one rFFT/irFFT pair, no recurrence, and
+    ``D = delay_ms * fs / 1000`` enters only through ``exp(-j w D)``, so
+    gradients w.r.t. the (fractional) delay time are exact and smooth.
+    TPU-first: the whole effect is two batched FFTs plus elementwise
+    complex math; nothing sequential.
+
+    Frequency sampling makes the infinite comb tail circular: echoes at
+    lags beyond the padded length (2x the signal) wrap around, with
+    magnitude ``fb ** (n_fft / D)`` — negligible for practical settings
+    (e.g. fb=0.7, D=100 ms, 3 s of audio: ~1e-40).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        delay_ms: delay time in milliseconds, shape (bs,). May be
+            fractional; gradients flow through it.
+        feedback: feedback amount on [0, 1), shape (bs,). Values are
+            clamped to <= 0.999 for stability of the closed form.
+        mix: dry/wet mix on [0, 1] (0 = dry only), shape (bs,).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    from .ops.fft_filter import next_pow2
+
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    delay_ms = _param(delay_ms, bs, dtype)
+    feedback = jnp.minimum(_param(feedback, bs, dtype), 0.999)
+    mix = _param(mix, bs, dtype)
+
+    n_fft = next_pow2(2 * seq_len)
+    d_samples = delay_ms * (sample_rate / 1e3)  # (bs, 1, 1)
+    # rfft bin frequencies in rad/sample — numpy constant so the closure
+    # never carries an eagerly created device array (see CLAUDE.md).
+    omega = np.arange(n_fft // 2 + 1, dtype=np.float32) * (2.0 * np.pi / n_fft)
+    phase = omega[None, None, :] * d_samples  # (bs, 1, F)
+    z_d = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))  # exp(-j w D)
+    h_wet = z_d / (1.0 - feedback.astype(z_d.real.dtype) * z_d)
+    h = (1.0 - mix) + mix * h_wet  # (bs, 1, F), broadcasts over channels
+
+    X = jnp.fft.rfft(x, n=n_fft, axis=-1)
+    y = jnp.fft.irfft(X * h, n=n_fft, axis=-1)[..., :seq_len]
+    return y.astype(dtype)
+
+
+@_scoped("dasp.modulated_delay")
+def modulated_delay(
+    x: jnp.ndarray,
+    sample_rate: float,
+    rate_hz,
+    depth_ms,
+    base_ms,
+    mix,
+    lfo_phase: float = 0.0,
+) -> jnp.ndarray:
+    """LFO-modulated fractional delay — the core of chorus and flanger.
+
+    The wet path reads the input at a time-varying fractional offset
+    ``d(n) = base + depth * (1 + sin(2 pi rate n / fs + phase)) / 2``
+    (in samples) via linearly interpolated gathers. Feedforward only (no
+    recirculation), so the whole effect is a batched gather + lerp — one
+    fused XLA kernel, no scan. Gradients flow to ``rate_hz``, ``depth_ms``
+    and ``base_ms`` through the interpolation weights.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        rate_hz: LFO rate in Hz, shape (bs,).
+        depth_ms: peak-to-peak modulation depth in milliseconds, shape (bs,).
+        base_ms: minimum (static) delay in milliseconds, shape (bs,).
+        mix: dry/wet mix on [0, 1] (0 = dry only), shape (bs,).
+        lfo_phase: initial LFO phase in radians (static).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len). Samples before the
+        delayed read position exists are zero in the wet path.
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    rate_hz = _param(rate_hz, bs, dtype)
+    depth_ms = _param(depth_ms, bs, dtype)
+    base_ms = _param(base_ms, bs, dtype)
+    mix = _param(mix, bs, dtype)
+
+    n = np.arange(seq_len, dtype=np.float32)[None, None, :]  # (1, 1, T)
+    lfo = 0.5 * (1.0 + jnp.sin(2.0 * np.pi * rate_hz * (n / sample_rate) + lfo_phase))
+    d = (base_ms + depth_ms * lfo) * (sample_rate / 1e3)  # samples, (bs, 1, T)
+
+    idx = n - d  # fractional read position
+    i0 = jnp.floor(idx)
+    frac = idx - i0  # gradient flows: d(frac)/d(params) = -d(d)/d(params)
+    i0i = jnp.clip(i0, 0, seq_len - 1).astype(jnp.int32)
+    i1i = jnp.clip(i0 + 1.0, 0, seq_len - 1).astype(jnp.int32)
+    i0b = jnp.broadcast_to(i0i, (bs, chs, seq_len))
+    i1b = jnp.broadcast_to(i1i, (bs, chs, seq_len))
+    x0 = jnp.take_along_axis(x, i0b, axis=-1)
+    x1 = jnp.take_along_axis(x, i1b, axis=-1)
+    wet = x0 * (1.0 - frac) + x1 * frac
+    wet = jnp.where(idx >= 0.0, wet, 0.0)  # before the signal started
+
+    return ((1.0 - mix) * x + mix * wet).astype(dtype)
+
+
+@_scoped("dasp.tremolo")
+def tremolo(
+    x: jnp.ndarray,
+    sample_rate: float,
+    rate_hz,
+    depth,
+    lfo_phase: float = 0.0,
+) -> jnp.ndarray:
+    """Tremolo: sinusoidal LFO amplitude modulation.
+
+    ``y(n) = x(n) * (1 - depth * (1 + sin(2 pi rate n / fs + phase)) / 2)``
+    — unity gain at the LFO trough, ``1 - depth`` at the peak.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        rate_hz: LFO rate in Hz, shape (bs,).
+        depth: modulation depth on [0, 1], shape (bs,).
+        lfo_phase: initial LFO phase in radians (static).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    rate_hz = _param(rate_hz, bs, dtype)
+    depth = _param(depth, bs, dtype)
+
+    n = np.arange(seq_len, dtype=np.float32)[None, None, :]
+    lfo = 0.5 * (1.0 + jnp.sin(2.0 * np.pi * rate_hz * (n / sample_rate) + lfo_phase))
+    return (x * (1.0 - depth * lfo)).astype(dtype)
+
+
+@_scoped("dasp.limiter")
+def limiter(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    attack_ms,
+    release_ms,
+    knee_db,
+    makeup_gain_db,
+    eps: float = 1e-8,
+    lookahead_samples: int = 0,
+    smoother: str = "parallel",
+) -> jnp.ndarray:
+    """Feed-forward limiter: the ratio -> infinity corner of :func:`compressor`.
+
+    Shares the compressor's sidechain, soft knee and ballistics machinery
+    (Giannoulis et al. 2012) with the static curve pinned at the threshold
+    above the knee. Defaults to true attack/release ballistics
+    (``smoother="parallel"``) because release behaviour is what makes a
+    limiter sound like a limiter; with ``lookahead_samples > 0`` the
+    audio is delayed relative to the gain curve so the attack can act
+    before the peak.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        threshold_db: ceiling in dB, shape (bs,).
+        attack_ms / release_ms: ballistics times in ms, shape (bs,).
+        knee_db: softness of the knee (>= 0), shape (bs,).
+        makeup_gain_db: post-limiting gain in dB, shape (bs,).
+        eps: numerical floor for the level detector.
+        lookahead_samples: delay the audio relative to the gain curve
+            (static int).
+        smoother: "parallel" (default), "exact", "exact_pallas",
+            "attack_only" or "fsm" — same options as :func:`compressor`.
+
+    Returns:
+        Limited audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    threshold_db = _param(threshold_db, bs, dtype)
+    attack_ms = _param(attack_ms, bs, dtype)
+    release_ms = _param(release_ms, bs, dtype)
+    knee_db = _param(knee_db, bs, dtype)
+    makeup_gain_db = _param(makeup_gain_db, bs, dtype)
+
+    x_side, x_db, alpha_a, alpha_r = _dynamics_common(x, sample_rate, attack_ms, release_ms, eps)
+    g_c = static_gain_computer(x_db, threshold_db, None, knee_db, "limiter")
+    g_smooth = _smooth_gain(g_c, alpha_a, alpha_r, smoother)
+
+    if lookahead_samples > 0:
+        x = jnp.roll(x, lookahead_samples, axis=-1)
+        x = x.at[..., :lookahead_samples].set(0.0)
+
+    g_lin = db_to_linear(g_smooth + makeup_gain_db)
+    return x * g_lin
+
+
+# ---------------------------------------------------------------------------
+# multiband dynamics
+# ---------------------------------------------------------------------------
+
+
+def _lr4_crossover(x, crossover_hz, sample_rate, filter_method):
+    """Split into (low, high) with a 4th-order Linkwitz-Riley crossover.
+
+    LR4 = a squared Butterworth (Q = 1/sqrt(2)) biquad per leg; the two
+    legs sum to an allpass (flat magnitude), which is the property that
+    lets the recombined bands reconstruct the input. Differentiable
+    w.r.t. the crossover frequency through the biquad design equations.
+    """
+    bs = x.shape[0]
+    zeros = jnp.zeros((bs,), x.dtype)
+    q = jnp.full((bs,), 1.0 / math.sqrt(2.0), x.dtype)
+    b_lp, a_lp = biquad(zeros, crossover_hz, q, sample_rate, "low_pass")
+    b_hp, a_hp = biquad(zeros, crossover_hz, q, sample_rate, "high_pass")
+    sos_lp = jnp.stack([jnp.concatenate([b_lp, a_lp], -1)] * 2, axis=1)  # (bs, 2, 6)
+    sos_hp = jnp.stack([jnp.concatenate([b_hp, a_hp], -1)] * 2, axis=1)
+    return _apply_sos(sos_lp, x, filter_method), _apply_sos(sos_hp, x, filter_method)
+
+
+@_scoped("dasp.multiband_compressor")
+def multiband_compressor(
+    x: jnp.ndarray,
+    sample_rate: float,
+    crossover_low_hz,
+    crossover_high_hz,
+    low_threshold_db,
+    low_ratio,
+    low_attack_ms,
+    low_release_ms,
+    low_makeup_gain_db,
+    mid_threshold_db,
+    mid_ratio,
+    mid_attack_ms,
+    mid_release_ms,
+    mid_makeup_gain_db,
+    high_threshold_db,
+    high_ratio,
+    high_attack_ms,
+    high_release_ms,
+    high_makeup_gain_db,
+    knee_db,
+    eps: float = 1e-8,
+    smoother: str = "fsm",
+    filter_method: str = "fsm",
+) -> jnp.ndarray:
+    """Three-band dynamic range compressor with differentiable crossovers.
+
+    The input is split low/mid/high by a phase-compensated Linkwitz-Riley
+    LR4 tree (the low band passes through the high crossover's allpass so
+    all three bands stay phase-aligned and sum flat), each band runs the
+    Giannoulis compressor, and the bands are summed. TPU-first: the three
+    band compressors are folded into one batched call (the batch axis
+    triples) so the sidechain, knee and smoother all stay one fused
+    program instead of three.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        crossover_low_hz / crossover_high_hz: band-split frequencies in
+            Hz, shape (bs,). ``crossover_high_hz`` is softly floored at
+            ``1.01 * crossover_low_hz`` so the bands cannot invert.
+        {low,mid,high}_threshold_db: per-band threshold, shape (bs,).
+        {low,mid,high}_ratio: per-band ratio (>1), shape (bs,).
+        {low,mid,high}_attack_ms / _release_ms: per-band ballistics (ms).
+        {low,mid,high}_makeup_gain_db: per-band output gain in dB.
+        knee_db: knee softness shared by all bands, shape (bs,).
+        eps: numerical floor for the level detectors.
+        smoother: gain smoother, same options as :func:`compressor`.
+        filter_method: crossover SOS evaluation path ('fsm', 'block',
+            'coupled', 'exact', 'pallas').
+
+    Returns:
+        Compressed audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    f_lo = _param(crossover_low_hz, bs, dtype).reshape(bs)
+    f_hi = jnp.maximum(
+        _param(crossover_high_hz, bs, dtype).reshape(bs), 1.01 * f_lo
+    )
+
+    low_pre, rest = _lr4_crossover(x, f_lo, sample_rate, filter_method)
+    mid, high = _lr4_crossover(rest, f_hi, sample_rate, filter_method)
+    # phase-compensate the low band with the high crossover's LR4 allpass
+    # (LP + HP of the same LR4 sum to allpass), keeping all three bands
+    # aligned so they sum flat when uncompressed.
+    lo_lp, lo_hp = _lr4_crossover(low_pre, f_hi, sample_rate, filter_method)
+    low = lo_lp + lo_hp
+
+    def cat(*ps):
+        return jnp.concatenate([_param(p, bs, dtype).reshape(bs) for p in ps], axis=0)
+
+    bands = jnp.concatenate([low, mid, high], axis=0)  # (3*bs, chs, T)
+    y = compressor(
+        bands,
+        sample_rate,
+        cat(low_threshold_db, mid_threshold_db, high_threshold_db),
+        cat(low_ratio, mid_ratio, high_ratio),
+        cat(low_attack_ms, mid_attack_ms, high_attack_ms),
+        cat(low_release_ms, mid_release_ms, high_release_ms),
+        cat(knee_db, knee_db, knee_db),
+        cat(low_makeup_gain_db, mid_makeup_gain_db, high_makeup_gain_db),
+        eps=eps,
+        smoother=smoother,
+    )
+    return y[:bs] + y[bs : 2 * bs] + y[2 * bs :]

@@ -50,6 +50,12 @@ __all__ = [
     "StereoWidener",
     "StereoPanner",
     "StereoBus",
+    "Delay",
+    "Chorus",
+    "Flanger",
+    "Tremolo",
+    "Limiter",
+    "MultibandCompressor",
 ]
 
 
@@ -512,3 +518,204 @@ class StereoBus(Processor):
             return F.stereo_bus(x, sr, send_db)
 
         self.process_fn = _process
+
+
+class Delay(Processor):
+    """Feedback delay (echo) with a continuous delay time.
+
+    Wraps :func:`functional.delay` (closed-form comb over rFFT bins; not
+    in the reference's processor set)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_delay_ms: float = 10.0,
+        max_delay_ms: float = 1000.0,
+        min_feedback: float = 0.0,
+        max_feedback: float = 0.9,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.delay
+        self.param_ranges = {
+            "delay_ms": (min_delay_ms, max_delay_ms),
+            "feedback": (min_feedback, max_feedback),
+            "mix": (min_mix, max_mix),
+        }
+
+
+class _ModulatedDelay(Processor):
+    """Shared body for Chorus/Flanger: LFO-modulated fractional delay."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_rate_hz: float,
+        max_rate_hz: float,
+        min_depth_ms: float,
+        max_depth_ms: float,
+        min_base_ms: float,
+        max_base_ms: float,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.modulated_delay
+        self.param_ranges = {
+            "rate_hz": (min_rate_hz, max_rate_hz),
+            "depth_ms": (min_depth_ms, max_depth_ms),
+            "base_ms": (min_base_ms, max_base_ms),
+            "mix": (min_mix, max_mix),
+        }
+
+
+class Chorus(_ModulatedDelay):
+    """Chorus: slow LFO, long base delay (~20 ms), moderate depth."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_rate_hz: float = 0.1,
+        max_rate_hz: float = 3.0,
+        min_depth_ms: float = 1.0,
+        max_depth_ms: float = 10.0,
+        min_base_ms: float = 15.0,
+        max_base_ms: float = 35.0,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+    ):
+        super().__init__(
+            sample_rate,
+            min_rate_hz, max_rate_hz,
+            min_depth_ms, max_depth_ms,
+            min_base_ms, max_base_ms,
+            min_mix, max_mix,
+        )
+
+
+class Flanger(_ModulatedDelay):
+    """Flanger: short base delay (<5 ms) so the comb notches sweep audibly."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_rate_hz: float = 0.05,
+        max_rate_hz: float = 2.0,
+        min_depth_ms: float = 0.5,
+        max_depth_ms: float = 5.0,
+        min_base_ms: float = 0.1,
+        max_base_ms: float = 2.0,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+    ):
+        super().__init__(
+            sample_rate,
+            min_rate_hz, max_rate_hz,
+            min_depth_ms, max_depth_ms,
+            min_base_ms, max_base_ms,
+            min_mix, max_mix,
+        )
+
+
+class Tremolo(Processor):
+    """Sinusoidal amplitude modulation (functional.tremolo)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_rate_hz: float = 0.1,
+        max_rate_hz: float = 10.0,
+        min_depth: float = 0.0,
+        max_depth: float = 1.0,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.tremolo
+        self.param_ranges = {
+            "rate_hz": (min_rate_hz, max_rate_hz),
+            "depth": (min_depth, max_depth),
+        }
+
+
+class Limiter(Processor):
+    """Feed-forward limiter: the compressor's ratio -> infinity corner
+    (functional.limiter). Defaults to true attack/release ballistics."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_threshold_db: float = -24.0,
+        max_threshold_db: float = 0.0,
+        min_attack_ms: float = 0.1,
+        max_attack_ms: float = 20.0,
+        min_release_ms: float = 5.0,
+        max_release_ms: float = 500.0,
+        min_knee_db: float = 0.0,
+        max_knee_db: float = 12.0,
+        min_makeup_gain_db: float = 0.0,
+        max_makeup_gain_db: float = 12.0,
+        lookahead_samples: int = 0,
+        smoother: str = "parallel",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.limiter(
+            x, *a,
+            **{"smoother": smoother, "lookahead_samples": lookahead_samples, **kw},
+        )
+        self.param_ranges = {
+            "threshold_db": (min_threshold_db, max_threshold_db),
+            "attack_ms": (min_attack_ms, max_attack_ms),
+            "release_ms": (min_release_ms, max_release_ms),
+            "knee_db": (min_knee_db, max_knee_db),
+            "makeup_gain_db": (min_makeup_gain_db, max_makeup_gain_db),
+        }
+
+
+class MultibandCompressor(Processor):
+    """Three-band compressor over a Linkwitz-Riley LR4 crossover tree
+    (functional.multiband_compressor)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_crossover_low_hz: float = 60.0,
+        max_crossover_low_hz: float = 1000.0,
+        min_crossover_high_hz: float = 1000.0,
+        max_crossover_high_hz: float = 12000.0,
+        min_threshold_db: float = -60.0,
+        max_threshold_db: float = 0.0,
+        min_ratio: float = 1.0,
+        max_ratio: float = 20.0,
+        min_attack_ms: float = 5.0,
+        max_attack_ms: float = 100.0,
+        min_release_ms: float = 5.0,
+        max_release_ms: float = 100.0,
+        min_makeup_gain_db: float = 0.0,
+        max_makeup_gain_db: float = 12.0,
+        min_knee_db: float = 0.0,
+        max_knee_db: float = 12.0,
+        smoother: str = "fsm",
+        filter_method: str = "fsm",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.multiband_compressor(
+            x, *a,
+            **{"smoother": smoother, "filter_method": filter_method, **kw},
+        )
+        ranges = {
+            "crossover_low_hz": (min_crossover_low_hz, max_crossover_low_hz),
+            "crossover_high_hz": (min_crossover_high_hz, max_crossover_high_hz),
+        }
+        for band in ("low", "mid", "high"):
+            ranges[f"{band}_threshold_db"] = (min_threshold_db, max_threshold_db)
+            ranges[f"{band}_ratio"] = (min_ratio, max_ratio)
+            ranges[f"{band}_attack_ms"] = (min_attack_ms, max_attack_ms)
+            ranges[f"{band}_release_ms"] = (min_release_ms, max_release_ms)
+            ranges[f"{band}_makeup_gain_db"] = (min_makeup_gain_db, max_makeup_gain_db)
+        ranges["knee_db"] = (min_knee_db, max_knee_db)
+        self.param_ranges = ranges

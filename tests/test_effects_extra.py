@@ -1,0 +1,262 @@
+"""Behavioral + fuzz tests for the beyond-reference time-based effects.
+
+Covers functional.delay / modulated_delay / tremolo / limiter /
+multiband_compressor and their Processor wrappers (Delay, Chorus,
+Flanger, Tremolo, Limiter, MultibandCompressor). The reference ships
+none of these; behavior is pinned against first-principles DSP
+expectations (echo positions, LFO envelopes, ceiling enforcement,
+crossover flatness) rather than fixtures.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dasp_tpu as D
+import dasp_tpu.functional as F
+
+SR = 44100.0
+RNG = np.random.default_rng(7)
+
+
+def _b(v, bs=1):
+    return jnp.full((bs,), v, jnp.float32)
+
+
+def _noise(bs, chs, t, scale=0.1):
+    return jnp.asarray(RNG.standard_normal((bs, chs, t)).astype(np.float32) * scale)
+
+
+class TestDelay:
+    def test_echo_positions_and_amplitudes(self):
+        # impulse through a 100-sample delay, fb=0.5, mix=1: taps at
+        # n0 + k*100 with amplitude 0.5^(k-1)
+        t = 4096
+        x = np.zeros((1, 1, t), np.float32)
+        x[0, 0, 10] = 1.0
+        d_ms = 100.0 / SR * 1e3
+        y = np.asarray(
+            jax.jit(F.delay)(jnp.asarray(x), SR, _b(d_ms), _b(0.5), _b(1.0))
+        )[0, 0]
+        for k in range(1, 5):
+            tap = y[10 + k * 100]
+            assert abs(tap - 0.5 ** (k - 1)) < 1e-3, (k, tap)
+        # between taps: silence
+        assert abs(y[10 + 50]) < 1e-3
+
+    def test_mix_zero_is_identity(self):
+        x = _noise(2, 2, 2048)
+        y = jax.jit(F.delay)(x, SR, _b(37.0, 2), _b(0.6, 2), _b(0.0, 2))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-4)
+
+    def test_grad_flows_to_delay_time(self):
+        x = _noise(1, 1, 4096)
+        tgt = jax.jit(F.delay)(x, SR, _b(25.0), _b(0.4), _b(0.7))
+
+        def loss(d_ms):
+            y = F.delay(x, SR, d_ms, _b(0.4), _b(0.7))
+            return jnp.mean((y - tgt) ** 2)
+
+        g = jax.jit(jax.grad(loss))(_b(27.0))
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestModulatedDelay:
+    def test_zero_depth_is_static_fractional_delay(self):
+        # depth=0, mix=1 -> pure base_ms delay; pick an integer-sample base
+        t = 2048
+        x = _noise(1, 1, t)
+        base_samp = 64
+        base_ms = base_samp / SR * 1e3
+        y = jax.jit(F.modulated_delay)(x, SR, _b(1.0), _b(0.0), _b(base_ms), _b(1.0))
+        # skip the boundary sample at exactly idx=0 (ms<->samples float
+        # roundtrip can land it epsilon-negative, where the wet path zeros)
+        np.testing.assert_allclose(
+            np.asarray(y)[0, 0, base_samp + 1 :],
+            np.asarray(x)[0, 0, 1 : t - base_samp],
+            atol=1e-4,
+        )
+        # pre-delay region is zero
+        assert np.abs(np.asarray(y)[0, 0, : base_samp - 1]).max() < 1e-5
+
+    def test_grads_flow_to_lfo_params(self):
+        x = _noise(1, 1, 4096)
+
+        def loss(rate, depth, base):
+            y = F.modulated_delay(x, SR, rate, depth, base, _b(0.8))
+            return jnp.mean(y**2)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(_b(1.5), _b(4.0), _b(10.0))
+        for gi in g:
+            assert np.isfinite(np.asarray(gi)).all()
+        assert float(jnp.abs(g[1]).sum()) > 0  # depth definitely matters
+
+
+class TestTremolo:
+    def test_envelope_matches_lfo(self):
+        t = 8192
+        x = jnp.ones((1, 1, t), jnp.float32)
+        rate, depth = 3.0, 0.8
+        y = np.asarray(jax.jit(F.tremolo)(x, SR, _b(rate), _b(depth)))[0, 0]
+        n = np.arange(t)
+        lfo = 0.5 * (1.0 + np.sin(2 * np.pi * rate * n / SR))
+        np.testing.assert_allclose(y, 1.0 - depth * lfo, atol=1e-5)
+
+    def test_zero_depth_identity(self):
+        x = _noise(2, 2, 2048)
+        y = jax.jit(F.tremolo)(x, SR, _b(5.0, 2), _b(0.0, 2))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+class TestLimiter:
+    def test_matches_high_ratio_compressor(self):
+        # knee=0: the limiter static curve equals the ratio->inf limit of
+        # the compressor curve; with shared ballistics the outputs converge
+        x = _noise(2, 1, 8192, scale=0.5)
+        args = (_b(-15.0, 2), _b(5.0, 2), _b(60.0, 2), _b(0.0, 2), _b(0.0, 2))
+        y_lim = jax.jit(lambda x: F.limiter(x, SR, *args, smoother="fsm"))(x)
+        y_cmp = jax.jit(
+            lambda x: F.compressor(
+                x, SR, _b(-15.0, 2), _b(1e6, 2), _b(5.0, 2), _b(60.0, 2),
+                _b(0.0, 2), _b(0.0, 2), smoother="fsm",
+            )
+        )(x)
+        np.testing.assert_allclose(np.asarray(y_lim), np.asarray(y_cmp), atol=1e-4)
+
+    def test_enforces_ceiling_at_steady_state(self):
+        # constant 0 dB level (|x| = 1 everywhere), -12 dB threshold,
+        # hard knee: the detected level is pinned exactly at the ceiling
+        # once the attack has settled. (A sine would show release ripple
+        # at its zero crossings — the detector is instantaneous dB, as in
+        # the Giannoulis compressor this limiter shares machinery with.)
+        t = 8192
+        x = jnp.ones((1, 1, t), jnp.float32)
+        y = np.asarray(
+            jax.jit(
+                lambda x: F.limiter(
+                    x, SR, _b(-12.0), _b(0.5), _b(200.0), _b(0.0), _b(0.0),
+                    smoother="fsm",
+                )
+            )(x)
+        )[0, 0]
+        out_db = 20 * np.log10(np.abs(y[t // 2 :]))
+        assert np.abs(out_db + 12.0).max() < 0.05, out_db
+
+    def test_lookahead_shifts_audio(self):
+        x = _noise(1, 1, 2048)
+        y0 = jax.jit(lambda x: F.limiter(x, SR, _b(6.0), _b(1.0), _b(50.0), _b(0.0), _b(0.0)))(x)
+        y32 = jax.jit(
+            lambda x: F.limiter(
+                x, SR, _b(6.0), _b(1.0), _b(50.0), _b(0.0), _b(0.0),
+                lookahead_samples=32,
+            )
+        )(x)
+        # +6 dB threshold on quiet noise: gain ~ unity, so the lookahead
+        # output is the input delayed by 32 samples
+        np.testing.assert_allclose(
+            np.asarray(y32)[0, 0, 32:], np.asarray(y0)[0, 0, :-32], atol=1e-4
+        )
+
+
+class TestMultibandCompressor:
+    def _flat_args(self, bs=1):
+        return (
+            _b(200.0, bs), _b(2000.0, bs),
+            _b(-200.0, bs), _b(1.0, bs), _b(5.0, bs), _b(100.0, bs), _b(0.0, bs),
+            _b(-200.0, bs), _b(1.0, bs), _b(5.0, bs), _b(100.0, bs), _b(0.0, bs),
+            _b(-200.0, bs), _b(1.0, bs), _b(5.0, bs), _b(100.0, bs), _b(0.0, bs),
+            _b(0.01, bs),
+        )
+
+    def test_crossover_tree_sums_flat(self):
+        # ratio=1 everywhere: the LR4 tree must reconstruct the input
+        # magnitude (phase rotates — LR4 legs sum to allpass)
+        t = 16384
+        x = np.zeros((1, 1, t), np.float32)
+        x[0, 0, 100] = 1.0
+        y = np.asarray(
+            jax.jit(F.multiband_compressor)(jnp.asarray(x), SR, *self._flat_args())
+        )[0, 0]
+        H = np.abs(np.fft.rfft(y))
+        f = np.fft.rfftfreq(t, 1 / SR)
+        sel = (f > 20) & (f < 20000)
+        dev_db = np.abs(20 * np.log10(np.maximum(H[sel], 1e-12)))
+        assert dev_db.max() < 0.1, dev_db.max()
+
+    def test_band_selective_compression(self):
+        # compress ONLY the low band; a 100 Hz tone is attenuated, a
+        # 5 kHz tone passes through at unity
+        t = int(SR // 2)
+        n = np.arange(t)
+        lo = np.sin(2 * np.pi * 100.0 * n / SR).astype(np.float32)
+        hi = np.sin(2 * np.pi * 5000.0 * n / SR).astype(np.float32)
+        x = jnp.asarray(np.stack([lo, hi])[:, None])  # (2, 1, t)
+        args = (
+            _b(500.0, 2), _b(2000.0, 2),
+            _b(-30.0, 2), _b(10.0, 2), _b(1.0, 2), _b(100.0, 2), _b(0.0, 2),
+            _b(0.0, 2), _b(1.0, 2), _b(5.0, 2), _b(100.0, 2), _b(0.0, 2),
+            _b(0.0, 2), _b(1.0, 2), _b(5.0, 2), _b(100.0, 2), _b(0.0, 2),
+            _b(0.01, 2),
+        )
+        y = np.asarray(jax.jit(F.multiband_compressor)(x, SR, *args))
+        tail = slice(t // 2, None)
+        lo_out = np.abs(y[0, 0, tail]).max()
+        hi_out = np.abs(y[1, 0, tail]).max()
+        assert lo_out < 0.35, lo_out  # ~ -30 + 3/10*... well below unity
+        assert 0.9 < hi_out < 1.1, hi_out
+
+    def test_crossover_ordering_guard(self):
+        # high crossover below low crossover: softly floored, stays finite
+        x = _noise(1, 1, 4096)
+        args = list(self._flat_args())
+        args[0], args[1] = _b(2000.0), _b(100.0)
+        y = jax.jit(F.multiband_compressor)(x, SR, *args)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+class TestProcessorWrappers:
+    @pytest.mark.parametrize(
+        "cls,chs",
+        [
+            (D.Delay, 1),
+            (D.Chorus, 2),
+            (D.Flanger, 1),
+            (D.Tremolo, 2),
+            (D.Limiter, 2),
+            (D.MultibandCompressor, 1),
+        ],
+    )
+    def test_fuzz_normalized(self, cls, chs):
+        proc = cls(int(SR))
+        x = _noise(4, chs, 8192, scale=0.25)
+
+        @jax.jit
+        def loss(x, p):
+            return jnp.mean(proc.process_normalized(x, p, clip_params=True) ** 2)
+
+        grad = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        for _ in range(2):
+            p = jnp.asarray(
+                RNG.uniform(0, 1, (4, proc.num_params)).astype(np.float32)
+            )
+            assert bool(jnp.isfinite(loss(x, p)))
+            gx, gp = grad(x, p)
+            assert bool(jnp.isfinite(gx).all()), cls.__name__
+            assert bool(jnp.isfinite(gp).all()), cls.__name__
+            assert float(jnp.abs(gp).sum()) > 0, cls.__name__
+
+    def test_chain_with_new_effects(self):
+        chain = D.Chain(
+            [D.ParametricEQ(int(SR)), D.Delay(int(SR)), D.Limiter(int(SR))]
+        )
+        x = _noise(2, 1, 8192)
+        p = jnp.asarray(
+            RNG.uniform(0, 1, (2, chain.num_params)).astype(np.float32)
+        )
+        y = jax.jit(
+            lambda x, p: chain.process_normalized(x, p, clip_params=True)
+        )(x, p)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
