@@ -1181,21 +1181,31 @@ def limiter(
 # ---------------------------------------------------------------------------
 
 
-def _lr4_crossover(x, crossover_hz, sample_rate, filter_method):
-    """Split into (low, high) with a 4th-order Linkwitz-Riley crossover.
+def lr4_crossover_sos(crossover_hz, sample_rate, bs, dtype):
+    """SOS coefficients for a 4th-order Linkwitz-Riley crossover pair.
 
     LR4 = a squared Butterworth (Q = 1/sqrt(2)) biquad per leg; the two
     legs sum to an allpass (flat magnitude), which is the property that
     lets the recombined bands reconstruct the input. Differentiable
     w.r.t. the crossover frequency through the biquad design equations.
+    Shared by the offline :func:`multiband_compressor` and the streaming
+    layer (which carries per-section filter state across chunks).
+
+    Returns:
+        (sos_lp, sos_hp): each (bs, 2, 6), a0-normalized.
     """
-    bs = x.shape[0]
-    zeros = jnp.zeros((bs,), x.dtype)
-    q = jnp.full((bs,), 1.0 / math.sqrt(2.0), x.dtype)
+    zeros = jnp.zeros((bs,), dtype)
+    q = jnp.full((bs,), 1.0 / math.sqrt(2.0), dtype)
     b_lp, a_lp = biquad(zeros, crossover_hz, q, sample_rate, "low_pass")
     b_hp, a_hp = biquad(zeros, crossover_hz, q, sample_rate, "high_pass")
     sos_lp = jnp.stack([jnp.concatenate([b_lp, a_lp], -1)] * 2, axis=1)  # (bs, 2, 6)
     sos_hp = jnp.stack([jnp.concatenate([b_hp, a_hp], -1)] * 2, axis=1)
+    return sos_lp, sos_hp
+
+
+def _lr4_crossover(x, crossover_hz, sample_rate, filter_method):
+    """Split into (low, high) with an LR4 crossover (offline evaluation)."""
+    sos_lp, sos_hp = lr4_crossover_sos(crossover_hz, sample_rate, x.shape[0], x.dtype)
     return _apply_sos(sos_lp, x, filter_method), _apply_sos(sos_hp, x, filter_method)
 
 

@@ -50,8 +50,13 @@ __all__ = [
     "graphic_eq_stream",
     "compressor_stream",
     "expander_stream",
+    "limiter_stream",
     "reverb_stream_init",
     "reverb_stream",
+    "delay_stream",
+    "modulated_delay_stream",
+    "tremolo_stream",
+    "multiband_compressor_stream",
 ]
 
 
@@ -118,7 +123,8 @@ def _dynamics_stream(
     bs = x.shape[0]
     dtype = x.dtype
     threshold_db = F._param(threshold_db, bs, dtype)
-    ratio = F._param(ratio, bs, dtype)
+    if ratio is not None:  # the limiter curve has no ratio
+        ratio = F._param(ratio, bs, dtype)
     attack_ms = F._param(attack_ms, bs, dtype)
     release_ms = F._param(release_ms, bs, dtype)
     knee_db = F._param(knee_db, bs, dtype)
@@ -259,3 +265,270 @@ def reverb_stream(
     new_hist = seg[..., seg.shape[-1] - (K - 1):]
     y = (1.0 - state["mix"]) * x + state["mix"] * wet
     return y, {**state, "hist": new_hist}
+
+
+def limiter_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    attack_ms,
+    release_ms,
+    knee_db,
+    makeup_gain_db,
+    eps: float = 1e-8,
+    zi: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming feed-forward limiter.
+
+    Matches the offline :func:`dasp_tpu.functional.limiter` with
+    ``smoother="block"`` (exact attack-only one-pole) and no lookahead —
+    the same streaming/offline relationship as :func:`compressor_stream`.
+    """
+    return _dynamics_stream(
+        x, sample_rate, threshold_db, None, attack_ms, release_ms,
+        knee_db, makeup_gain_db, eps, zi, "limiter",
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-based / modulation effects
+# ---------------------------------------------------------------------------
+
+
+def delay_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    delay_samples: int,
+    feedback,
+    mix,
+    state: Optional[Dict[str, Any]] = None,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """One streaming step of a feedback delay (echo).
+
+    Streaming evaluates the comb recursion ``w[n] = x[n-D] + fb·w[n-D]``
+    directly over a carried delay line — the causal time-domain form of
+    the closed-form frequency response the offline :func:`functional.delay`
+    samples (minus its negligible circular tail). The delay must be a
+    static whole number of samples here because the carried state layout
+    depends on it; the offline effect keeps the continuous differentiable
+    delay time for training, streaming serves the trained (rounded) value.
+
+    Recursion across a chunk is evaluated block-parallel: samples within
+    one delay period never depend on each other, so the chunk runs as
+    ``ceil(T / D)`` fully vectorized blocks under ``lax.scan`` instead of
+    a per-sample loop.
+
+    Args:
+        x: chunk (bs, chs, T).
+        sample_rate: audio sample rate (Hz) — unused, kept for signature
+            uniformity with the other streams.
+        delay_samples: delay D in samples (static Python int >= 1).
+        feedback: feedback on [0, 1), shape (bs,). Clamped to <= 0.999.
+        mix: dry/wet mix on [0, 1], shape (bs,).
+        state: from the previous step (None = from rest).
+
+    Returns:
+        (y, state): mixed chunk and the carried delay lines.
+    """
+    import jax
+
+    bs, chs, T = x.shape
+    dtype = x.dtype
+    D = int(delay_samples)
+    if D < 1:
+        raise ValueError(f"delay_samples must be >= 1, got {D}")
+    feedback = jnp.minimum(F._param(feedback, bs, dtype), 0.999)
+    mix = F._param(mix, bs, dtype)
+
+    if state is None:
+        state = {
+            "dry_hist": jnp.zeros((bs, chs, D), dtype),
+            "wet_hist": jnp.zeros((bs, chs, D), dtype),
+        }
+
+    # delayed dry input for every chunk position is already known
+    x_ext = jnp.concatenate([state["dry_hist"], x], axis=-1)  # (bs, chs, D+T)
+    dd = x_ext[..., :T]  # x[n - D] for n in [0, T)
+
+    n_blocks = -(-T // D)
+    pad = n_blocks * D - T
+    dd_p = jnp.pad(dd, ((0, 0), (0, 0), (0, pad)))
+    dd_blocks = dd_p.reshape(bs, chs, n_blocks, D).transpose(2, 0, 1, 3)
+
+    def step(carry, dd_b):  # carry: previous D wet samples
+        wet_b = dd_b + feedback * carry
+        return wet_b, wet_b
+
+    _, wet_blocks = jax.lax.scan(step, state["wet_hist"], dd_blocks)
+    wet = wet_blocks.transpose(1, 2, 0, 3).reshape(bs, chs, n_blocks * D)[..., :T]
+
+    y = (1.0 - mix) * x + mix * wet
+    new_state = {
+        "dry_hist": x_ext[..., -D:],
+        "wet_hist": jnp.concatenate([state["wet_hist"], wet], axis=-1)[..., -D:],
+    }
+    return y.astype(dtype), new_state
+
+
+def modulated_delay_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    rate_hz,
+    depth_ms,
+    base_ms,
+    mix,
+    max_delay_samples: int,
+    state: Optional[Dict[str, Any]] = None,
+    lfo_phase: float = 0.0,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """One streaming step of the LFO-modulated fractional delay
+    (chorus/flanger — offline counterpart :func:`functional.modulated_delay`).
+
+    Carries ``max_delay_samples`` of input history plus the absolute
+    sample counter, so the LFO phase is continuous across chunks and the
+    chunked output equals the offline render exactly.
+
+    Args:
+        x: chunk (bs, chs, T).
+        max_delay_samples: static history length; must be >=
+            ``ceil((base_ms + depth_ms) * sample_rate / 1000) + 1`` for
+            every parameter value the stream will see.
+        state: from the previous step (None = from rest: zero history,
+            sample counter 0).
+        Other args: as in :func:`functional.modulated_delay`.
+
+    Returns:
+        (y, state).
+    """
+    import numpy as np
+
+    bs, chs, T = x.shape
+    dtype = x.dtype
+    L = int(max_delay_samples)
+    rate_hz = F._param(rate_hz, bs, dtype)
+    depth_ms = F._param(depth_ms, bs, dtype)
+    base_ms = F._param(base_ms, bs, dtype)
+    mix = F._param(mix, bs, dtype)
+
+    if state is None:
+        state = {"hist": jnp.zeros((bs, chs, L), dtype),
+                 "n0": jnp.zeros((), jnp.int32)}
+
+    n_local = np.arange(T, dtype=np.float32)[None, None, :]
+    t_abs = state["n0"].astype(jnp.float32) + n_local  # absolute sample index
+    lfo = 0.5 * (1.0 + jnp.sin(2.0 * np.pi * rate_hz * (t_abs / sample_rate) + lfo_phase))
+    d = (base_ms + depth_ms * lfo) * (sample_rate / 1e3)  # samples
+
+    x_ext = jnp.concatenate([state["hist"], x], axis=-1)  # (bs, chs, L+T)
+    idx = (L + n_local) - d  # fractional read position in ext coords
+    i0 = jnp.floor(idx)
+    frac = idx - i0
+    i0i = jnp.clip(i0, 0, L + T - 1).astype(jnp.int32)
+    i1i = jnp.clip(i0 + 1.0, 0, L + T - 1).astype(jnp.int32)
+    i0b = jnp.broadcast_to(i0i, (bs, chs, T))
+    i1b = jnp.broadcast_to(i1i, (bs, chs, T))
+    x0 = jnp.take_along_axis(x_ext, i0b, axis=-1)
+    x1 = jnp.take_along_axis(x_ext, i1b, axis=-1)
+    wet = x0 * (1.0 - frac) + x1 * frac
+    # before the global signal start the offline effect outputs zero wet;
+    # from-rest zero history reproduces that except the epsilon boundary,
+    # so mask on absolute time like offline does on its read index
+    wet = jnp.where(t_abs - d >= 0.0, wet, 0.0)
+
+    y = (1.0 - mix) * x + mix * wet
+    new_state = {"hist": x_ext[..., -L:], "n0": state["n0"] + T}
+    return y.astype(dtype), new_state
+
+
+def tremolo_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    rate_hz,
+    depth,
+    state: Optional[Dict[str, Any]] = None,
+    lfo_phase: float = 0.0,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """One streaming step of the tremolo (offline
+    :func:`functional.tremolo`). The only carried state is the absolute
+    sample counter that keeps the LFO phase continuous across chunks."""
+    import numpy as np
+
+    bs, chs, T = x.shape
+    dtype = x.dtype
+    rate_hz = F._param(rate_hz, bs, dtype)
+    depth = F._param(depth, bs, dtype)
+
+    if state is None:
+        state = {"n0": jnp.zeros((), jnp.int32)}
+
+    n_local = np.arange(T, dtype=np.float32)[None, None, :]
+    t_abs = state["n0"].astype(jnp.float32) + n_local
+    lfo = 0.5 * (1.0 + jnp.sin(2.0 * np.pi * rate_hz * (t_abs / sample_rate) + lfo_phase))
+    y = x * (1.0 - depth * lfo)
+    return y.astype(dtype), {"n0": state["n0"] + T}
+
+
+def multiband_compressor_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    crossover_low_hz,
+    crossover_high_hz,
+    low_threshold_db, low_ratio, low_attack_ms, low_release_ms, low_makeup_gain_db,
+    mid_threshold_db, mid_ratio, mid_attack_ms, mid_release_ms, mid_makeup_gain_db,
+    high_threshold_db, high_ratio, high_attack_ms, high_release_ms, high_makeup_gain_db,
+    knee_db,
+    eps: float = 1e-8,
+    state: Optional[Dict[str, Any]] = None,
+    filter_method: str = "coupled",
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """One streaming step of the three-band compressor.
+
+    Matches the offline :func:`functional.multiband_compressor` with the
+    same ``filter_method`` and ``smoother="block"``. The carried state is
+    the six LR4 crossover filters' section states plus the three band
+    compressors' smoother state (bands batched 3x like offline, so the
+    whole effect stays one fused program per step). Chunk length must be
+    a multiple of the IIR block length (128).
+    """
+    bs, chs, T = x.shape
+    dtype = x.dtype
+    f_lo = F._param(crossover_low_hz, bs, dtype).reshape(bs)
+    f_hi = jnp.maximum(F._param(crossover_high_hz, bs, dtype).reshape(bs), 1.01 * f_lo)
+
+    if state is None:
+        state = {f"xo{i}": None for i in range(6)}
+        state["dyn"] = None
+
+    sos_lo_lp, sos_lo_hp = F.lr4_crossover_sos(f_lo, sample_rate, bs, dtype)
+    sos_hi_lp, sos_hi_hp = F.lr4_crossover_sos(f_hi, sample_rate, bs, dtype)
+
+    def xo(sos, sig, k):
+        y, zf = sosfilt_stream(sos, sig, zi=state[k], filter_method=filter_method)
+        new_state[k] = zf
+        return y
+
+    new_state: Dict[str, Any] = {}
+    low_pre = xo(sos_lo_lp, x, "xo0")
+    rest = xo(sos_lo_hp, x, "xo1")
+    mid = xo(sos_hi_lp, rest, "xo2")
+    high = xo(sos_hi_hp, rest, "xo3")
+    # phase-compensate the low band with the high crossover's allpass
+    low = xo(sos_hi_lp, low_pre, "xo4") + xo(sos_hi_hp, low_pre, "xo5")
+
+    def cat(*ps):
+        return jnp.concatenate([F._param(p, bs, dtype).reshape(bs) for p in ps], axis=0)
+
+    bands = jnp.concatenate([low, mid, high], axis=0)  # (3*bs, chs, T)
+    y, dyn_zf = compressor_stream(
+        bands, sample_rate,
+        cat(low_threshold_db, mid_threshold_db, high_threshold_db),
+        cat(low_ratio, mid_ratio, high_ratio),
+        cat(low_attack_ms, mid_attack_ms, high_attack_ms),
+        cat(low_release_ms, mid_release_ms, high_release_ms),
+        cat(knee_db, knee_db, knee_db),
+        cat(low_makeup_gain_db, mid_makeup_gain_db, high_makeup_gain_db),
+        eps=eps, zi=state["dyn"],
+    )
+    new_state["dyn"] = dyn_zf
+    out = y[:bs] + y[bs : 2 * bs] + y[2 * bs :]
+    return out.astype(dtype), new_state

@@ -193,3 +193,103 @@ class TestStreamingChainScan:
         yb = run(xb, zi0)
         y = jnp.concatenate(list(yb), axis=-1)
         np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
+
+
+class TestNewEffectStreams:
+    def test_delay_stream_matches_offline(self):
+        # integer-sample delay so offline (closed-form comb, fractional-
+        # capable) and streaming (time-domain recursion) agree exactly
+        D_samp = 300
+        d_ms = D_samp / SR * 1e3
+        fb = jnp.full((BS,), 0.6, jnp.float32)
+        mix = jnp.full((BS,), 0.7, jnp.float32)
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 8192)).astype(np.float32) * 0.3)
+        offline = jax.jit(
+            lambda x: D.functional.delay(x, SR, jnp.full((BS,), d_ms), fb, mix)
+        )(x)
+        step = jax.jit(
+            lambda c, s: streaming.delay_stream(c, SR, D_samp, fb, mix, state=s)
+        )
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=2e-4)
+
+    def test_delay_stream_chunk_smaller_and_larger_than_delay(self):
+        # chunk < D exercises the pure-gather path, chunk > D the
+        # block-recursion path; both must agree with a one-shot call
+        D_samp = 256
+        fb = jnp.full((1,), 0.5, jnp.float32)
+        mix = jnp.full((1,), 1.0, jnp.float32)
+        x = jnp.asarray(RNG.standard_normal((1, 1, 4096)).astype(np.float32))
+        one, _ = streaming.delay_stream(x, SR, D_samp, fb, mix)
+        for chunk in (128, 1024):
+            step = jax.jit(
+                lambda c, s: streaming.delay_stream(c, SR, D_samp, fb, mix, state=s)
+            )
+            y, _ = _stream_all(step, x, chunk)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(one), atol=1e-5)
+
+    def test_modulated_delay_stream_matches_offline(self):
+        rate = jnp.full((BS,), 1.3, jnp.float32)
+        depth = jnp.full((BS,), 6.0, jnp.float32)
+        base = jnp.full((BS,), 12.0, jnp.float32)
+        mix = jnp.full((BS,), 0.8, jnp.float32)
+        L = int((12.0 + 6.0) / 1e3 * SR) + 2
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 8192)).astype(np.float32) * 0.3)
+        offline = jax.jit(
+            lambda x: D.functional.modulated_delay(x, SR, rate, depth, base, mix)
+        )(x)
+        step = jax.jit(
+            lambda c, s: streaming.modulated_delay_stream(
+                c, SR, rate, depth, base, mix, L, state=s
+            )
+        )
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
+
+    def test_tremolo_stream_matches_offline(self):
+        rate = jnp.full((BS,), 4.5, jnp.float32)
+        depth = jnp.full((BS,), 0.9, jnp.float32)
+        x = jnp.asarray(RNG.standard_normal((BS, 1, 8192)).astype(np.float32))
+        offline = jax.jit(lambda x: D.functional.tremolo(x, SR, rate, depth))(x)
+        step = jax.jit(
+            lambda c, s: streaming.tremolo_stream(c, SR, rate, depth, state=s)
+        )
+        y, _ = _stream_all(step, x, 1024)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=1e-5)
+
+    def test_limiter_stream_matches_offline(self):
+        args = [jnp.full((BS,), v, jnp.float32) for v in (-12.0, 2.0, 80.0, 3.0, 1.5)]
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 8192)).astype(np.float32) * 0.5)
+        offline = jax.jit(
+            lambda x: D.functional.limiter(x, SR, *args, smoother="block")
+        )(x)
+        step = jax.jit(lambda c, s: streaming.limiter_stream(c, SR, *args, zi=s))
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
+
+    @pytest.mark.parametrize("method", ["coupled", "block"])
+    def test_multiband_stream_matches_offline(self, method):
+        b = lambda v: jnp.full((BS,), v, jnp.float32)
+        params = dict(
+            crossover_low_hz=b(250.0), crossover_high_hz=b(2500.0),
+            low_threshold_db=b(-25.0), low_ratio=b(4.0), low_attack_ms=b(5.0),
+            low_release_ms=b(60.0), low_makeup_gain_db=b(1.0),
+            mid_threshold_db=b(-20.0), mid_ratio=b(3.0), mid_attack_ms=b(5.0),
+            mid_release_ms=b(60.0), mid_makeup_gain_db=b(0.5),
+            high_threshold_db=b(-15.0), high_ratio=b(2.0), high_attack_ms=b(5.0),
+            high_release_ms=b(60.0), high_makeup_gain_db=b(0.0),
+            knee_db=b(4.0),
+        )
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 4096)).astype(np.float32) * 0.4)
+        offline = jax.jit(
+            lambda x: D.functional.multiband_compressor(
+                x, SR, **params, smoother="block", filter_method=method
+            )
+        )(x)
+        step = jax.jit(
+            lambda c, s: streaming.multiband_compressor_stream(
+                c, SR, **params, state=s, filter_method=method
+            )
+        )
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=1e-3)
