@@ -138,6 +138,34 @@ def main():
             rev,
             lambda x, p: D.noise_shaped_reverberation(x, SR, *p, key=key, noise_mode="frequency")),
         "stereo_widener": ([f(0.7)], lambda x, p: D.stereo_widener(x, SR, *p)),
+        "delay": (
+            [f(120.0), f(0.5), f(0.5)],
+            lambda x, p: D.delay(x, SR, *p)),
+        "modulated_delay": (
+            [f(1.5), f(5.0), f(15.0), f(0.5)],
+            lambda x, p: D.modulated_delay(x, SR, *p)),
+        "tremolo": ([f(4.0), f(0.8)], lambda x, p: D.tremolo(x, SR, *p)),
+        "limiter_ballistics": (
+            [f(-12.0), f(2.0), f(120.0), f(3.0), f(2.0)],
+            lambda x, p: D.limiter(x, SR, *p, smoother="parallel")),
+        "limiter_block": (
+            [f(-12.0), f(2.0), f(120.0), f(3.0), f(2.0)],
+            lambda x, p: D.limiter(x, SR, *p, smoother="block")),
+        "multiband_compressor": (
+            [f(250.0), f(2500.0)]
+            + [f(-25.0), f(4.0), f(5.0), f(60.0), f(1.0)]
+            + [f(-20.0), f(3.0), f(5.0), f(60.0), f(0.5)]
+            + [f(-15.0), f(2.0), f(5.0), f(60.0), f(0.0)]
+            + [f(4.0)],
+            lambda x, p: D.multiband_compressor(x, SR, *p)),
+        "multiband_compressor_coupled": (
+            [f(250.0), f(2500.0)]
+            + [f(-25.0), f(4.0), f(5.0), f(60.0), f(1.0)]
+            + [f(-20.0), f(3.0), f(5.0), f(60.0), f(0.5)]
+            + [f(-15.0), f(2.0), f(5.0), f(60.0), f(0.0)]
+            + [f(4.0)],
+            lambda x, p: D.multiband_compressor(
+                x, SR, *p, smoother="block", filter_method="coupled")),
     }
 
     # shape-changing stereo effects need their own input shapes and a

@@ -180,24 +180,35 @@ def _first_order_scan(decay: jnp.ndarray, drive: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def onepole_exact(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+def onepole_exact(
+    x: jnp.ndarray, alpha: jnp.ndarray, y0: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Exact one-pole lowpass smoother y[n] = (1-alpha)*x[n] + alpha*y[n-1].
 
     This is the recursion the reference approximates with an FFT
     (dasp_pytorch/functional.py:372-380). ``alpha`` broadcasts against
-    ``x`` (e.g. shape (bs, 1, 1) vs (bs, 1, T)).
+    ``x`` (e.g. shape (bs, 1, 1) vs (bs, 1, T)). ``y0`` is the carried
+    value of y[-1] (shape x.shape[:-1]; None = from rest), which makes
+    chunked evaluation bit-identical to one-shot — the streaming layer's
+    contract.
     """
     alpha = jnp.broadcast_to(alpha, x.shape)
-    return _first_order_scan(alpha, (1.0 - alpha) * x)
+    drive = (1.0 - alpha) * x
+    if y0 is not None:
+        first = drive[..., :1] + alpha[..., :1] * y0[..., None]
+        drive = jnp.concatenate([first, drive[..., 1:]], axis=-1)
+    return _first_order_scan(alpha, drive)
 
 
-def onepole_varying(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+def onepole_varying(
+    x: jnp.ndarray, alpha: jnp.ndarray, y0: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """One-pole smoother with a per-sample coefficient alpha[n].
 
     Same recurrence as :func:`onepole_exact`, which already broadcasts a
     per-sample coefficient; kept as a named entry point for readability.
     """
-    return onepole_exact(x, alpha)
+    return onepole_exact(x, alpha, y0=y0)
 
 
 def lfilter1_exact(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
@@ -722,7 +733,9 @@ def ballistics_smooth(
     alpha_attack: jnp.ndarray,
     alpha_release: jnp.ndarray,
     mode: str = "parallel",
-) -> jnp.ndarray:
+    y0: tuple | None = None,
+    return_yf: bool = False,
+):
     """Attack/release envelope smoothing of a gain-reduction curve.
 
     The reference accepts ``release_ms`` but never uses it
@@ -742,23 +755,51 @@ def ballistics_smooth(
       * ``"attack_only"``: single attack-coefficient one-pole, exact scan —
         the same filter the reference's FSM approximates.
 
+    Streaming: pass ``y0`` (the tuple returned via ``return_yf``) to
+    carry the envelope across chunks; chunk-by-chunk evaluation then
+    equals the one-shot render. The state is ``(y_attack_pass, y_main)``
+    of shape ``g.shape[:-1]`` — "parallel" needs both entries (its
+    attack/release decision compares against the *delayed attack-pass*
+    envelope, which crosses the chunk boundary), the other modes use
+    only ``y_main``.
+
     Args:
         g: gain-reduction curve in dB (<= 0), shape (bs, 1, T).
         alpha_attack / alpha_release: smoothing coefficients, broadcastable
             to g (e.g. (bs, 1, 1)).
         mode: one of "parallel", "exact", "attack_only".
+        y0: carried state from a previous chunk (None = from rest).
+        return_yf: also return the final state tuple.
+
+    Returns:
+        Smoothed curve, same shape as g; with ``return_yf`` a tuple
+        ``(y, (ya_f, ym_f))``.
     """
+    ya0, ym0 = (None, None) if y0 is None else y0
+
     if mode == "attack_only":
-        return onepole_exact(g, alpha_attack)
+        y = onepole_exact(g, alpha_attack, y0=ym0)
+        if return_yf:
+            return y, (y[..., -1], y[..., -1])
+        return y
 
     if mode == "parallel":
-        y_a = onepole_exact(g, alpha_attack)
-        pad = [(0, 0)] * (g.ndim - 1) + [(1, 0)]
-        y_prev = jnp.pad(y_a, pad)[..., :-1]  # proxy for y[n-1]
+        y_a = onepole_exact(g, alpha_attack, y0=ya0)
+        # proxy for y[n-1]: the attack-pass envelope delayed one sample;
+        # the value entering the first slot is the previous chunk's last
+        # attack-pass sample (0 from rest)
+        if ya0 is None:
+            first = jnp.zeros_like(y_a[..., :1])
+        else:
+            first = ya0[..., None]
+        y_prev = jnp.concatenate([first, y_a[..., :-1]], axis=-1)
         alpha_attack = jnp.broadcast_to(alpha_attack, g.shape)
         alpha_release = jnp.broadcast_to(alpha_release, g.shape)
         alpha = jnp.where(g < y_prev, alpha_attack, alpha_release)
-        return onepole_varying(g, alpha)
+        y = onepole_varying(g, alpha, y0=ym0)
+        if return_yf:
+            return y, (y_a[..., -1], y[..., -1])
+        return y
 
     if mode == "exact":
         a_att = jnp.broadcast_to(alpha_attack, g.shape)[..., 0]
@@ -770,7 +811,11 @@ def ballistics_smooth(
             return y, y
 
         g_t = jnp.moveaxis(g, -1, 0)
-        _, y_t = lax.scan(step, jnp.zeros_like(g_t[0]), g_t)
-        return jnp.moveaxis(y_t, 0, -1)
+        init = jnp.zeros_like(g_t[0]) if ym0 is None else ym0
+        _, y_t = lax.scan(step, init, g_t)
+        y = jnp.moveaxis(y_t, 0, -1)
+        if return_yf:
+            return y, (y[..., -1], y[..., -1])
+        return y
 
     raise ValueError(f"Unknown ballistics mode: {mode!r}")

@@ -38,6 +38,7 @@ from . import functional as F
 from .ops.fft_filter import next_pow2
 from .ops.fir import fft_conv_causal
 from .ops.iir import (
+    ballistics_smooth,
     embed_first_order_sos,
     onepole_ba,
     sosfilt_blockmat,
@@ -118,7 +119,7 @@ def graphic_eq_stream(
 
 def _dynamics_stream(
     x, sample_rate, threshold_db, ratio, attack_ms, release_ms,
-    knee_db, makeup_gain_db, eps, zi, mode,
+    knee_db, makeup_gain_db, eps, zi, mode, smoother="block",
 ):
     bs = x.shape[0]
     dtype = x.dtype
@@ -130,16 +131,28 @@ def _dynamics_stream(
     knee_db = F._param(knee_db, bs, dtype)
     makeup_gain_db = F._param(makeup_gain_db, bs, dtype)
 
-    _, x_db, alpha_a, _ = F._dynamics_common(
+    _, x_db, alpha_a, alpha_r = F._dynamics_common(
         x, sample_rate, attack_ms, release_ms, eps
     )
     g_c = F.static_gain_computer(x_db, threshold_db, ratio, knee_db, mode)
 
-    # exact attack-only one-pole smoother (the offline smoother="block"
-    # path) with carried state
-    b, a = onepole_ba(alpha_a.reshape(bs, 1).astype(dtype))
-    sec = embed_first_order_sos(b, a)[:, None, :]
-    g_smooth, zf = sosfilt_blockmat(sec, g_c, zi=zi, return_zf=True)
+    if smoother == "block":
+        # exact attack-only one-pole smoother (the offline
+        # smoother="block" path) with carried state
+        b, a = onepole_ba(alpha_a.reshape(bs, 1).astype(dtype))
+        sec = embed_first_order_sos(b, a)[:, None, :]
+        g_smooth, zf = sosfilt_blockmat(sec, g_c, zi=zi, return_zf=True)
+    elif smoother in ("parallel", "exact"):
+        # true attack/release ballistics (the offline smoother="parallel"
+        # / "exact" paths) with the carried (ya, ym) envelope state
+        g_smooth, zf = ballistics_smooth(
+            g_c, alpha_a, alpha_r, mode=smoother, y0=zi, return_yf=True
+        )
+    else:
+        raise ValueError(
+            f"Unknown streaming smoother: {smoother!r}. "
+            "Expected 'block', 'parallel' or 'exact'."
+        )
 
     y = x * F.db_to_linear(g_smooth + makeup_gain_db)
     return y, zf
@@ -155,19 +168,22 @@ def compressor_stream(
     knee_db,
     makeup_gain_db,
     eps: float = 1e-8,
-    zi: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    zi=None,
+    smoother: str = "block",
+) -> Tuple[jnp.ndarray, Any]:
     """Streaming feed-forward compressor.
 
-    Matches the offline :func:`dasp_tpu.functional.compressor` with
-    ``smoother="block"`` (exact attack-only one-pole — the recursion the
-    reference's FSM approximates) and ``lookahead_samples=0``; the
-    sidechain/static curve are memoryless, so only the smoother's
-    one-pole state is carried. State shape: (bs, 1, 1, 4).
+    Matches the offline :func:`dasp_tpu.functional.compressor` at the
+    same ``smoother``: ``"block"`` (default — exact attack-only
+    one-pole, the recursion the reference's FSM approximates; carried
+    state (bs, 1, 1, 4)), or ``"parallel"`` / ``"exact"`` (true
+    attack+release ballistics; carried state is the ``(ya, ym)``
+    envelope tuple — see ``ops.iir.ballistics_smooth``). Always
+    ``lookahead_samples=0``; the sidechain/static curve are memoryless.
     """
     return _dynamics_stream(
         x, sample_rate, threshold_db, ratio, attack_ms, release_ms,
-        knee_db, makeup_gain_db, eps, zi, "compressor",
+        knee_db, makeup_gain_db, eps, zi, "compressor", smoother,
     )
 
 
@@ -181,12 +197,13 @@ def expander_stream(
     knee_db,
     makeup_gain_db,
     eps: float = 1e-8,
-    zi: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    zi=None,
+    smoother: str = "block",
+) -> Tuple[jnp.ndarray, Any]:
     """Streaming downward expander (see :func:`compressor_stream`)."""
     return _dynamics_stream(
         x, sample_rate, threshold_db, ratio, attack_ms, release_ms,
-        knee_db, makeup_gain_db, eps, zi, "expander",
+        knee_db, makeup_gain_db, eps, zi, "expander", smoother,
     )
 
 
@@ -276,17 +293,21 @@ def limiter_stream(
     knee_db,
     makeup_gain_db,
     eps: float = 1e-8,
-    zi: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    zi=None,
+    smoother: str = "parallel",
+) -> Tuple[jnp.ndarray, Any]:
     """Streaming feed-forward limiter.
 
-    Matches the offline :func:`dasp_tpu.functional.limiter` with
-    ``smoother="block"`` (exact attack-only one-pole) and no lookahead —
-    the same streaming/offline relationship as :func:`compressor_stream`.
+    Matches the offline :func:`dasp_tpu.functional.limiter` at the same
+    ``smoother`` — default ``"parallel"`` (true attack+release
+    ballistics, the offline limiter's own default: release behaviour is
+    what makes a limiter a limiter) with the carried ``(ya, ym)``
+    envelope state; ``"block"``/``"exact"`` as in
+    :func:`compressor_stream`. No lookahead.
     """
     return _dynamics_stream(
         x, sample_rate, threshold_db, None, attack_ms, release_ms,
-        knee_db, makeup_gain_db, eps, zi, "limiter",
+        knee_db, makeup_gain_db, eps, zi, "limiter", smoother,
     )
 
 

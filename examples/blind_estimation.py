@@ -30,9 +30,12 @@ from common import base_parser, batch_iterator
 
 def main():
     parser = base_parser(__doc__)
-    parser.add_argument("--processor", choices=["compressor", "expander"],
+    parser.add_argument("--processor",
+                        choices=["compressor", "expander", "limiter",
+                                 "multiband_compressor", "delay", "chorus",
+                                 "flanger", "tremolo"],
                         default="compressor",
-                        help="which dynamics processor to blind-estimate")
+                        help="which processor to blind-estimate")
     args = parser.parse_args()
     if args.smoke:
         args.length, args.batch_size, args.steps = 16384, 2, args.steps
@@ -44,6 +47,18 @@ def main():
         # --smoother None -> the expander's own default (true-ballistics
         # 'parallel'); an explicit --smoother fsm is honoured
         processor = D.Expander(sr, smoother=args.smoother or "parallel")
+    elif args.processor == "limiter":
+        processor = D.Limiter(sr, smoother=args.smoother or "parallel")
+    elif args.processor == "multiband_compressor":
+        processor = D.MultibandCompressor(sr, smoother=args.smoother or "fsm")
+    elif args.processor == "delay":
+        processor = D.Delay(sr)
+    elif args.processor == "chorus":
+        processor = D.Chorus(sr)
+    elif args.processor == "flanger":
+        processor = D.Flanger(sr)
+    elif args.processor == "tremolo":
+        processor = D.Tremolo(sr)
     else:
         processor = D.Compressor(sr, smoother=args.smoother or "fsm")
     net = ParameterNetwork.blind_estimation(processor.num_params)

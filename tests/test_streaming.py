@@ -257,13 +257,41 @@ class TestNewEffectStreams:
         y, _ = _stream_all(step, x, 1024)
         np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=1e-5)
 
-    def test_limiter_stream_matches_offline(self):
+    @pytest.mark.parametrize("smoother", ["block", "parallel", "exact"])
+    def test_limiter_stream_matches_offline(self, smoother):
         args = [jnp.full((BS,), v, jnp.float32) for v in (-12.0, 2.0, 80.0, 3.0, 1.5)]
         x = jnp.asarray(RNG.standard_normal((BS, 2, 8192)).astype(np.float32) * 0.5)
         offline = jax.jit(
-            lambda x: D.functional.limiter(x, SR, *args, smoother="block")
+            lambda x: D.functional.limiter(x, SR, *args, smoother=smoother)
         )(x)
-        step = jax.jit(lambda c, s: streaming.limiter_stream(c, SR, *args, zi=s))
+        step = jax.jit(
+            lambda c, s: streaming.limiter_stream(
+                c, SR, *args, zi=s, smoother=smoother
+            )
+        )
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
+
+    @pytest.mark.parametrize("smoother", ["parallel", "exact"])
+    def test_compressor_stream_true_ballistics(self, smoother):
+        # the streaming layer carries the (ya, ym) envelope state so the
+        # true attack/release smoothers chunk exactly like offline —
+        # release tails crossing chunk boundaries included
+        args = [jnp.full((BS,), v, jnp.float32)
+                for v in (-20.0, 4.0, 2.0, 150.0, 4.0, 1.0)]
+        # bursty signal: loud attack region then silence, so the release
+        # trajectory spans several 512-sample chunks
+        x = np.asarray(RNG.standard_normal((BS, 2, 8192)), np.float32) * 0.05
+        x[..., 1024:2048] *= 20.0
+        x = jnp.asarray(x)
+        offline = jax.jit(
+            lambda x: D.functional.compressor(x, SR, *args, smoother=smoother)
+        )(x)
+        step = jax.jit(
+            lambda c, s: streaming.compressor_stream(
+                c, SR, *args, zi=s, smoother=smoother
+            )
+        )
         y, _ = _stream_all(step, x, 512)
         np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
 
