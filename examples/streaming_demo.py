@@ -1,11 +1,14 @@
 """Streaming (serving) demo: process audio chunk-by-chunk with state.
 
 Renders a guitar-ish synthetic signal through the serving chain
-(parametric EQ -> compressor -> noise-shaped reverb) twice — once
-offline on the whole clip, once through `dasp_tpu.streaming` in
-fixed-size chunks with carried state — verifies the outputs match, and
-writes both to wav. This is the deployment shape: one jitted step, fixed
-chunk in / fixed chunk out, all state on device.
+(parametric EQ -> compressor -> feedback delay -> noise-shaped reverb ->
+limiter) twice — once offline on the whole clip, once through
+`dasp_tpu.streaming` in fixed-size chunks with carried state — verifies
+the outputs match, and writes both to wav. This is the deployment shape:
+one jitted step, fixed chunk in / fixed chunk out, all state on device.
+The limiter streams with TRUE attack/release ballistics (carried
+envelope state), and the delay's comb recursion runs block-parallel over
+its carried delay line.
 
     python examples/streaming_demo.py [--chunk 512] [--seconds 3]
 """
@@ -58,16 +61,27 @@ def main():
     gains = jnp.full((1, 12), 0.6)
     decays = jnp.full((1, 12), 0.5)
     key = jax.random.PRNGKey(7)
+    # integer-sample delay so the offline closed-form comb and the
+    # streaming time-domain recursion agree exactly
+    delay_samp = 4410  # 100 ms
+    delay_ms = np.full((1,), delay_samp / SR * 1e3, np.float32)
+    delay_fb = np.full((1,), 0.35, np.float32)
+    delay_mix = np.full((1,), 0.3, np.float32)
+    lim_p = {k: np.full((1,), v, np.float32) for k, v in dict(
+        threshold_db=-8.0, attack_ms=1.0, release_ms=150.0,
+        knee_db=2.0, makeup_gain_db=0.0).items()}
 
     # --- offline render (whole clip at once) ------------------------------
     @jax.jit
     def offline(x):
         y = D.parametric_eq(x, SR, *eq_p, filter_method="coupled")
         y = D.compressor(y, SR, **comp_p, smoother="block")
-        return D.noise_shaped_reverberation(
+        y = D.delay(y, SR, delay_ms, delay_fb, delay_mix)
+        y = D.noise_shaped_reverberation(
             y, SR, *[gains[:, i] for i in range(12)],
             *[decays[:, i] for i in range(12)], jnp.full((1,), 0.25),
             num_samples=args.reverb_samples, key=key, noise_mode="frequency")
+        return D.limiter(y, SR, **lim_p)
 
     y_offline = offline(x)
 
@@ -77,19 +91,31 @@ def main():
         noise_mode="frequency"))(gains, decays, key)
 
     @jax.jit
-    def step(c, eq_zi, comp_zi, rev_state):
-        y, eq_zi = streaming.parametric_eq_stream(c, SR, *eq_p, zi=eq_zi)
-        y, comp_zi = streaming.compressor_stream(y, SR, **comp_p, zi=comp_zi)
-        y, rev_state = streaming.reverb_stream(y, rev_state)
-        return y, eq_zi, comp_zi, rev_state
+    def step(c, st):
+        y, eq_zi = streaming.parametric_eq_stream(c, SR, *eq_p, zi=st["eq"])
+        y, comp_zi = streaming.compressor_stream(y, SR, **comp_p, zi=st["comp"])
+        y, dl_state = streaming.delay_stream(
+            y, SR, delay_samp, delay_fb, delay_mix, state=st["delay"])
+        y, rev_state = streaming.reverb_stream(y, st["rev"])
+        y, lim_zi = streaming.limiter_stream(y, SR, **lim_p, zi=st["lim"])
+        return y, {"eq": eq_zi, "comp": comp_zi, "delay": dl_state,
+                   "rev": rev_state, "lim": lim_zi}
 
-    eq_zi = jnp.zeros((1, 2, 6, 2))
-    comp_zi = jnp.zeros((1, 1, 1, 4))
+    st = {
+        "eq": jnp.zeros((1, 2, 6, 2)),
+        "comp": jnp.zeros((1, 1, 1, 4)),
+        # concrete from-rest states (a None->array swap after the first
+        # chunk would retrigger compilation)
+        "delay": {"dry_hist": jnp.zeros((1, 2, delay_samp)),
+                  "wet_hist": jnp.zeros((1, 2, delay_samp))},
+        "rev": rev_state,
+        "lim": (jnp.zeros((1, 1)), jnp.zeros((1, 1))),
+    }
     outs = []
     t0 = time.time()
     for i in range(T // args.chunk):
         c = x[..., i * args.chunk : (i + 1) * args.chunk]
-        y, eq_zi, comp_zi, rev_state = step(c, eq_zi, comp_zi, rev_state)
+        y, st = step(c, st)
         outs.append(y)
     y_stream = jnp.concatenate(outs, axis=-1)
     jax.block_until_ready(y_stream)
