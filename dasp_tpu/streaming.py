@@ -58,6 +58,7 @@ __all__ = [
     "modulated_delay_stream",
     "tremolo_stream",
     "multiband_compressor_stream",
+    "StreamChain",
 ]
 
 
@@ -553,3 +554,49 @@ def multiband_compressor_stream(
     new_state["dyn"] = dyn_zf
     out = y[:bs] + y[bs : 2 * bs] + y[2 * bs :]
     return out.astype(dtype), new_state
+
+
+class StreamChain:
+    """Serial composition of stream steps with one carried state dict.
+
+    The streaming counterpart of :class:`dasp_tpu.modules.Chain`: each
+    entry is ``(name, step_fn)`` where ``step_fn(chunk, state) ->
+    (chunk, state)`` is any of this module's ``*_stream`` functions with
+    its parameters bound (``functools.partial`` / lambda). The chain
+    itself is a pure ``(chunk, state_dict) -> (chunk, state_dict)``
+    function — jit it like any single step.
+
+    ``state=None`` starts every member from rest. Note that a jitted
+    chain recompiles once when the state pytree changes from ``None``
+    leaves to concrete arrays after the first chunk; pass explicit
+    from-rest states (see each stream's docs) to avoid that in
+    latency-critical serving.
+
+    Example::
+
+        chain = StreamChain([
+            ("eq",   lambda c, s: parametric_eq_stream(c, sr, *p_eq, zi=s)),
+            ("comp", lambda c, s: compressor_stream(c, sr, *p_c, zi=s)),
+            ("lim",  lambda c, s: limiter_stream(c, sr, *p_l, zi=s)),
+        ])
+        step = jax.jit(chain)
+        y, state = step(chunk, None)
+    """
+
+    def __init__(self, steps):
+        steps = list(steps)
+        if not steps:
+            raise ValueError("StreamChain requires at least one step.")
+        names = [name for name, _ in steps]
+        if len(set(names)) != len(names):
+            raise ValueError(f"Duplicate step names: {names}")
+        self.steps = steps
+
+    def __call__(
+        self, x: jnp.ndarray, state: Optional[Dict[str, Any]] = None
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        state = {} if state is None else state
+        new_state: Dict[str, Any] = {}
+        for name, fn in self.steps:
+            x, new_state[name] = fn(x, state.get(name))
+        return x, new_state

@@ -321,3 +321,46 @@ class TestNewEffectStreams:
         )
         y, _ = _stream_all(step, x, 512)
         np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=1e-3)
+
+
+class TestStreamChain:
+    def test_chain_matches_manual_composition(self):
+        eq_p = [jnp.full((BS,), v, jnp.float32) for v in
+                (2.0, 150.0, 0.7, -3.0, 900.0, 1.5, 1.0, 2500.0, 1.0,
+                 -1.0, 5000.0, 1.5, 2.0, 9000.0, 0.7, 0.0, 12000.0, 0.7)]
+        cp = [jnp.full((BS,), v, jnp.float32)
+              for v in (-20.0, 4.0, 5.0, 60.0, 4.0, 1.0)]
+        lp = [jnp.full((BS,), v, jnp.float32)
+              for v in (-8.0, 1.0, 120.0, 2.0, 0.0)]
+        chain = streaming.StreamChain([
+            ("eq", lambda c, s: streaming.parametric_eq_stream(c, SR, *eq_p, zi=s)),
+            ("comp", lambda c, s: streaming.compressor_stream(c, SR, *cp, zi=s)),
+            ("lim", lambda c, s: streaming.limiter_stream(c, SR, *lp, zi=s)),
+        ])
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 4096)).astype(np.float32) * 0.3)
+
+        # manual offline composition with matching smoother semantics
+        @jax.jit
+        def offline(x):
+            y = D.functional.parametric_eq(x, SR, *eq_p, filter_method="coupled")
+            y = D.functional.compressor(y, SR, *cp, smoother="block")
+            return D.functional.limiter(y, SR, *lp, smoother="parallel")
+
+        step = jax.jit(chain)
+        state = None
+        outs = []
+        for i in range(0, 4096, 512):
+            y, state = step(x[..., i : i + 512], state)
+            outs.append(y)
+        y_stream = jnp.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(y_stream), np.asarray(offline(x)), atol=1e-3
+        )
+        assert set(state.keys()) == {"eq", "comp", "lim"}
+
+    def test_rejects_empty_and_duplicate(self):
+        with pytest.raises(ValueError, match="at least one"):
+            streaming.StreamChain([])
+        fn = lambda c, s: (c, s)
+        with pytest.raises(ValueError, match="Duplicate"):
+            streaming.StreamChain([("a", fn), ("a", fn)])
