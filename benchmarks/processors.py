@@ -144,6 +144,9 @@ def main():
         "modulated_delay": (
             [f(1.5), f(5.0), f(15.0), f(0.5)],
             lambda x, p: D.modulated_delay(x, SR, *p)),
+        "modulated_delay_matmul": (
+            [f(1.5), f(5.0), f(15.0), f(0.5)],
+            lambda x, p: D.modulated_delay(x, SR, *p, max_delay_ms=20.0)),
         "tremolo": ([f(4.0), f(0.8)], lambda x, p: D.tremolo(x, SR, *p)),
         "limiter_ballistics": (
             [f(-12.0), f(2.0), f(120.0), f(3.0), f(2.0)],

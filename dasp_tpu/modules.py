@@ -547,7 +547,12 @@ class Delay(Processor):
 
 
 class _ModulatedDelay(Processor):
-    """Shared body for Chorus/Flanger: LFO-modulated fractional delay."""
+    """Shared body for Chorus/Flanger: LFO-modulated fractional delay.
+
+    The declared ranges bound the total delay statically, so the wrapper
+    always drives :func:`functional.modulated_delay`'s MXU path
+    (``max_delay_ms = max_base + max_depth`` — per-tile interpolation
+    matmuls instead of TPU gathers)."""
 
     def __init__(
         self,
@@ -563,7 +568,10 @@ class _ModulatedDelay(Processor):
     ):
         super().__init__()
         self.sample_rate = sample_rate
-        self.process_fn = F.modulated_delay
+        max_total_ms = max_base_ms + max_depth_ms
+        self.process_fn = lambda x, *a, **kw: F.modulated_delay(
+            x, *a, **{"max_delay_ms": max_total_ms, **kw}
+        )
         self.param_ranges = {
             "rate_hz": (min_rate_hz, max_rate_hz),
             "depth_ms": (min_depth_ms, max_depth_ms),

@@ -81,6 +81,44 @@ class TestModulatedDelay:
         # pre-delay region is zero
         assert np.abs(np.asarray(y)[0, 0, : base_samp - 1]).max() < 1e-5
 
+    def test_matmul_path_matches_gather_path(self):
+        # the MXU per-tile interpolation-matmul path equals the gather
+        # path (tolerance covers the gather path's own fp32 n-d
+        # cancellation at large n; vs float64 the matmul path is the
+        # MORE accurate of the two)
+        x = _noise(2, 2, 10000, scale=0.3)
+        args = (_b(1.7, 2), _b(6.0, 2), _b(11.0, 2), _b(0.8, 2))
+        y_g = jax.jit(lambda x: F.modulated_delay(x, SR, *args))(x)
+        y_m = jax.jit(
+            lambda x: F.modulated_delay(x, SR, *args, max_delay_ms=20.0)
+        )(x)
+        np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_m), atol=2e-3)
+
+        # Parameter gradients are ill-conditioned fp32 reductions (sums
+        # of large cancelling n*cos terms over floor boundaries), so the
+        # two fp32 paths are individually noisy; pin the meaningful
+        # property instead: vs a float64 reference, the matmul path is
+        # at least as accurate as the gather path on every parameter.
+        def gl(fn, dtype):
+            xx = x.astype(dtype)
+            bb = lambda v: jnp.full((2,), v, dtype)
+            g = jax.jit(jax.grad(
+                lambda r, d, bm: jnp.sum(fn(xx, SR, r, d, bm, bb(0.8)) ** 2),
+                argnums=(0, 1, 2)))
+            return [np.asarray(v) for v in g(bb(1.7), bb(6.0), bb(11.0))]
+
+        with jax.enable_x64(True):
+            ref = gl(F.modulated_delay, jnp.float64)
+        g_g = gl(F.modulated_delay, jnp.float32)
+        g_m = gl(lambda *a, **k: F.modulated_delay(*a, **k, max_delay_ms=20.0),
+                 jnp.float32)
+        for r, a, m in zip(ref, g_g, g_m):
+            scale = np.abs(r).max()
+            err_g = np.abs(a - r).max() / scale
+            err_m = np.abs(m - r).max() / scale
+            assert err_m < max(1.5 * err_g, 1e-3), (err_m, err_g)
+            assert err_m < 0.1, err_m
+
     def test_grads_flow_to_lfo_params(self):
         x = _noise(1, 1, 4096)
 
