@@ -160,15 +160,16 @@ def main():
             + [f(-20.0), f(3.0), f(5.0), f(60.0), f(0.5)]
             + [f(-15.0), f(2.0), f(5.0), f(60.0), f(0.0)]
             + [f(4.0)],
+            # default = the fast exact paths (coupled crossovers + block smoother)
             lambda x, p: D.multiband_compressor(x, SR, *p)),
-        "multiband_compressor_coupled": (
+        "multiband_compressor_fsm": (
             [f(250.0), f(2500.0)]
             + [f(-25.0), f(4.0), f(5.0), f(60.0), f(1.0)]
             + [f(-20.0), f(3.0), f(5.0), f(60.0), f(0.5)]
             + [f(-15.0), f(2.0), f(5.0), f(60.0), f(0.0)]
             + [f(4.0)],
             lambda x, p: D.multiband_compressor(
-                x, SR, *p, smoother="block", filter_method="coupled")),
+                x, SR, *p, smoother="fsm", filter_method="fsm")),
     }
 
     # shape-changing stereo effects need their own input shapes and a

@@ -1318,8 +1318,8 @@ def multiband_compressor(
     high_makeup_gain_db,
     knee_db,
     eps: float = 1e-8,
-    smoother: str = "fsm",
-    filter_method: str = "fsm",
+    smoother: str = "block",
+    filter_method: str = "coupled",
 ) -> jnp.ndarray:
     """Three-band dynamic range compressor with differentiable crossovers.
 
@@ -1330,6 +1330,15 @@ def multiband_compressor(
     band compressors are folded into one batched call (the batch axis
     triples) so the sidechain, knee and smoother all stay one fused
     program instead of three.
+
+    This effect has no reference counterpart, so its defaults are the
+    fast *exact* paths rather than the reference-parity FSM
+    approximations: ``smoother="block"`` (exact attack-only one-pole on
+    the MXU) and ``filter_method="coupled"`` (exact coupled-form
+    block-state crossovers) — measured 3.7x faster forward / 2x faster
+    grad than the fsm/fsm combination at reference scale on a v5e
+    (benchmarks/processors_report.json: multiband_compressor vs
+    multiband_compressor_fsm rows).
 
     Args:
         x: input audio, shape (bs, chs, seq_len).

@@ -706,8 +706,8 @@ class MultibandCompressor(Processor):
         max_makeup_gain_db: float = 12.0,
         min_knee_db: float = 0.0,
         max_knee_db: float = 12.0,
-        smoother: str = "fsm",
-        filter_method: str = "fsm",
+        smoother: str = "block",
+        filter_method: str = "coupled",
     ):
         super().__init__()
         self.sample_rate = sample_rate
