@@ -100,12 +100,13 @@ def main():
     cases = {
         "gain": ([f(3.0)], lambda x, p: D.gain(x, SR, *p)),
         "distortion": ([f(12.0)], lambda x, p: D.distortion(x, SR, *p)),
+        # default = exact block path (stub effect, no parity default)
         "advanced_distortion": (
             [f(12.0), f(-3.0), f(0.5), f(0.01)],
             lambda x, p: D.advanced_distortion(x, SR, *p)),
-        "advanced_distortion_block": (
+        "advanced_distortion_fsm": (
             [f(12.0), f(-3.0), f(0.5), f(0.01)],
-            lambda x, p: D.advanced_distortion(x, SR, *p, filter_method="block")),
+            lambda x, p: D.advanced_distortion(x, SR, *p, filter_method="fsm")),
         "parametric_eq_fsm": (
             [f(v) for v in eq_params],
             lambda x, p: D.parametric_eq(x, SR, *p)),
@@ -115,15 +116,16 @@ def main():
         "parametric_eq_block": (
             [f(v) for v in eq_params],
             lambda x, p: D.parametric_eq(x, SR, *p, filter_method="block")),
+        # default = exact coupled path (stub effect, no parity default)
         "graphic_eq": (
             [jnp.zeros((bs, 10)) + 3.0],
             lambda x, p: D.graphic_eq(x, SR, *p)),
         "graphic_eq_block": (
             [jnp.zeros((bs, 10)) + 3.0],
             lambda x, p: D.graphic_eq(x, SR, *p, filter_method="block")),
-        "graphic_eq_coupled": (
+        "graphic_eq_fsm": (
             [jnp.zeros((bs, 10)) + 3.0],
-            lambda x, p: D.graphic_eq(x, SR, *p, filter_method="coupled")),
+            lambda x, p: D.graphic_eq(x, SR, *p, filter_method="fsm")),
         "parametric_eq_coupled": (
             [f(v) for v in eq_params],
             lambda x, p: D.parametric_eq(x, SR, *p, filter_method="coupled")),

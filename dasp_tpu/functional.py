@@ -193,7 +193,7 @@ def advanced_distortion(
     output_gain_db,
     tone,
     dc_offset,
-    filter_method: str = "fsm",
+    filter_method: str = "block",
 ) -> jnp.ndarray:
     """Distortion with input/output gain, tone control and dc offset.
 
@@ -212,10 +212,13 @@ def advanced_distortion(
             (brighter), shape (bs,).
         dc_offset: dc bias added before the shaper, shape (bs,).
         filter_method: how the two first-order tone filters run — "fsm"
-            (frequency-sampling approximation, default), "exact"
+            (frequency-sampling approximation), "exact"
             (associative-scan recursion), "block" (exact block-state
-            MXU formulation — fastest on TPU; see ops.iir) or "coupled"
-            (block-state on the coupled realization).
+            MXU formulation — the default: this effect is a stub in the
+            reference so no parity default applies, and block is both
+            exact and 2.4x/3.3x faster fwd/grad than fsm at reference
+            scale; see ops.iir) or "coupled" (block-state on the
+            coupled realization).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -279,7 +282,7 @@ _GRAPHIC_EQ_Q = math.sqrt(2.0)
 
 @_scoped("dasp.graphic_eq")
 def graphic_eq(
-    x: jnp.ndarray, sample_rate: float, band_gains_db, filter_method: str = "fsm"
+    x: jnp.ndarray, sample_rate: float, band_gains_db, filter_method: str = "coupled"
 ) -> jnp.ndarray:
     """Ten-band octave graphic equalizer (31.5 Hz – 16 kHz).
 
@@ -295,9 +298,11 @@ def graphic_eq(
         filter_method: "fsm", "exact", "pallas", "block" or "coupled" —
             same options as :func:`parametric_eq`. The 31.5/63 Hz bands
             put poles at |r| ~ 0.9999 where the direct-form fp32 block
-            formulations are at their worst; prefer "coupled" (exact,
-            same MXU matmul cost, ~1000x tighter there) or "fsm" when
-            those bands matter (docs/PERFORMANCE.md).
+            formulations are at their worst, so the default is
+            "coupled" (exact, same MXU matmul cost, ~1000x tighter
+            there, and 2.3x faster forward than "fsm" — the reference
+            stubs this effect so no parity default applies; see
+            docs/PERFORMANCE.md and benchmarks/processors_report.json).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -1289,10 +1294,21 @@ def lr4_crossover_sos(crossover_hz, sample_rate, bs, dtype):
     return sos_lp, sos_hp
 
 
-def _lr4_crossover(x, crossover_hz, sample_rate, filter_method):
-    """Split into (low, high) with an LR4 crossover (offline evaluation)."""
-    sos_lp, sos_hp = lr4_crossover_sos(crossover_hz, sample_rate, x.shape[0], x.dtype)
-    return _apply_sos(sos_lp, x, filter_method), _apply_sos(sos_hp, x, filter_method)
+def _apply_sos_batched(sos_list, x_list, filter_method):
+    """Run several same-shaped (sos, x) filter jobs as ONE batched sosfilt.
+
+    Every evaluation path (fsm / exact / pallas / block / coupled) is
+    batched over the leading axis, so independent filter legs stacked on
+    it share one kernel launch — and, for the block-state paths, one
+    cross-block associative scan instead of one per leg.
+    """
+    y = _apply_sos(
+        jnp.concatenate(sos_list, axis=0),
+        jnp.concatenate(x_list, axis=0),
+        filter_method,
+    )
+    bs = x_list[0].shape[0]
+    return [y[i * bs : (i + 1) * bs] for i in range(len(x_list))]
 
 
 @_scoped("dasp.multiband_compressor")
@@ -1366,12 +1382,23 @@ def multiband_compressor(
         _param(crossover_high_hz, bs, dtype).reshape(bs), 1.01 * f_lo
     )
 
-    low_pre, rest = _lr4_crossover(x, f_lo, sample_rate, filter_method)
-    mid, high = _lr4_crossover(rest, f_hi, sample_rate, filter_method)
-    # phase-compensate the low band with the high crossover's LR4 allpass
-    # (LP + HP of the same LR4 sum to allpass), keeping all three bands
-    # aligned so they sum flat when uncompressed.
-    lo_lp, lo_hp = _lr4_crossover(low_pre, f_hi, sample_rate, filter_method)
+    sos_lp_lo, sos_hp_lo = lr4_crossover_sos(f_lo, sample_rate, bs, dtype)
+    sos_lp_hi, sos_hp_hi = lr4_crossover_sos(f_hi, sample_rate, bs, dtype)
+    # stage 1: both legs of the f_lo split read the same input — one
+    # batched sosfilt call over a doubled batch axis
+    low_pre, rest = _apply_sos_batched(
+        [sos_lp_lo, sos_hp_lo], [x, x], filter_method
+    )
+    # stage 2: mid/high from `rest` plus the low band's phase
+    # compensation — the high crossover's LR4 allpass (LP + HP of the
+    # same LR4 sum to allpass), keeping all three bands aligned so they
+    # sum flat when uncompressed. All four legs are independent filters
+    # at f_hi, so they run as ONE 4x-batched sosfilt call.
+    mid, high, lo_lp, lo_hp = _apply_sos_batched(
+        [sos_lp_hi, sos_hp_hi, sos_lp_hi, sos_hp_hi],
+        [rest, rest, low_pre, low_pre],
+        filter_method,
+    )
     low = lo_lp + lo_hp
 
     def cat(*ps):

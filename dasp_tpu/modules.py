@@ -270,7 +270,7 @@ class AdvancedDistortion(Processor):
         max_gain_db: float = 24.0,
         min_dc_offset: float = -0.1,
         max_dc_offset: float = 0.1,
-        filter_method: str = "fsm",
+        filter_method: str = "block",
     ):
         super().__init__()
         self.sample_rate = sample_rate
@@ -337,7 +337,7 @@ class GraphicEQ(Processor):
         sample_rate: int,
         min_gain_db: float = -12.0,
         max_gain_db: float = 12.0,
-        filter_method: str = "fsm",
+        filter_method: str = "coupled",
     ):
         super().__init__()
         self.sample_rate = sample_rate

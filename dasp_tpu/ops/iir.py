@@ -53,6 +53,74 @@ def embed_first_order_sos(b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([b, zeros, ones, a[..., 1:2], zeros], axis=-1)
 
 
+def _lti_scan_value(A: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """All-prefix states of v_i = A v_{i-1} + u_i (v_-1 = 0) via one
+    associative scan. A: (R, 2, 2) constant per row; u: (R, n, 2)."""
+    A_b = jnp.broadcast_to(A[:, None], u.shape[:2] + (2, 2))
+
+    def combine(e1, e2):
+        A1, u1 = e1
+        A2, u2 = e2
+        # HIGHEST: see _sos_section_exact.combine — bf16 products compound
+        # multiplicatively over the n-long chain
+        mm = jnp.einsum("...ij,...jk->...ik", A2, A1, precision=lax.Precision.HIGHEST)
+        mv = jnp.einsum("...ij,...j->...i", A2, u1, precision=lax.Precision.HIGHEST)
+        return mm, mv + u2
+
+    _, v = lax.associative_scan(combine, (A_b, u), axis=1)
+    return v
+
+
+@jax.custom_vjp
+def lti_affine_scan(A: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """v_i = A v_{i-1} + u_i for i = 0..n-1 with v_-1 = 0, all states.
+
+    The cross-block state recurrence of ``sosfilt_blockmat`` /
+    ``sosfilt_coupled`` — LTI because the 2x2 transition ``A`` is the
+    same for every block of a section. The forward value runs as a
+    ``lax.associative_scan``, but reverse-mode AD must NOT go through
+    the scan's internals: its transpose interleaves interior-padded
+    (R, n, 2, 2) tensors at every one of the log2(n) levels, and those
+    writes are catastrophic on TPU (2x2 minor dims waste 64x of every
+    (8, 128) tile; interior padding makes each a strided scatter —
+    profiled at ~10 ms per section at R=64/n=1024 on a v5e, making the
+    parameter gradient 6x the cost of the forward). The adjoint of an
+    LTI recurrence is the SAME recurrence run backward with A^T
+    (lambda_i = dv_i + A^T lambda_{i+1}), so the custom VJP below is
+    one more forward-speed scan plus one small einsum:
+
+        du_i = lambda_i,   dA = sum_i lambda_i v_{i-1}^T.
+
+    Args:
+        A: (R, 2, 2) per-row transition matrix.
+        u: (R, n, 2) per-block affine increments (initial state folded
+            into ``u[:, 0]`` by the caller).
+
+    Returns:
+        v: (R, n, 2) — the state after each block.
+    """
+    return _lti_scan_value(A, u)
+
+
+def _lti_scan_fwd(A, u):
+    v = _lti_scan_value(A, u)
+    return v, (A, v)
+
+
+def _lti_scan_bwd(res, dv):
+    A, v = res
+    lam = jnp.flip(
+        _lti_scan_value(jnp.swapaxes(A, -1, -2), jnp.flip(dv, axis=1)), axis=1
+    )
+    dA = jnp.einsum(
+        "rni,rnj->rij", lam[:, 1:], v[:, :-1], precision=lax.Precision.HIGHEST
+    )
+    return dA, lam
+
+
+lti_affine_scan.defvjp(_lti_scan_fwd, _lti_scan_bwd)
+
+
 def lfilter1_blockmat(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     """First-order IIR via the block-state formulation (b2 = a2 = 0).
 
@@ -396,15 +464,6 @@ def sosfilt_blockmat(
         axis=-2,
     )  # (R, S, 2, 2)
 
-    def combine(e1, e2):
-        A1, u1 = e1
-        A2, u2 = e2
-        # HIGHEST: bf16 default-precision products compound over the
-        # nb-long block chain (see _sos_section_exact.combine)
-        mm = jnp.einsum("...ij,...jk->...ik", A2, A1, precision=lax.Precision.HIGHEST)
-        mv = jnp.einsum("...ij,...j->...i", A2, u1, precision=lax.Precision.HIGHEST)
-        return mm, mv + u2
-
     # scan over section-stacked operators rather than a sliced Python
     # loop: slicing makes reverse-mode AD pad each section's operator
     # cotangent back to the full (R, S, L, L) tensor (see sosfilt_coupled)
@@ -429,8 +488,7 @@ def sosfilt_blockmat(
         u = u.at[:, 0].add(
             jnp.einsum("rij,rj->ri", A_s, v_init, precision=lax.Precision.HIGHEST)
         )
-        A_b = jnp.broadcast_to(A_s[:, None], (R, nb, 2, 2))
-        _, v = lax.associative_scan(combine, (A_b, u), axis=1)
+        v = lti_affine_scan(A_s, u)  # custom-VJP LTI scan (see above)
         v_prev = jnp.concatenate(
             [v_init[:, None], v[:, : nb - 1]], axis=1
         )  # state entering block i
@@ -668,26 +726,40 @@ def sosfilt_coupled(
     # Python loop slicing Tt[:, s] makes reverse-mode AD materialize a
     # full padded (R, S, L, L) cotangent copy PER SECTION (measured: 10
     # pads x 8 ms dominating the parameter-gradient time); scan's VJP
-    # accumulates the operator cotangents into one buffer instead
-    G_all = jnp.moveaxis(jnp.concatenate([Tt, q], axis=-1), 1, 0)  # (S, R, L, L+2)
+    # accumulates the operator cotangents into one buffer instead.
+    # Tt and q stay SEPARATE operands (not concatenated into one
+    # (R, L, L+2) operator): slicing a 130-wide einsum output back apart
+    # breaks the 128-lane tiling, and the transpose-pass pads that
+    # reverse those slices ran at ~2.6 GB/s — 13 ms EACH at R=64,
+    # doubling the parameter-gradient time (profiled on a v5e).
+    Tt_all = jnp.moveaxis(Tt, 1, 0)  # (S, R, L, L)
+    q_all = jnp.moveaxis(q, 1, 0)  # (S, R, L, 2)
     inj_all = jnp.moveaxis(inj, 1, 0)  # (S, R, L, 2)
     AL_all = jnp.moveaxis(A_L, 1, 0)  # (S, R, 2, 2)
 
     def section(y, ops):
-        G, inj_s, A_s, z_s = ops
-        out = jnp.einsum(
-            "rnl,rlm->rnm", y.reshape(R, nb, L), G,
+        Tt_s, q_s, inj_s, A_s, z_s = ops
+        yb = y.reshape(R, nb, L)
+        c = jnp.einsum(
+            "rnl,rlk->rnk", yb, Tt_s,
             precision=lax.Precision.HIGHEST,
-        )  # one batched MXU matmul
-        c = out[..., :L]
-        w = out[..., L:]  # (R, nb, 2) per-block state increments
+        )  # (R, nb, L) — one batched MXU matmul
+        w = jnp.einsum(
+            "rnl,rlj->rnj", yb, q_s,
+            precision=lax.Precision.HIGHEST,
+        )  # (R, nb, 2) per-block state increments
 
         # fold the incoming realization state into block 0's increment
         w = w.at[:, 0].add(
             jnp.einsum("rij,rj->ri", A_s, z_s, precision=lax.Precision.HIGHEST)
         )
-        A_b = jnp.broadcast_to(A_s[:, None], (R, nb, 2, 2))
-        mm, v = lax.associative_scan(combine, (A_b, w), axis=1)
+        if seq_axis_name is None:
+            v = lti_affine_scan(A_s, w)  # custom-VJP LTI scan (see above)
+        else:
+            # the sharded fixup needs the cumulative transitions mm too,
+            # so this path keeps the generic (A, u)-pair scan
+            A_b = jnp.broadcast_to(A_s[:, None], (R, nb, 2, 2))
+            mm, v = lax.associative_scan(combine, (A_b, w), axis=1)
 
         if seq_axis_name is not None:
             # cross-device state fixup: this shard maps an incoming state
@@ -721,7 +793,9 @@ def sosfilt_coupled(
         )
         return yb.reshape(R, Tp), v[:, -1]
 
-    y, zf = lax.scan(section, xp, (G_all, inj_all, AL_all, jnp.moveaxis(zi_rows, 1, 0)))
+    y, zf = lax.scan(
+        section, xp, (Tt_all, q_all, inj_all, AL_all, jnp.moveaxis(zi_rows, 1, 0))
+    )
     y = y[:, :T].reshape(x.shape)
     if return_zf:
         return y, jnp.moveaxis(zf, 0, 1).reshape(x.shape[:-1] + (S, 2))

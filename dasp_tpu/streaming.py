@@ -507,9 +507,11 @@ def multiband_compressor_stream(
 
     Matches the offline :func:`functional.multiband_compressor` with the
     same ``filter_method`` and ``smoother="block"``. The carried state is
-    the six LR4 crossover filters' section states plus the three band
-    compressors' smoother state (bands batched 3x like offline, so the
-    whole effect stays one fused program per step). Chunk length must be
+    the LR4 crossover tree's section states — legs batched into two
+    sosfilt calls exactly like offline (``xo_s1`` holds the two f_lo
+    legs stacked on batch, ``xo_s2`` the four f_hi legs) — plus the
+    three band compressors' smoother state (bands batched 3x), so the
+    whole effect stays one fused program per step. Chunk length must be
     a multiple of the IIR block length (128).
     """
     bs, chs, T = x.shape
@@ -518,24 +520,41 @@ def multiband_compressor_stream(
     f_hi = jnp.maximum(F._param(crossover_high_hz, bs, dtype).reshape(bs), 1.01 * f_lo)
 
     if state is None:
-        state = {f"xo{i}": None for i in range(6)}
-        state["dyn"] = None
+        state = {}
+    elif "xo0" in state:  # legacy per-leg state layout (pre leg-batching)
+        cat = lambda ks: (  # noqa: E731
+            None
+            if state[ks[0]] is None
+            else jnp.concatenate([state[k] for k in ks], axis=0)
+        )
+        state = {
+            "xo_s1": cat(["xo0", "xo1"]),
+            "xo_s2": cat(["xo2", "xo3", "xo4", "xo5"]),
+            "dyn": state.get("dyn"),
+        }
 
     sos_lo_lp, sos_lo_hp = F.lr4_crossover_sos(f_lo, sample_rate, bs, dtype)
     sos_hi_lp, sos_hi_hp = F.lr4_crossover_sos(f_hi, sample_rate, bs, dtype)
 
-    def xo(sos, sig, k):
-        y, zf = sosfilt_stream(sos, sig, zi=state[k], filter_method=filter_method)
-        new_state[k] = zf
-        return y
-
     new_state: Dict[str, Any] = {}
-    low_pre = xo(sos_lo_lp, x, "xo0")
-    rest = xo(sos_lo_hp, x, "xo1")
-    mid = xo(sos_hi_lp, rest, "xo2")
-    high = xo(sos_hi_hp, rest, "xo3")
-    # phase-compensate the low band with the high crossover's allpass
-    low = xo(sos_hi_lp, low_pre, "xo4") + xo(sos_hi_hp, low_pre, "xo5")
+    # stage 1: both f_lo legs on the same input, one batched call
+    y1, new_state["xo_s1"] = sosfilt_stream(
+        jnp.concatenate([sos_lo_lp, sos_lo_hp], axis=0),
+        jnp.concatenate([x, x], axis=0),
+        zi=state.get("xo_s1"),
+        filter_method=filter_method,
+    )
+    low_pre, rest = y1[:bs], y1[bs:]
+    # stage 2: mid/high from `rest` plus the low band's phase
+    # compensation (the f_hi LR4 allpass) — four legs, one batched call
+    y2, new_state["xo_s2"] = sosfilt_stream(
+        jnp.concatenate([sos_hi_lp, sos_hi_hp, sos_hi_lp, sos_hi_hp], axis=0),
+        jnp.concatenate([rest, rest, low_pre, low_pre], axis=0),
+        zi=state.get("xo_s2"),
+        filter_method=filter_method,
+    )
+    mid, high = y2[:bs], y2[bs : 2 * bs]
+    low = y2[2 * bs : 3 * bs] + y2[3 * bs :]
 
     def cat(*ps):
         return jnp.concatenate([F._param(p, bs, dtype).reshape(bs) for p in ps], axis=0)
@@ -549,7 +568,7 @@ def multiband_compressor_stream(
         cat(low_release_ms, mid_release_ms, high_release_ms),
         cat(knee_db, knee_db, knee_db),
         cat(low_makeup_gain_db, mid_makeup_gain_db, high_makeup_gain_db),
-        eps=eps, zi=state["dyn"],
+        eps=eps, zi=state.get("dyn"),
     )
     new_state["dyn"] = dyn_zf
     out = y[:bs] + y[bs : 2 * bs] + y[2 * bs :]

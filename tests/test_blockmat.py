@@ -312,3 +312,49 @@ class TestCompressorBlockSmoother:
         y_b = D.compressor(x, SR, **kw, smoother="block")
         y_e = D.compressor(x, SR, **kw, smoother="attack_only")
         np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_e), atol=1e-4)
+
+
+class TestLtiAffineScan:
+    """Direct tests of the custom-VJP cross-block LTI scan (ops.iir).
+
+    The custom backward (adjoint recurrence with A^T) must reproduce the
+    gradients generic reverse-mode AD computes through the raw
+    associative scan — see ops/iir.py:lti_affine_scan.
+    """
+
+    def _naive(self, A, u):
+        vs, v = [], np.zeros((u.shape[0], 2))
+        for i in range(u.shape[1]):
+            v = np.einsum("rij,rj->ri", A, v) + u[:, i]
+            vs.append(v)
+        return np.stack(vs, axis=1)
+
+    def test_forward_matches_naive_loop(self):
+        from dasp_tpu.ops.iir import lti_affine_scan
+
+        R, n = 3, 17
+        A = 0.9 * np.linalg.qr(RNG.standard_normal((R, 2, 2)))[0]  # stable rotations
+        u = RNG.standard_normal((R, n, 2)).astype(np.float32)
+        v = lti_affine_scan(jnp.asarray(A, jnp.float32), jnp.asarray(u))
+        np.testing.assert_allclose(
+            np.asarray(v), self._naive(A.astype(np.float64), u), atol=1e-5
+        )
+
+    def test_vjp_matches_generic_ad(self):
+        from dasp_tpu.ops.iir import _lti_scan_value, lti_affine_scan
+
+        R, n = 4, 33
+        A = jnp.asarray(
+            0.85 * np.linalg.qr(RNG.standard_normal((R, 2, 2)))[0], jnp.float32
+        )
+        u = jnp.asarray(RNG.standard_normal((R, n, 2)).astype(np.float32))
+        # scalarize with fixed weights so grads cover every output index
+        w = jnp.asarray(RNG.standard_normal((R, n, 2)).astype(np.float32))
+
+        def loss(fn):
+            return lambda A, u: jnp.sum(w * fn(A, u))
+
+        gA, gu = jax.grad(loss(lti_affine_scan), argnums=(0, 1))(A, u)
+        rA, ru = jax.grad(loss(_lti_scan_value), argnums=(0, 1))(A, u)
+        np.testing.assert_allclose(np.asarray(gA), np.asarray(rA), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gu), np.asarray(ru), atol=1e-5)

@@ -300,13 +300,13 @@ class TestProcessPassthrough:
 
     def test_advanced_distortion_positional_and_override(self):
         x = stereo()
-        proc = D.AdvancedDistortion(SR)  # constructor default fsm
+        proc = D.AdvancedDistortion(SR)  # constructor default: block (exact)
         args = (jnp.array([12.0, 6.0]), jnp.array([-3.0, 0.0]),
                 jnp.array([0.3, 0.7]), jnp.array([0.01, -0.02]))
-        y_fsm = proc.process(x, SR, *args)
-        y_block = proc.process(x, SR, *args, filter_method="block")  # per-call override
-        assert bool(jnp.isfinite(y_fsm).all()) and bool(jnp.isfinite(y_block).all())
-        assert float(jnp.abs(y_fsm - y_block).max()) > 0
+        y_default = proc.process(x, SR, *args)
+        y_fsm = proc.process(x, SR, *args, filter_method="fsm")  # per-call override
+        assert bool(jnp.isfinite(y_default).all()) and bool(jnp.isfinite(y_fsm).all())
+        assert float(jnp.abs(y_default - y_fsm).max()) > 0
 
     def test_graphic_eq_positional(self):
         x = stereo()
@@ -363,8 +363,11 @@ class TestFilterMethodPlumbing:
     def test_advanced_distortion_module_filter_method(self):
         x = stereo()
         p = jnp.full((BS, 4), 0.5)
-        y_fsm = D.AdvancedDistortion(SR).process_normalized(x, p)
+        # module default is the exact block path; fsm stays routable
+        y_default = D.AdvancedDistortion(SR).process_normalized(x, p)
         y_block = D.AdvancedDistortion(SR, filter_method="block").process_normalized(x, p)
+        y_fsm = D.AdvancedDistortion(SR, filter_method="fsm").process_normalized(x, p)
+        np.testing.assert_allclose(np.asarray(y_default), np.asarray(y_block), atol=1e-6)
         np.testing.assert_allclose(np.asarray(y_fsm), np.asarray(y_block), atol=1e-3)
 
     def test_graphic_eq_module_filter_method(self):
@@ -386,9 +389,13 @@ class TestFilterMethodPlumbing:
         )
         y_direct = D.graphic_eq(x, SR, gains, filter_method="block")
         np.testing.assert_allclose(np.asarray(y_module), np.asarray(y_direct), atol=1e-6)
-        # and the routing must actually change the path vs the fsm default
-        y_fsm = D.GraphicEQ(SR).process_normalized(x, p)
+        # and the routing must actually change the path vs the fsm method
+        y_fsm = D.GraphicEQ(SR, filter_method="fsm").process_normalized(x, p)
         assert float(jnp.abs(y_module - y_fsm).max()) > 1e-6
+        # the module default (coupled) matches the functional default
+        y_default = D.GraphicEQ(SR).process_normalized(x, p)
+        np.testing.assert_allclose(
+            np.asarray(y_default), np.asarray(D.graphic_eq(x, SR, gains)), atol=1e-6)
 
     def test_advanced_distortion_grads_block(self):
         x = stereo()
