@@ -135,6 +135,12 @@ def main():
         "compressor_block": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="block")),
         "compressor_exact_pallas": (dyn, lambda x, p: D.compressor(x, SR, *p, smoother="exact_pallas")),
         "expander": (dyn, lambda x, p: D.expander(x, SR, *p, smoother="parallel")),
+        "sidechain_compressor": (
+            dyn, lambda x, p: D.sidechain_compressor(
+                x, SR, *p, sidechain=jnp.roll(x, 1000, axis=-1))),
+        "noise_gate": (
+            [f(-30.0), f(10.0), f(60.0), f(0.5), f(20.0), f(1.0)],
+            lambda x, p: D.noise_gate(x, SR, *p, hold_ms=10.0)),
         "reverb": (rev, lambda x, p: D.noise_shaped_reverberation(x, SR, *p, key=key)),
         "reverb_freq_noise": (
             rev,

@@ -24,6 +24,8 @@ from dasp_tpu.functional import (
     noise_shaped_reverberation,
     compressor,
     expander,
+    sidechain_compressor,
+    noise_gate,
     distortion,
     advanced_distortion,
     graphic_eq,
@@ -40,6 +42,8 @@ from dasp_tpu.modules import (
     Chain,
     Compressor,
     Expander,
+    SidechainCompressor,
+    NoiseGate,
     ParametricEQ,
     GraphicEQ,
     NoiseShapedReverb,
@@ -69,6 +73,8 @@ __all__ = [
     "noise_shaped_reverberation",
     "compressor",
     "expander",
+    "sidechain_compressor",
+    "noise_gate",
     "distortion",
     "advanced_distortion",
     "graphic_eq",
@@ -82,6 +88,8 @@ __all__ = [
     "Chain",
     "Compressor",
     "Expander",
+    "SidechainCompressor",
+    "NoiseGate",
     "ParametricEQ",
     "GraphicEQ",
     "NoiseShapedReverb",

@@ -38,6 +38,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .ops.biquad import (
     biquad,
@@ -60,6 +61,8 @@ __all__ = [
     "parametric_eq_sos",
     "compressor",
     "expander",
+    "sidechain_compressor",
+    "noise_gate",
     "noise_shaped_reverberation",
     "noise_shaped_ir",
     "spectral_band_noise",
@@ -672,6 +675,184 @@ def expander(
 
     g_lin = db_to_linear(g_smooth + makeup_gain_db)
     return x * g_lin
+
+
+@_scoped("dasp.sidechain_compressor")
+def sidechain_compressor(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    ratio,
+    attack_ms,
+    release_ms,
+    knee_db,
+    makeup_gain_db,
+    eps: float = 1e-8,
+    lookahead_samples: int = 0,
+    smoother: str = "parallel",
+    sidechain: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Compressor keyed by an EXTERNAL sidechain signal (a "ducker").
+
+    Identical to :func:`compressor` except the level detector listens to
+    ``sidechain`` instead of the program: the classic use is ducking a
+    music bed under a voice-over, or pumping a pad from the kick. Not in
+    the reference (its detector is hard-wired to the mono-summed input,
+    dasp_pytorch/functional.py:325-347); shares that same machinery here
+    with only the detector input swapped. Gradients flow to the
+    parameters, the program AND the sidechain signal.
+
+    Args:
+        x: program audio to be gain-reduced, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        threshold_db / ratio / attack_ms / release_ms / knee_db /
+            makeup_gain_db: as in :func:`compressor`, shape (bs,).
+        eps: numerical floor for the level detector.
+        lookahead_samples: delay the program relative to the gain curve
+            (static int).
+        smoother: same options as :func:`compressor`; defaults to true
+            attack/release ballistics ("parallel") — release is what
+            makes ducking breathe back up.
+        sidechain: key signal driving the detector, shape
+            (bs, any_chs, seq_len) — channel count may differ from ``x``
+            (the detector mono-sums), the batch and length must match.
+            Required keyword (mirrors the reverb's ``key=`` contract so
+            ``process_normalized(..., sidechain=...)`` forwards it).
+
+    Returns:
+        Gain-reduced program audio, shape (bs, chs, seq_len).
+    """
+    if sidechain is None:
+        raise ValueError(
+            "sidechain_compressor requires `sidechain` (the key signal the "
+            "detector listens to); pass it as a keyword argument."
+        )
+    bs, chs, seq_len = x.shape
+    if sidechain.shape[0] != bs or sidechain.shape[-1] != seq_len:
+        raise ValueError(
+            f"sidechain batch/length {sidechain.shape} does not match "
+            f"program audio {x.shape} (channels may differ; batch and "
+            "seq_len must not)."
+        )
+    dtype = x.dtype
+    threshold_db = _param(threshold_db, bs, dtype)
+    ratio = _param(ratio, bs, dtype)
+    attack_ms = _param(attack_ms, bs, dtype)
+    release_ms = _param(release_ms, bs, dtype)
+    knee_db = _param(knee_db, bs, dtype)
+    makeup_gain_db = _param(makeup_gain_db, bs, dtype)
+
+    # detector runs on the sidechain; everything downstream is the
+    # compressor's machinery unchanged
+    _, x_db, alpha_a, alpha_r = _dynamics_common(
+        sidechain, sample_rate, attack_ms, release_ms, eps
+    )
+    g_c = static_gain_computer(x_db, threshold_db, ratio, knee_db, "compressor")
+    g_smooth = _smooth_gain(g_c, alpha_a, alpha_r, smoother)
+
+    if lookahead_samples > 0:
+        x = jnp.roll(x, lookahead_samples, axis=-1)
+        x = x.at[..., :lookahead_samples].set(0.0)
+
+    g_lin = db_to_linear(g_smooth + makeup_gain_db)
+    return x * g_lin
+
+
+def _hold_max(g: jnp.ndarray, hold_samples: int) -> jnp.ndarray:
+    """Causal moving maximum: ``out[t] = max(g[t-hold..t])``.
+
+    Keeps a gate open for ``hold_samples`` after the level drops. One
+    `lax.reduce_window` max — a dilation, TPU-vectorized, with the
+    usual subgradient-to-the-argmax behavior under AD.
+    """
+    if hold_samples <= 0:
+        return g
+    # init value must be a CONCRETE scalar (numpy, not jnp): under a jit
+    # trace jnp.asarray returns a tracer, JAX's monoid detection then
+    # misses and binds the generic reduce_window, which has no AD rule
+    return lax.reduce_window(
+        g,
+        np.asarray(-np.inf, g.dtype),
+        lax.max,
+        window_dimensions=(1, 1, hold_samples + 1),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (0, 0), (hold_samples, 0)),
+    )
+
+
+@_scoped("dasp.noise_gate")
+def noise_gate(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    ratio,
+    range_db,
+    attack_ms,
+    release_ms,
+    knee_db,
+    eps: float = 1e-8,
+    hold_ms: float = 0.0,
+    smoother: str = "parallel",
+) -> jnp.ndarray:
+    """Noise gate: a range-limited downward expander with optional hold.
+
+    Not in the reference (whose expander itself is a stub,
+    dasp_pytorch/functional.py:402-403). The static curve is the
+    :func:`expander` curve (Giannoulis et al. 2012 Eq. 4) floored at
+    ``-range_db`` — a real gate never attenuates past its range — and
+    the ballistics are swapped relative to the compressor so the knobs
+    mean what gate knobs mean: ``attack_ms`` is how fast the gate OPENS
+    (gain rising toward 0 dB), ``release_ms`` how fast it CLOSES. With
+    ``hold_ms > 0`` the pre-smoothing gain is run through a causal
+    moving maximum so the gate stays open that long after the level
+    drops (chattering suppression).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        threshold_db: level below which gating engages, shape (bs,).
+        ratio: expansion slope steepness (>1), shape (bs,).
+        range_db: maximum attenuation depth in dB (>= 0), shape (bs,).
+        attack_ms: gate opening time (ms), shape (bs,).
+        release_ms: gate closing time (ms), shape (bs,).
+        knee_db: softness of the knee (>= 0), shape (bs,).
+        eps: numerical floor for the level detector.
+        hold_ms: static open-hold time in milliseconds (not a per-item
+            tensor: the hold window is a compiled shape).
+        smoother: "parallel" (default), "exact" or "exact_pallas" — the
+            dual-time-constant smoothers. (Attack-only smoothers are not
+            offered: a one-coefficient gate cannot both open and close.)
+
+    Returns:
+        Gated audio, shape (bs, chs, seq_len).
+    """
+    if smoother not in ("parallel", "exact", "exact_pallas"):
+        raise ValueError(
+            f"noise_gate smoother must be 'parallel', 'exact' or "
+            f"'exact_pallas', got {smoother!r}."
+        )
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    threshold_db = _param(threshold_db, bs, dtype)
+    ratio = _param(ratio, bs, dtype)
+    range_db = _param(range_db, bs, dtype)
+    attack_ms = _param(attack_ms, bs, dtype)
+    release_ms = _param(release_ms, bs, dtype)
+    knee_db = _param(knee_db, bs, dtype)
+
+    _, x_db, alpha_a, alpha_r = _dynamics_common(
+        x, sample_rate, attack_ms, release_ms, eps
+    )
+    g_c = static_gain_computer(x_db, threshold_db, ratio, knee_db, "expander")
+    g_c = jnp.maximum(g_c, -range_db)  # _param gave (bs, 1, 1)
+    g_c = _hold_max(g_c, int(round(sample_rate * hold_ms / 1e3)))
+
+    # ballistics swap: the smoother's first coefficient fires when the
+    # gain FALLS (gate closing = the gate's release); its second when
+    # the gain RISES (gate opening = the gate's attack).
+    g_smooth = _smooth_gain(g_c, alpha_r, alpha_a, smoother)
+
+    return x * db_to_linear(g_smooth)
 
 
 # ---------------------------------------------------------------------------

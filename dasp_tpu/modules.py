@@ -46,6 +46,8 @@ __all__ = [
     "GraphicEQ",
     "Compressor",
     "Expander",
+    "SidechainCompressor",
+    "NoiseGate",
     "NoiseShapedReverb",
     "StereoWidener",
     "StereoPanner",
@@ -423,6 +425,83 @@ class Expander(Processor):
             "release_ms": (min_release_ms, max_release_ms),
             "knee_db": (min_knee_db, max_knee_db),
             "makeup_gain_db": (min_makeup_gain_db, max_makeup_gain_db),
+        }
+
+
+class SidechainCompressor(Processor):
+    """Compressor keyed by an external sidechain signal — a ducker
+    (functional.sidechain_compressor). The key signal is NOT a parameter:
+    pass it through ``process_normalized(x, p, sidechain=key_audio)``,
+    the same forwarding contract as the reverb's ``key=``."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_threshold_db: float = -60.0,
+        max_threshold_db: float = 0.0,
+        min_ratio: float = 1.0,
+        max_ratio: float = 20.0,
+        min_attack_ms: float = 5.0,
+        max_attack_ms: float = 100.0,
+        min_release_ms: float = 5.0,
+        max_release_ms: float = 500.0,
+        min_knee_db: float = 0.0,
+        max_knee_db: float = 12.0,
+        min_makeup_gain_db: float = 0.0,
+        max_makeup_gain_db: float = 12.0,
+        smoother: str = "parallel",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.sidechain_compressor(
+            x, *a, **{"smoother": smoother, **kw}
+        )
+        self.param_ranges = {
+            "threshold_db": (min_threshold_db, max_threshold_db),
+            "ratio": (min_ratio, max_ratio),
+            "attack_ms": (min_attack_ms, max_attack_ms),
+            "release_ms": (min_release_ms, max_release_ms),
+            "knee_db": (min_knee_db, max_knee_db),
+            "makeup_gain_db": (min_makeup_gain_db, max_makeup_gain_db),
+        }
+
+
+class NoiseGate(Processor):
+    """Noise gate: range-limited downward expander with gate-convention
+    ballistics and optional hold (functional.noise_gate). ``hold_ms`` is
+    a static constructor setting (the hold window is a compiled shape),
+    not a learnable column."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_threshold_db: float = -80.0,
+        max_threshold_db: float = 0.0,
+        min_ratio: float = 1.0,
+        max_ratio: float = 20.0,
+        min_range_db: float = 0.0,
+        max_range_db: float = 80.0,
+        min_attack_ms: float = 0.05,
+        max_attack_ms: float = 20.0,
+        min_release_ms: float = 5.0,
+        max_release_ms: float = 500.0,
+        min_knee_db: float = 0.0,
+        max_knee_db: float = 12.0,
+        hold_ms: float = 0.0,
+        smoother: str = "parallel",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.noise_gate(
+            x, *a, **{"smoother": smoother, "hold_ms": hold_ms, **kw}
+        )
+        self.param_ranges = {
+            "threshold_db": (min_threshold_db, max_threshold_db),
+            "ratio": (min_ratio, max_ratio),
+            "range_db": (min_range_db, max_range_db),
+            "attack_ms": (min_attack_ms, max_attack_ms),
+            "release_ms": (min_release_ms, max_release_ms),
+            "knee_db": (min_knee_db, max_knee_db),
         }
 
 

@@ -51,6 +51,8 @@ __all__ = [
     "graphic_eq_stream",
     "compressor_stream",
     "expander_stream",
+    "sidechain_compressor_stream",
+    "noise_gate_stream",
     "limiter_stream",
     "reverb_stream_init",
     "reverb_stream",
@@ -121,6 +123,7 @@ def graphic_eq_stream(
 def _dynamics_stream(
     x, sample_rate, threshold_db, ratio, attack_ms, release_ms,
     knee_db, makeup_gain_db, eps, zi, mode, smoother="block",
+    detector=None,
 ):
     bs = x.shape[0]
     dtype = x.dtype
@@ -133,7 +136,7 @@ def _dynamics_stream(
     makeup_gain_db = F._param(makeup_gain_db, bs, dtype)
 
     _, x_db, alpha_a, alpha_r = F._dynamics_common(
-        x, sample_rate, attack_ms, release_ms, eps
+        x if detector is None else detector, sample_rate, attack_ms, release_ms, eps
     )
     g_c = F.static_gain_computer(x_db, threshold_db, ratio, knee_db, mode)
 
@@ -206,6 +209,106 @@ def expander_stream(
         x, sample_rate, threshold_db, ratio, attack_ms, release_ms,
         knee_db, makeup_gain_db, eps, zi, "expander", smoother,
     )
+
+
+def sidechain_compressor_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    ratio,
+    attack_ms,
+    release_ms,
+    knee_db,
+    makeup_gain_db,
+    eps: float = 1e-8,
+    zi=None,
+    smoother: str = "parallel",
+    sidechain: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, Any]:
+    """Streaming sidechain compressor (ducker).
+
+    Matches the offline :func:`dasp_tpu.functional.sidechain_compressor`
+    at the same ``smoother`` (see :func:`compressor_stream` for the state
+    carried by each). Pass the key signal chunk as ``sidechain=`` — same
+    batch/length as ``x``, channel count free.
+    """
+    if sidechain is None:
+        raise ValueError(
+            "sidechain_compressor_stream requires `sidechain` (the key "
+            "signal chunk); pass it as a keyword argument."
+        )
+    return _dynamics_stream(
+        x, sample_rate, threshold_db, ratio, attack_ms, release_ms,
+        knee_db, makeup_gain_db, eps, zi, "compressor", smoother,
+        detector=sidechain,
+    )
+
+
+def noise_gate_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    ratio,
+    range_db,
+    attack_ms,
+    release_ms,
+    knee_db,
+    eps: float = 1e-8,
+    hold_ms: float = 0.0,
+    state=None,
+    smoother: str = "parallel",
+) -> Tuple[jnp.ndarray, Any]:
+    """Streaming noise gate.
+
+    Matches the offline :func:`dasp_tpu.functional.noise_gate` with the
+    same ``smoother`` ("parallel" or "exact" — the streaming ballistics
+    modes) and ``hold_ms``. Carried state is the ballistics envelope
+    tuple plus the trailing ``hold`` window of the pre-smoothing gain
+    curve, so the causal moving-maximum hold is seamless across chunks.
+    """
+    if smoother not in ("parallel", "exact"):
+        raise ValueError(
+            f"noise_gate_stream smoother must be 'parallel' or 'exact', "
+            f"got {smoother!r}."
+        )
+    bs = x.shape[0]
+    dtype = x.dtype
+    threshold_db = F._param(threshold_db, bs, dtype)
+    ratio = F._param(ratio, bs, dtype)
+    range_db = F._param(range_db, bs, dtype)
+    attack_ms = F._param(attack_ms, bs, dtype)
+    release_ms = F._param(release_ms, bs, dtype)
+    knee_db = F._param(knee_db, bs, dtype)
+
+    if state is None:
+        state = {"env": None, "hold": None}
+
+    _, x_db, alpha_a, alpha_r = F._dynamics_common(
+        x, sample_rate, attack_ms, release_ms, eps
+    )
+    g_c = F.static_gain_computer(x_db, threshold_db, ratio, knee_db, "expander")
+    g_c = jnp.maximum(g_c, -range_db)  # F._param gave (bs, 1, 1)
+
+    hold_samples = int(round(sample_rate * hold_ms / 1e3))
+    new_state: Dict[str, Any] = {"hold": None}
+    if hold_samples > 0:
+        # prepend the carried tail so the causal max window sees across
+        # the chunk boundary; a cold start pads with -range (gate shut,
+        # matching the offline render's implicit left edge of -inf —
+        # identical after flooring because g_c >= -range everywhere)
+        tail = state.get("hold")
+        if tail is None:
+            tail = jnp.broadcast_to(-range_db, (bs, 1, hold_samples)).astype(dtype)
+        g_ext = jnp.concatenate([tail, g_c], axis=-1)
+        new_state["hold"] = g_ext[..., -hold_samples:]
+        g_c = F._hold_max(g_ext, hold_samples)[..., hold_samples:]
+
+    # ballistics swap — see functional.noise_gate
+    g_smooth, env_f = ballistics_smooth(
+        g_c, alpha_r, alpha_a, mode=smoother, y0=state.get("env"), return_yf=True
+    )
+    new_state["env"] = env_f
+    return x * F.db_to_linear(g_smooth), new_state
 
 
 def reverb_stream_init(

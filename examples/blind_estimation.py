@@ -33,7 +33,7 @@ def main():
     parser.add_argument("--processor",
                         choices=["compressor", "expander", "limiter",
                                  "multiband_compressor", "delay", "chorus",
-                                 "flanger", "tremolo"],
+                                 "flanger", "tremolo", "noise_gate"],
                         default="compressor",
                         help="which processor to blind-estimate")
     args = parser.parse_args()
@@ -59,6 +59,8 @@ def main():
         processor = D.Flanger(sr)
     elif args.processor == "tremolo":
         processor = D.Tremolo(sr)
+    elif args.processor == "noise_gate":
+        processor = D.NoiseGate(sr, smoother=args.smoother or "parallel")
     else:
         processor = D.Compressor(sr, smoother=args.smoother or "fsm")
     net = ParameterNetwork.blind_estimation(processor.num_params)

@@ -264,6 +264,7 @@ class TestProcessorWrappers:
             (D.Tremolo, 2),
             (D.Limiter, 2),
             (D.MultibandCompressor, 1),
+            (D.NoiseGate, 2),
         ],
     )
     def test_fuzz_normalized(self, cls, chs):
@@ -298,3 +299,153 @@ class TestProcessorWrappers:
         )(x, p)
         assert y.shape == x.shape
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestSidechainCompressor:
+    def _params(self, bs=2):
+        return dict(
+            threshold_db=_b(-30.0, bs), ratio=_b(8.0, bs),
+            attack_ms=_b(5.0, bs), release_ms=_b(60.0, bs),
+            knee_db=_b(3.0, bs), makeup_gain_db=_b(0.0, bs),
+        )
+
+    def test_matches_compressor_when_keyed_by_input(self):
+        # with sidechain == program it IS the compressor
+        x = _noise(2, 2, 8192, scale=0.5)
+        kw = self._params()
+        y_sc = jax.jit(lambda x: F.sidechain_compressor(
+            x, SR, **kw, smoother="parallel", sidechain=x))(x)
+        y_c = jax.jit(lambda x: F.compressor(
+            x, SR, **kw, smoother="parallel"))(x)
+        np.testing.assert_allclose(np.asarray(y_sc), np.asarray(y_c), atol=1e-6)
+
+    def test_ducks_program_under_loud_key(self):
+        # quiet program + loud key in the second half: the program is
+        # attenuated exactly where the key is loud (classic ducking)
+        t = 44100
+        x = _noise(1, 1, t, scale=0.05)
+        key = np.zeros((1, 1, t), np.float32)
+        key[..., t // 2:] = 0.8
+        kw = self._params(1)
+        y = np.asarray(jax.jit(lambda x, k: F.sidechain_compressor(
+            x, SR, **kw, sidechain=k))(x, jnp.asarray(key)))
+        ratio_first = np.abs(y[..., : t // 2 - 2048]).mean() / np.abs(
+            np.asarray(x)[..., : t // 2 - 2048]).mean()
+        ratio_second = np.abs(y[..., t // 2 + 4096:]).mean() / np.abs(
+            np.asarray(x)[..., t // 2 + 4096:]).mean()
+        assert ratio_first > 0.95, ratio_first  # key silent: transparent
+        assert ratio_second < 0.5, ratio_second  # key loud: ducked hard
+
+    def test_grads_flow_to_program_key_and_params(self):
+        x = _noise(1, 1, 4096, scale=0.3)
+        k = _noise(1, 2, 4096, scale=0.6)  # stereo key vs mono program
+
+        def loss(x, k, th):
+            kw = {**self._params(1), "threshold_db": th}
+            return jnp.mean(F.sidechain_compressor(x, SR, **kw, sidechain=k) ** 2)
+
+        gx, gk, gth = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(x, k, _b(-30.0))
+        for g, name in ((gx, "x"), (gk, "key"), (gth, "threshold")):
+            assert bool(jnp.isfinite(g).all()), name
+            assert float(jnp.abs(g).sum()) > 0, name
+
+    def test_requires_sidechain_and_checks_shape(self):
+        x = _noise(1, 1, 1024)
+        with pytest.raises(ValueError, match="sidechain"):
+            F.sidechain_compressor(x, SR, **self._params(1))
+        with pytest.raises(ValueError, match="batch/length"):
+            F.sidechain_compressor(
+                x, SR, **self._params(1), sidechain=_noise(1, 1, 512))
+
+    def test_module_forwards_sidechain(self):
+        proc = D.SidechainCompressor(int(SR))
+        x = _noise(2, 1, 4096, scale=0.05)
+        k = _noise(2, 1, 4096, scale=0.8)
+        p = jnp.full((2, proc.num_params), 0.5)
+        y = jax.jit(lambda x, k, p: proc.process_normalized(
+            x, p, clip_params=True, sidechain=k))(x, k, p)
+        assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+        # loud key must reduce the program level
+        assert float(jnp.abs(y).mean()) < float(jnp.abs(x).mean())
+
+
+class TestNoiseGate:
+    def _params(self, bs=1, **over):
+        kw = dict(
+            threshold_db=_b(-30.0, bs), ratio=_b(10.0, bs),
+            range_db=_b(60.0, bs), attack_ms=_b(0.5, bs),
+            release_ms=_b(20.0, bs), knee_db=_b(1.0, bs),
+        )
+        kw.update(over)
+        return kw
+
+    def test_gates_quiet_passes_loud(self):
+        # alternating loud / quiet (-60 dB) tone bursts
+        t = 32768
+        n = np.arange(t, dtype=np.float32)
+        tone = np.sin(2 * np.pi * 1000.0 * n / SR).astype(np.float32)
+        env = np.where((n // 8192) % 2 == 0, 0.5, 0.0005).astype(np.float32)
+        x = jnp.asarray((tone * env)[None, None])
+        y = np.asarray(jax.jit(lambda x: F.noise_gate(
+            x, SR, **self._params()))(x))[0, 0]
+        # steady-state loud region: transparent
+        loud = slice(4096, 8192)
+        np.testing.assert_allclose(y[loud], np.asarray(x)[0, 0][loud], atol=5e-3)
+        # steady-state quiet region: attenuated by ~range (>= 40 dB down)
+        quiet = np.abs(y[12288:16384]).max()
+        assert quiet < 0.0005 * 10 ** (-40 / 20) * 10, quiet
+
+    def test_range_limits_attenuation(self):
+        # with a 12 dB range, quiet material drops ~12 dB, not to silence
+        x = _noise(1, 1, 16384, scale=0.001)
+        y = np.asarray(jax.jit(lambda x: F.noise_gate(
+            x, SR, **self._params(range_db=_b(12.0)),
+            smoother="exact"))(x))
+        att_db = 20 * np.log10(
+            np.abs(y[..., 8192:]).mean() / np.abs(np.asarray(x)[..., 8192:]).mean()
+        )
+        assert -14.0 < att_db < -9.0, att_db
+
+    def test_hold_keeps_gate_open_across_gap(self):
+        # loud burst, short gap, loud burst: with hold >= gap the gate
+        # never closes in the gap; without hold it does
+        t = 24576
+        x = np.zeros((1, 1, t), np.float32)
+        x[..., :8192] = 0.5
+        x[..., 8192 + 2048: 16384] = 0.5
+        x = jnp.asarray(x * np.sign(RNG.standard_normal((1, 1, t))).astype(np.float32))
+        def run(hold_ms):
+            return np.asarray(jax.jit(lambda x: F.noise_gate(
+                x, SR, **self._params(release_ms=_b(2.0)), hold_ms=hold_ms))(x))
+
+        y_hold = run(100.0)  # 100 ms hold >> 2048-sample (46 ms) gap
+        y_none = run(0.0)
+        # the signal in the gap is 0 either way, so compare the next
+        # burst's first samples: with hold the gate is still open ->
+        # instant full level; without hold it must re-attack from closed
+        reopen = slice(8192 + 2048, 8192 + 2048 + 8)
+        lvl_hold = np.abs(y_hold[0, 0][reopen]).mean()
+        lvl_none = np.abs(y_none[0, 0][reopen]).mean()
+        assert lvl_hold > lvl_none * 1.5, (lvl_hold, lvl_none)
+
+    def test_grads_finite_and_nonzero(self):
+        x = _noise(2, 2, 8192, scale=0.02)
+
+        def loss(x, th, rng):
+            kw = self._params(2, threshold_db=th, range_db=rng)
+            return jnp.mean(F.noise_gate(x, SR, **kw, hold_ms=5.0) ** 2)
+
+        gx, gth, grng = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
+            x, _b(-30.0, 2), _b(40.0, 2))
+        for g, name in ((gx, "x"), (gth, "threshold"), (grng, "range")):
+            assert bool(jnp.isfinite(g).all()), name
+        assert float(jnp.abs(gth).sum()) > 0
+
+    def test_module_and_smoother_guard(self):
+        proc = D.NoiseGate(int(SR), hold_ms=10.0)
+        x = _noise(2, 1, 8192, scale=0.1)
+        p = jnp.asarray(RNG.uniform(0.2, 0.8, (2, proc.num_params)).astype(np.float32))
+        y = jax.jit(lambda x, p: proc.process_normalized(x, p))(x, p)
+        assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+        with pytest.raises(ValueError, match="smoother"):
+            F.noise_gate(x, SR, **self._params(2), smoother="fsm")

@@ -364,3 +364,46 @@ class TestStreamChain:
         fn = lambda c, s: (c, s)
         with pytest.raises(ValueError, match="Duplicate"):
             streaming.StreamChain([("a", fn), ("a", fn)])
+
+
+class TestSidechainGateStreams:
+    def test_sidechain_compressor_stream_matches_offline(self):
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 8192)).astype(np.float32) * 0.1)
+        k = jnp.asarray(RNG.standard_normal((BS, 1, 8192)).astype(np.float32) * 0.6)
+        kw = dict(threshold_db=jnp.full((BS,), -30.0), ratio=jnp.full((BS,), 8.0),
+                  attack_ms=jnp.full((BS,), 5.0), release_ms=jnp.full((BS,), 60.0),
+                  knee_db=jnp.full((BS,), 3.0), makeup_gain_db=jnp.full((BS,), 0.0))
+        offline = jax.jit(lambda x, k: D.functional.sidechain_compressor(
+            x, SR, **kw, smoother="parallel", sidechain=k))(x, k)
+        step = jax.jit(lambda c, s, kc: streaming.sidechain_compressor_stream(
+            c, SR, **kw, zi=s, smoother="parallel", sidechain=kc))
+        outs, state = [], None
+        for i in range(0, 8192, 1024):
+            y, state = step(x[..., i:i + 1024], state, k[..., i:i + 1024])
+            outs.append(y)
+        y = jnp.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=2e-5)
+
+    @pytest.mark.parametrize("hold_ms", [0.0, 12.0])
+    def test_noise_gate_stream_matches_offline(self, hold_ms):
+        # bursty signal so the gate actually opens and closes
+        t = 16384
+        env = np.where((np.arange(t) // 3000) % 2 == 0, 0.4, 0.002)
+        x = jnp.asarray(
+            (RNG.standard_normal((BS, 1, t)) * env).astype(np.float32))
+        kw = dict(threshold_db=jnp.full((BS,), -30.0), ratio=jnp.full((BS,), 10.0),
+                  range_db=jnp.full((BS,), 50.0), attack_ms=jnp.full((BS,), 0.5),
+                  release_ms=jnp.full((BS,), 20.0), knee_db=jnp.full((BS,), 1.0))
+        offline = jax.jit(lambda x: D.functional.noise_gate(
+            x, SR, **kw, hold_ms=hold_ms, smoother="parallel"))(x)
+        step = jax.jit(lambda c, s: streaming.noise_gate_stream(
+            c, SR, **kw, hold_ms=hold_ms, state=s, smoother="parallel"))
+        y, _ = _stream_all(step, x, 1024)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=2e-5)
+
+    def test_noise_gate_stream_rejects_bad_smoother(self):
+        x = jnp.zeros((1, 1, 512), jnp.float32)
+        with pytest.raises(ValueError, match="smoother"):
+            streaming.noise_gate_stream(
+                x, SR, threshold_db=-30.0, ratio=4.0, range_db=40.0,
+                attack_ms=1.0, release_ms=20.0, knee_db=1.0, smoother="block")
