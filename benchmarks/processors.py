@@ -156,6 +156,12 @@ def main():
             [f(1.5), f(5.0), f(15.0), f(0.5)],
             lambda x, p: D.modulated_delay(x, SR, *p, max_delay_ms=20.0)),
         "tremolo": ([f(4.0), f(0.8)], lambda x, p: D.tremolo(x, SR, *p)),
+        "phaser": (
+            [f(0.8), f(0.7), f(800.0), f(0.4), f(0.5)],
+            lambda x, p: D.phaser(x, SR, *p)),
+        "auto_wah": (
+            [f(5.0), f(5.0), f(50.0), f(200.0), f(2000.0), f(4.0), f(1.0)],
+            lambda x, p: D.auto_wah(x, SR, *p)),
         "limiter_ballistics": (
             [f(-12.0), f(2.0), f(120.0), f(3.0), f(2.0)],
             lambda x, p: D.limiter(x, SR, *p, smoother="parallel")),

@@ -33,6 +33,8 @@ from dasp_tpu.functional import (
     delay,
     modulated_delay,
     tremolo,
+    phaser,
+    auto_wah,
     limiter,
     multiband_compressor,
 )
@@ -57,6 +59,8 @@ from dasp_tpu.modules import (
     Chorus,
     Flanger,
     Tremolo,
+    Phaser,
+    AutoWah,
     Limiter,
     MultibandCompressor,
 )
@@ -82,6 +86,8 @@ __all__ = [
     "delay",
     "modulated_delay",
     "tremolo",
+    "phaser",
+    "auto_wah",
     "limiter",
     "multiband_compressor",
     "Processor",
@@ -103,6 +109,8 @@ __all__ = [
     "Chorus",
     "Flanger",
     "Tremolo",
+    "Phaser",
+    "AutoWah",
     "Limiter",
     "MultibandCompressor",
     "ops",

@@ -72,6 +72,8 @@ __all__ = [
     "delay",
     "modulated_delay",
     "tremolo",
+    "phaser",
+    "auto_wah",
     "limiter",
     "multiband_compressor",
     "GRAPHIC_EQ_BANDS",
@@ -1387,6 +1389,186 @@ def tremolo(
     n = np.arange(seq_len, dtype=np.float32)[None, None, :]
     lfo = 0.5 * (1.0 + jnp.sin(2.0 * np.pi * rate_hz * (n / sample_rate) + lfo_phase))
     return (x * (1.0 - depth * lfo)).astype(dtype)
+
+
+def _phaser_response(
+    f_break, feedback, mix, n_bins: int, stages: int, sample_rate: float
+):
+    """Per-frame complex response of the allpass-cascade phaser core.
+
+    ``f_break``: allpass break frequency per frame, (bs, n_frames).
+    ``feedback`` / ``mix``: (bs, 1). Returns (bs, n_frames, n_bins).
+
+    First-order allpass A(w) = (c + e^{-jw}) / (1 + c e^{-jw}) with
+    c = (tan(pi f/fs) - 1) / (tan(pi f/fs) + 1); ``stages`` of them in
+    cascade, a one-sample-delayed feedback path around the cascade, and
+    a dry/wet mix: H = (1 - mix) + mix * A^K / (1 - fb e^{-jw} A^K).
+    """
+    t = jnp.tan(np.pi * f_break / sample_rate)
+    c = ((t - 1.0) / (t + 1.0))[..., None]  # (bs, n_frames, 1)
+    w = np.linspace(0.0, np.pi, n_bins, dtype=np.float32)
+    e = jnp.asarray(np.exp(-1j * w).astype(np.complex64))  # (n_bins,)
+    ap = (c + e) / (1.0 + c * e)
+    chain = ap**stages
+    fb = feedback[..., None]
+    wet = chain / (1.0 - fb * e * chain)
+    mix = mix[..., None]
+    return (1.0 - mix) + mix * wet
+
+
+@_scoped("dasp.phaser")
+def phaser(
+    x: jnp.ndarray,
+    sample_rate: float,
+    rate_hz,
+    depth,
+    centre_frequency_hz,
+    feedback,
+    mix,
+    stages: int = 6,
+    lfo_phase: float = 0.0,
+    frame_size: int = 512,
+    hop: int = 128,
+) -> jnp.ndarray:
+    """LFO-swept allpass-cascade phaser (time-varying filter).
+
+    Not in the reference (which has no time-varying filters at all).
+    TPU-native design: instead of a sample-serial time-varying allpass
+    recursion, the cascade's closed-form frequency response is evaluated
+    at the LFO value of each analysis frame and applied with the WOLA
+    time-varying filter (:func:`dasp_tpu.ops.tv_filter.tv_freq_filter`)
+    — batched rFFTs and static overlap-add shifts, no recurrence. The
+    frame rate (fs/hop ~ 345 Hz at the defaults) is far above any
+    musical LFO rate, and the Hann crossfade between frames is the
+    textbook WOLA realization of slowly-modulated filters.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        rate_hz: LFO rate in Hz, shape (bs,).
+        depth: sweep width on [0, 1] — the break frequency sweeps
+            ``+-2*depth`` octaves around the centre, shape (bs,).
+        centre_frequency_hz: sweep centre in Hz, shape (bs,).
+        feedback: feedback around the allpass chain, |fb| < 1 (resonant
+            coloration), shape (bs,).
+        mix: dry/wet mix on [0, 1] (0.5 = classic notches), shape (bs,).
+        stages: number of first-order allpass stages (static, even
+            numbers give stages/2 notches).
+        lfo_phase: initial LFO phase in radians (static).
+        frame_size / hop: WOLA analysis parameters (static);
+            ``frame_size`` must be a multiple of ``2*hop``. The response
+            tail must decay within ``4*frame_size - frame_size`` samples
+            — keep |feedback| moderate or enlarge ``frame_size``.
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    from .ops.tv_filter import tv_frame_centers, tv_freq_filter
+
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    rate_hz = _param(rate_hz, bs, dtype).reshape(bs, 1)
+    depth = _param(depth, bs, dtype).reshape(bs, 1)
+    centre = _param(centre_frequency_hz, bs, dtype).reshape(bs, 1)
+    feedback = _param(feedback, bs, dtype).reshape(bs, 1)
+    mix = _param(mix, bs, dtype).reshape(bs, 1)
+
+    n_fft = 4 * frame_size
+    centers = tv_frame_centers(seq_len, frame_size, hop).astype(np.float32)
+    t = jnp.asarray(centers)[None, :] / sample_rate  # (1, n_frames)
+    lfo = jnp.sin(2.0 * np.pi * rate_hz * t + lfo_phase)
+    f_break = centre * 2.0 ** (2.0 * depth * lfo)
+    # keep the break frequency inside (0, nyquist)
+    f_break = jnp.clip(f_break, 1.0, 0.49 * sample_rate)
+
+    H = _phaser_response(f_break, feedback, mix, n_fft // 2 + 1, stages, sample_rate)
+    return tv_freq_filter(x, H, frame_size, hop).astype(dtype)
+
+
+@_scoped("dasp.auto_wah")
+def auto_wah(
+    x: jnp.ndarray,
+    sample_rate: float,
+    sensitivity,
+    attack_ms,
+    release_ms,
+    min_frequency_hz,
+    max_frequency_hz,
+    q_factor,
+    mix,
+    eps: float = 1e-8,
+    frame_size: int = 512,
+    hop: int = 128,
+) -> jnp.ndarray:
+    """Envelope-following resonant bandpass filter (auto-wah).
+
+    Not in the reference. The input's mono-summed level runs through a
+    fast-attack/slow-release envelope follower (the dynamics ballistics
+    machinery), the envelope steers a constant-peak bandpass biquad's
+    centre frequency exponentially between ``min_frequency_hz`` and
+    ``max_frequency_hz``, and the per-frame responses are applied with
+    the WOLA time-varying filter — the same TPU-native recipe as
+    :func:`phaser`.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        sensitivity: envelope-to-sweep gain (>0; ``tanh(sensitivity *
+            envelope)`` is the normalized sweep position), shape (bs,).
+        attack_ms: envelope rise time (ms), shape (bs,).
+        release_ms: envelope fall time (ms), shape (bs,).
+        min_frequency_hz / max_frequency_hz: sweep range in Hz, (bs,).
+        q_factor: bandpass resonance, shape (bs,).
+        mix: dry/wet mix on [0, 1], shape (bs,).
+        eps: numerical floor for the envelope detector.
+        frame_size / hop: WOLA analysis parameters (static).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    from .ops.fft_filter import fft_freqz
+    from .ops.tv_filter import tv_frame_centers, tv_freq_filter
+
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    sensitivity = _param(sensitivity, bs, dtype)
+    attack_ms = _param(attack_ms, bs, dtype)
+    release_ms = _param(release_ms, bs, dtype)
+    f_min = _param(min_frequency_hz, bs, dtype).reshape(bs, 1)
+    f_max = _param(max_frequency_hz, bs, dtype).reshape(bs, 1)
+    q_factor = _param(q_factor, bs, dtype).reshape(bs, 1)
+    mix = _param(mix, bs, dtype).reshape(bs, 1)
+    f_max = jnp.maximum(f_max, 1.01 * f_min)
+
+    # envelope follower: fast rise (attack), slow fall (release). The
+    # ballistics smoother's FIRST coefficient fires when the signal
+    # FALLS — that is the follower's release — hence the swap.
+    level = jnp.mean(jnp.abs(x), axis=1, keepdims=True)  # (bs, 1, T)
+    ln9 = math.log(9.0)
+    alpha_a = jnp.exp(-ln9 / (sample_rate * (attack_ms / 1e3)))
+    alpha_r = jnp.exp(-ln9 / (sample_rate * (release_ms / 1e3)))
+    env = ballistics_smooth(level, alpha_r, alpha_a, mode="parallel")
+
+    # sample the envelope at the frame centers (static indices, clipped
+    # at the edges) and steer the bandpass centre exponentially
+    centers = tv_frame_centers(seq_len, frame_size, hop)
+    idx = np.clip(np.round(centers).astype(np.int64), 0, seq_len - 1)
+    env_f = jnp.take(env[:, 0], jnp.asarray(idx), axis=-1)  # (bs, n_frames)
+    sweep = jnp.tanh(sensitivity.reshape(bs, 1) * env_f)
+    f_c = f_min * (f_max / f_min) ** sweep  # (bs, n_frames)
+
+    n_frames = f_c.shape[1]
+    n_fft = 4 * frame_size
+    b, a = biquad(
+        jnp.zeros((bs * n_frames,), dtype),
+        f_c.reshape(bs * n_frames),
+        jnp.broadcast_to(q_factor, (bs, n_frames)).reshape(bs * n_frames),
+        sample_rate,
+        "band_pass",
+    )
+    H_bp = fft_freqz(b, a, n_fft).reshape(bs, n_frames, n_fft // 2 + 1)
+    H = (1.0 - mix[..., None]) + mix[..., None] * H_bp
+    return tv_freq_filter(x, H, frame_size, hop).astype(dtype)
 
 
 @_scoped("dasp.limiter")

@@ -56,6 +56,8 @@ __all__ = [
     "Chorus",
     "Flanger",
     "Tremolo",
+    "Phaser",
+    "AutoWah",
     "Limiter",
     "MultibandCompressor",
 ]
@@ -724,6 +726,83 @@ class Tremolo(Processor):
         self.param_ranges = {
             "rate_hz": (min_rate_hz, max_rate_hz),
             "depth": (min_depth, max_depth),
+        }
+
+
+class Phaser(Processor):
+    """LFO-swept allpass-cascade phaser (functional.phaser). ``stages``,
+    ``frame_size`` and ``hop`` are static constructor settings."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_rate_hz: float = 0.05,
+        max_rate_hz: float = 5.0,
+        min_depth: float = 0.0,
+        max_depth: float = 1.0,
+        min_centre_frequency_hz: float = 200.0,
+        max_centre_frequency_hz: float = 2000.0,
+        min_feedback: float = -0.8,
+        max_feedback: float = 0.8,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+        stages: int = 6,
+        frame_size: int = 512,
+        hop: int = 128,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.phaser(
+            x, *a,
+            **{"stages": stages, "frame_size": frame_size, "hop": hop, **kw},
+        )
+        self.param_ranges = {
+            "rate_hz": (min_rate_hz, max_rate_hz),
+            "depth": (min_depth, max_depth),
+            "centre_frequency_hz": (min_centre_frequency_hz, max_centre_frequency_hz),
+            "feedback": (min_feedback, max_feedback),
+            "mix": (min_mix, max_mix),
+        }
+
+
+class AutoWah(Processor):
+    """Envelope-following resonant bandpass (functional.auto_wah).
+    ``frame_size`` and ``hop`` are static constructor settings."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_sensitivity: float = 0.5,
+        max_sensitivity: float = 20.0,
+        min_attack_ms: float = 1.0,
+        max_attack_ms: float = 50.0,
+        min_release_ms: float = 10.0,
+        max_release_ms: float = 500.0,
+        min_frequency_hz: float = 100.0,
+        max_frequency_hz: float = 4000.0,
+        min_q_factor: float = 0.707,
+        max_q_factor: float = 10.0,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+        frame_size: int = 512,
+        hop: int = 128,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.auto_wah(
+            x, *a, **{"frame_size": frame_size, "hop": hop, **kw}
+        )
+        # the sweep range is split into two learnable endpoints whose
+        # normalized columns both span the full range; the functional
+        # layer enforces f_max >= 1.01 * f_min
+        self.param_ranges = {
+            "sensitivity": (min_sensitivity, max_sensitivity),
+            "attack_ms": (min_attack_ms, max_attack_ms),
+            "release_ms": (min_release_ms, max_release_ms),
+            "min_frequency_hz": (min_frequency_hz, max_frequency_hz),
+            "max_frequency_hz": (min_frequency_hz, max_frequency_hz),
+            "q_factor": (min_q_factor, max_q_factor),
+            "mix": (min_mix, max_mix),
         }
 
 

@@ -28,9 +28,13 @@ from .iir import (
     sosfilt_exact,
 )
 from .pallas_ballistics import ballistics_pallas
+from .tv_filter import tv_frame_centers, tv_frame_count, tv_freq_filter
 from .pallas_iir import lfilter1_pallas, sosfilt_pallas
 
 __all__ = [
+    "tv_freq_filter",
+    "tv_frame_count",
+    "tv_frame_centers",
     "biquad",
     "one_pole_butter_highpass",
     "one_pole_butter_lowpass",

@@ -19,7 +19,9 @@ __all__ = [
     "one_pole_filter",
 ]
 
-_BIQUAD_TYPES = ("high_shelf", "low_shelf", "peaking", "low_pass", "high_pass")
+_BIQUAD_TYPES = (
+    "high_shelf", "low_shelf", "peaking", "low_pass", "high_pass", "band_pass"
+)
 
 
 def biquad(
@@ -40,7 +42,9 @@ def biquad(
         q_factor: quality factor, same shape rules.
         sample_rate: audio sample rate (Hz), static or traced scalar.
         filter_type: one of "high_shelf", "low_shelf", "peaking",
-            "low_pass", "high_pass" (static).
+            "low_pass", "high_pass", "band_pass" (static; band_pass is
+            the cookbook constant-0dB-peak form with ``gain_db``
+            scaling the peak — not in the reference's five).
 
     Returns:
         (b, a): numerator / denominator coefficients, each shape (bs, 3).
@@ -88,6 +92,15 @@ def biquad(
         b0 = (1 + cos_w0) / 2
         b1 = -(1 + cos_w0)
         b2 = (1 + cos_w0) / 2
+        a0 = 1 + alpha
+        a1 = -2 * cos_w0
+        a2 = 1 - alpha
+    elif filter_type == "band_pass":
+        # constant 0 dB peak gain (cookbook); gain_db scales the peak on
+        # top so the auto-wah can push resonance hot
+        b0 = A * alpha
+        b1 = jnp.zeros_like(alpha)
+        b2 = -A * alpha
         a0 = 1 + alpha
         a1 = -2 * cos_w0
         a2 = 1 - alpha

@@ -59,6 +59,8 @@ __all__ = [
     "delay_stream",
     "modulated_delay_stream",
     "tremolo_stream",
+    "phaser_stream",
+    "auto_wah_stream",
     "multiband_compressor_stream",
     "StreamChain",
 ]
@@ -591,6 +593,199 @@ def tremolo_stream(
     lfo = 0.5 * (1.0 + jnp.sin(2.0 * np.pi * rate_hz * (t_abs / sample_rate) + lfo_phase))
     y = x * (1.0 - depth * lfo)
     return y.astype(dtype), {"n0": state["n0"] + T}
+
+
+def _wola_stream(x, H, frame_size: int, hop: int, state):
+    """Streaming core of ``ops.tv_filter.tv_freq_filter``.
+
+    ``x`` is a (bs, chs, Tc) chunk with ``Tc % hop == 0``; ``H`` holds
+    the complex responses of the ``Tc/hop`` frames whose input completes
+    within this chunk. Carried state: the trailing ``frame_size - hop``
+    input samples and the ``n_fft - hop`` overlap-add tail. The output
+    equals the offline WOLA render delayed by ``frame_size - hop``
+    samples (the window's algorithmic lookahead — the first chunk leads
+    with that many warm-up samples).
+    """
+    import math as _math
+
+    import jax
+    import numpy as np
+
+    bs, chs, Tc = x.shape
+    n_bins = H.shape[-1]
+    n_fft = 2 * (n_bins - 1)
+    left = frame_size - hop
+    if Tc % hop != 0:
+        raise ValueError(f"chunk length {Tc} must be a multiple of hop {hop}.")
+    K = Tc // hop
+    if state is None:
+        state = {
+            "xhist": jnp.zeros((bs, chs, left), x.dtype),
+            "ola": jnp.zeros((bs, chs, n_fft - hop), x.dtype),
+        }
+
+    x_ext = jnp.concatenate([state["xhist"], x], axis=-1)
+    g = _math.gcd(frame_size, hop)
+    hop_b, len_b = hop // g, frame_size // g
+    xb = x_ext.reshape(bs, chs, x_ext.shape[-1] // g, g)
+    parts = [
+        jax.lax.slice_in_dim(xb, k, k + (K - 1) * hop_b + 1, stride=hop_b, axis=-2)
+        for k in range(len_b)
+    ]
+    frames = jnp.concatenate(parts, axis=-1)  # (bs, chs, K, L)
+
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame_size) / frame_size)
+    cola = frame_size / (2.0 * hop)
+    frames = frames * jnp.asarray((win / cola).astype(np.float32))
+
+    X = jnp.fft.rfft(frames, n_fft, axis=-1)
+    yf = jnp.fft.irfft(X * H[:, None].astype(X.dtype), n_fft, axis=-1)
+
+    nchunks = n_fft // hop
+    yc = yf.reshape(bs, chs, K, nchunks, hop)
+    out = sum(
+        jnp.pad(yc[:, :, :, k], ((0, 0), (0, 0), (k, nchunks - 1 - k), (0, 0)))
+        for k in range(nchunks)
+    ).reshape(bs, chs, (K + nchunks - 1) * hop)
+    out = out.at[..., : n_fft - hop].add(state["ola"])
+    y, ola = out[..., :Tc], out[..., Tc:]
+    return y, {"xhist": x_ext[..., -left:], "ola": ola}
+
+
+def phaser_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    rate_hz,
+    depth,
+    centre_frequency_hz,
+    feedback,
+    mix,
+    stages: int = 6,
+    lfo_phase: float = 0.0,
+    frame_size: int = 512,
+    hop: int = 128,
+    state=None,
+) -> Tuple[jnp.ndarray, Any]:
+    """Streaming phaser.
+
+    Chunk-by-chunk :func:`dasp_tpu.functional.phaser`: the concatenated
+    stream equals the offline render delayed by ``frame_size - hop``
+    samples (WOLA lookahead — 8.7 ms at the defaults/44.1 kHz). Carried
+    state: the WOLA input/overlap tails plus the absolute sample counter
+    that keeps the LFO phase continuous. Chunk length must be a multiple
+    of ``hop``.
+    """
+    import numpy as np
+
+    bs, chs, Tc = x.shape
+    dtype = x.dtype
+    rate_hz = F._param(rate_hz, bs, dtype).reshape(bs, 1)
+    depth = F._param(depth, bs, dtype).reshape(bs, 1)
+    centre = F._param(centre_frequency_hz, bs, dtype).reshape(bs, 1)
+    feedback = F._param(feedback, bs, dtype).reshape(bs, 1)
+    mix = F._param(mix, bs, dtype).reshape(bs, 1)
+
+    if state is None:
+        state = {"wola": None, "n0": jnp.zeros((), jnp.int32)}
+    n_fft = 4 * frame_size
+    K = Tc // hop
+    # absolute frame centers: n0 + k*hop + hop - frame_size/2 (matches
+    # ops.tv_filter.tv_frame_centers at offset n0)
+    offs = np.arange(K, dtype=np.float32) * hop + (hop - frame_size / 2.0)
+    t = (state["n0"].astype(jnp.float32) + jnp.asarray(offs))[None, :] / sample_rate
+    lfo = jnp.sin(2.0 * np.pi * rate_hz * t + lfo_phase)
+    f_break = jnp.clip(centre * 2.0 ** (2.0 * depth * lfo), 1.0, 0.49 * sample_rate)
+    H = F._phaser_response(
+        f_break, feedback, mix, n_fft // 2 + 1, stages, sample_rate
+    )
+    y, wola = _wola_stream(x, H, frame_size, hop, state["wola"])
+    return y.astype(dtype), {"wola": wola, "n0": state["n0"] + Tc}
+
+
+def auto_wah_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    sensitivity,
+    attack_ms,
+    release_ms,
+    min_frequency_hz,
+    max_frequency_hz,
+    q_factor,
+    mix,
+    eps: float = 1e-8,
+    frame_size: int = 512,
+    hop: int = 128,
+    state=None,
+) -> Tuple[jnp.ndarray, Any]:
+    """Streaming auto-wah.
+
+    Chunk-by-chunk :func:`dasp_tpu.functional.auto_wah` (same
+    ``frame_size - hop`` WOLA delay as :func:`phaser_stream`). Carried
+    state: WOLA tails, the envelope follower's ballistics state, and the
+    trailing envelope window the frame centers read from. The envelope
+    path matches the offline render exactly except the offline edge
+    clipping of the first/last frame centers (a sub-frame transient at
+    the very start and end of a clip).
+    """
+    import numpy as np
+
+    bs, chs, Tc = x.shape
+    dtype = x.dtype
+    sensitivity = F._param(sensitivity, bs, dtype)
+    attack_ms = F._param(attack_ms, bs, dtype)
+    release_ms = F._param(release_ms, bs, dtype)
+    f_min = F._param(min_frequency_hz, bs, dtype).reshape(bs, 1)
+    f_max = F._param(max_frequency_hz, bs, dtype).reshape(bs, 1)
+    q_factor = F._param(q_factor, bs, dtype).reshape(bs, 1)
+    mix = F._param(mix, bs, dtype).reshape(bs, 1)
+    f_max = jnp.maximum(f_max, 1.01 * f_min)
+
+    if state is None:
+        state = {"wola": None, "env": None, "env_hist": None}
+    left = frame_size - hop
+
+    import math as _math
+
+    level = jnp.mean(jnp.abs(x), axis=1, keepdims=True)
+    ln9 = _math.log(9.0)
+    alpha_a = jnp.exp(-ln9 / (sample_rate * (attack_ms / 1e3)))
+    alpha_r = jnp.exp(-ln9 / (sample_rate * (release_ms / 1e3)))
+    env, env_f = ballistics_smooth(
+        level, alpha_r, alpha_a, mode="parallel",
+        y0=state.get("env"), return_yf=True,
+    )
+    env_hist = state.get("env_hist")
+    if env_hist is None:
+        # cold start: replicate the first envelope sample, matching the
+        # offline render's clipped negative frame centers
+        env_hist = jnp.broadcast_to(env[..., :1], (bs, 1, left))
+    env_ext = jnp.concatenate([env_hist, env], axis=-1)
+
+    K = Tc // hop
+    # frame k's center lands at index k*hop + frame_size/2 of env_ext
+    idx = np.arange(K) * hop + frame_size // 2
+    env_c = jnp.take(env_ext[:, 0], jnp.asarray(idx), axis=-1)  # (bs, K)
+    sweep = jnp.tanh(sensitivity.reshape(bs, 1) * env_c)
+    f_c = f_min * (f_max / f_min) ** sweep
+
+    n_fft = 4 * frame_size
+    from .ops.biquad import biquad
+    from .ops.fft_filter import fft_freqz
+
+    b, a = biquad(
+        jnp.zeros((bs * K,), dtype),
+        f_c.reshape(bs * K),
+        jnp.broadcast_to(q_factor, (bs, K)).reshape(bs * K),
+        sample_rate,
+        "band_pass",
+    )
+    H_bp = fft_freqz(b, a, n_fft).reshape(bs, K, n_fft // 2 + 1)
+    H = (1.0 - mix[..., None]) + mix[..., None] * H_bp
+
+    y, wola = _wola_stream(x, H, frame_size, hop, state["wola"])
+    return y.astype(dtype), {
+        "wola": wola, "env": env_f, "env_hist": env_ext[..., -left:],
+    }
 
 
 def multiband_compressor_stream(

@@ -33,7 +33,8 @@ def main():
     parser.add_argument("--processor",
                         choices=["compressor", "expander", "limiter",
                                  "multiband_compressor", "delay", "chorus",
-                                 "flanger", "tremolo", "noise_gate"],
+                                 "flanger", "tremolo", "noise_gate",
+                                 "phaser", "auto_wah"],
                         default="compressor",
                         help="which processor to blind-estimate")
     args = parser.parse_args()
@@ -61,6 +62,10 @@ def main():
         processor = D.Tremolo(sr)
     elif args.processor == "noise_gate":
         processor = D.NoiseGate(sr, smoother=args.smoother or "parallel")
+    elif args.processor == "phaser":
+        processor = D.Phaser(sr)
+    elif args.processor == "auto_wah":
+        processor = D.AutoWah(sr)
     else:
         processor = D.Compressor(sr, smoother=args.smoother or "fsm")
     net = ParameterNetwork.blind_estimation(processor.num_params)

@@ -265,6 +265,8 @@ class TestProcessorWrappers:
             (D.Limiter, 2),
             (D.MultibandCompressor, 1),
             (D.NoiseGate, 2),
+            (D.Phaser, 2),
+            (D.AutoWah, 1),
         ],
     )
     def test_fuzz_normalized(self, cls, chs):
@@ -449,3 +451,144 @@ class TestNoiseGate:
         assert y.shape == x.shape and bool(jnp.isfinite(y).all())
         with pytest.raises(ValueError, match="smoother"):
             F.noise_gate(x, SR, **self._params(2), smoother="fsm")
+
+
+class TestTvFilter:
+    """Direct tests of the WOLA time-varying filter op (ops.tv_filter)."""
+
+    def test_identity_and_static_fir(self):
+        from dasp_tpu.ops.tv_filter import tv_frame_count, tv_freq_filter
+
+        bs, chs, t, L, hop, nfft = 2, 2, 5000, 512, 128, 2048
+        n = tv_frame_count(t, L, hop)
+        x = _noise(bs, chs, t, scale=1.0)
+        H1 = jnp.ones((bs, n, nfft // 2 + 1), jnp.complex64)
+        y = jax.jit(lambda x, H: tv_freq_filter(x, H, L, hop))(x, H1)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-6)
+
+        h = RNG.standard_normal(64).astype(np.float32) * 0.1
+        H = jnp.broadcast_to(
+            jnp.asarray(np.fft.rfft(h, nfft).astype(np.complex64)),
+            (bs, n, nfft // 2 + 1),
+        )
+        y2 = jax.jit(lambda x, H: tv_freq_filter(x, H, L, hop))(x, H)
+        ref = np.stack([
+            [np.convolve(np.asarray(x)[b, c], h)[:t] for c in range(chs)]
+            for b in range(bs)
+        ])
+        np.testing.assert_allclose(np.asarray(y2), ref, atol=2e-5)
+
+    def test_shape_guards(self):
+        from dasp_tpu.ops.tv_filter import tv_freq_filter
+
+        x = _noise(1, 1, 1000)
+        with pytest.raises(ValueError, match="H has shape"):
+            tv_freq_filter(x, jnp.ones((1, 3, 1025), jnp.complex64), 512, 128)
+
+
+class TestPhaser:
+    def _p(self, bs=1, **over):
+        kw = dict(rate_hz=_b(0.5, bs), depth=_b(0.7, bs),
+                  centre_frequency_hz=_b(800.0, bs), feedback=_b(0.3, bs),
+                  mix=_b(0.5, bs))
+        kw.update(over)
+        return kw
+
+    def test_static_notches_match_closed_form(self):
+        # rate=0, depth=0 -> a time-invariant allpass cascade; the
+        # impulse response's spectrum must match _phaser_response
+        t, L, hop = 16384, 512, 128
+        x = np.zeros((1, 1, t), np.float32)
+        x[0, 0, t // 2] = 1.0
+        kw = self._p(rate_hz=_b(0.0), depth=_b(0.0))
+        y = np.asarray(jax.jit(lambda x: F.phaser(jnp.asarray(x), SR, **kw))(x))[0, 0]
+        Hm = np.abs(np.fft.rfft(y, t))
+        c = np.tan(np.pi * 800.0 / SR)
+        cc = (c - 1) / (c + 1)
+        w = 2 * np.pi * np.fft.rfftfreq(t)
+        e = np.exp(-1j * w)
+        ap = ((cc + e) / (1 + cc * e)) ** 6
+        Href = np.abs(0.5 + 0.5 * ap / (1 - 0.3 * e * ap))
+        np.testing.assert_allclose(Hm, Href, atol=5e-3)
+
+    def test_mix_zero_identity_and_unity_gain(self):
+        x = _noise(2, 2, 8192, scale=0.4)
+        y0 = jax.jit(lambda x: F.phaser(x, SR, **self._p(2, mix=_b(0.0, 2))))(x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(x), atol=1e-5)
+        # full-wet zero-feedback phaser is allpass: energy preserved
+        y1 = jax.jit(lambda x: F.phaser(
+            x, SR, **self._p(2, mix=_b(1.0, 2), feedback=_b(0.0, 2))))(x)
+        e_in = float(jnp.sum(x**2))
+        e_out = float(jnp.sum(y1**2))
+        assert abs(e_out / e_in - 1.0) < 0.02, e_out / e_in
+
+    def test_sweep_moves_notches(self):
+        # with a nonzero rate the short-time spectra at two LFO phases
+        # must differ (the notches move)
+        t = 32768
+        x = jnp.asarray(RNG.standard_normal((1, 1, t)).astype(np.float32))
+        y = np.asarray(jax.jit(lambda x: F.phaser(
+            x, SR, **self._p(rate_hz=_b(2.0), depth=_b(1.0))))(x))[0, 0]
+        a = np.abs(np.fft.rfft(y[:8192]))
+        bspec = np.abs(np.fft.rfft(y[8192:16384]))
+        rel = np.abs(a - bspec).sum() / a.sum()
+        assert rel > 0.1, rel
+
+    def test_grads_flow(self):
+        x = _noise(1, 1, 8192, scale=0.3)
+
+        def loss(r, d, c, fb, m):
+            return jnp.mean(F.phaser(x, SR, r, d, c, fb, m) ** 2)
+
+        gs = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(
+            _b(1.0), _b(0.5), _b(800.0), _b(0.4), _b(0.5))
+        for g in gs:
+            assert bool(jnp.isfinite(g).all())
+        assert any(float(jnp.abs(g).sum()) > 0 for g in gs)
+
+
+class TestAutoWah:
+    def _p(self, bs=1, **over):
+        kw = dict(sensitivity=_b(5.0, bs), attack_ms=_b(5.0, bs),
+                  release_ms=_b(50.0, bs), min_frequency_hz=_b(200.0, bs),
+                  max_frequency_hz=_b(2000.0, bs), q_factor=_b(4.0, bs),
+                  mix=_b(1.0, bs))
+        kw.update(over)
+        return kw
+
+    def test_centroid_follows_level(self):
+        # white noise with a quiet and a loud half: the wet signal's
+        # spectral centroid must be higher in the loud half (filter
+        # swept up by the envelope)
+        t = 65536
+        env = np.concatenate([
+            np.full(t // 2, 0.02, np.float32), np.full(t // 2, 0.8, np.float32)])
+        x = jnp.asarray((RNG.standard_normal((1, 1, t)) * env).astype(np.float32))
+        y = np.asarray(jax.jit(lambda x: F.auto_wah(x, SR, **self._p()))(x))[0, 0]
+
+        def centroid(seg):
+            m = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+            f = np.fft.rfftfreq(len(seg), 1 / SR)
+            return float((f * m).sum() / m.sum())
+
+        c_quiet = centroid(y[8192: t // 2 - 8192])
+        c_loud = centroid(y[t // 2 + 8192:])
+        assert c_loud > 1.3 * c_quiet, (c_quiet, c_loud)
+
+    def test_mix_zero_identity(self):
+        x = _noise(2, 2, 8192, scale=0.3)
+        y = jax.jit(lambda x: F.auto_wah(x, SR, **self._p(2, mix=_b(0.0, 2))))(x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+    def test_grads_flow(self):
+        x = _noise(2, 1, 8192, scale=0.2)
+
+        def loss(s, q, m):
+            kw = self._p(2, sensitivity=s, q_factor=q, mix=m)
+            return jnp.mean(F.auto_wah(x, SR, **kw) ** 2)
+
+        gs = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
+            _b(5.0, 2), _b(4.0, 2), _b(0.8, 2))
+        for g in gs:
+            assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(gs[2]).sum()) > 0  # mix always has signal

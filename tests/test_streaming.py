@@ -407,3 +407,54 @@ class TestSidechainGateStreams:
             streaming.noise_gate_stream(
                 x, SR, threshold_db=-30.0, ratio=4.0, range_db=40.0,
                 attack_ms=1.0, release_ms=20.0, knee_db=1.0, smoother="block")
+
+
+class TestTvFilterStreams:
+    def test_phaser_stream_matches_offline_with_wola_delay(self):
+        T, L, hop = 16384, 512, 128
+        left = L - hop
+        x = jnp.asarray(RNG.standard_normal((BS, 2, T)).astype(np.float32) * 0.3)
+        kw = dict(rate_hz=jnp.full((BS,), 1.3), depth=jnp.full((BS,), 0.8),
+                  centre_frequency_hz=jnp.full((BS,), 700.0),
+                  feedback=jnp.full((BS,), 0.4), mix=jnp.full((BS,), 0.5))
+        offline = jax.jit(lambda x: D.functional.phaser(x, SR, **kw))(x)
+        step = jax.jit(lambda c, s: streaming.phaser_stream(c, SR, **kw, state=s))
+        y, _ = _stream_all(step, x, 1024)
+        # stream output = offline delayed by the WOLA lookahead (L - hop)
+        np.testing.assert_allclose(
+            np.asarray(y)[..., left:], np.asarray(offline)[..., : T - left],
+            atol=2e-5,
+        )
+
+    def test_auto_wah_stream_matches_offline(self):
+        T, L, hop = 16384, 512, 128
+        left = L - hop
+        env = np.where((np.arange(T) // 4096) % 2 == 0, 0.6, 0.05)
+        x = jnp.asarray((RNG.standard_normal((BS, 1, T)) * env).astype(np.float32))
+        kw = dict(sensitivity=jnp.full((BS,), 5.0), attack_ms=jnp.full((BS,), 5.0),
+                  release_ms=jnp.full((BS,), 50.0),
+                  min_frequency_hz=jnp.full((BS,), 200.0),
+                  max_frequency_hz=jnp.full((BS,), 2000.0),
+                  q_factor=jnp.full((BS,), 4.0), mix=jnp.full((BS,), 1.0))
+        offline = jax.jit(lambda x: D.functional.auto_wah(x, SR, **kw))(x)
+        step = jax.jit(lambda c, s: streaming.auto_wah_stream(c, SR, **kw, state=s))
+        y, _ = _stream_all(step, x, 2048)
+        # skip the offline render's clipped edge frames (first/last L)
+        np.testing.assert_allclose(
+            np.asarray(y)[..., left + L : T - L],
+            np.asarray(offline)[..., L : T - left - L],
+            atol=3e-5,
+        )
+
+    def test_phaser_stream_chunk_size_invariance(self):
+        T = 8192
+        x = jnp.asarray(RNG.standard_normal((1, 1, T)).astype(np.float32))
+        kw = dict(rate_hz=2.0, depth=1.0, centre_frequency_hz=900.0,
+                  feedback=0.2, mix=0.7)
+        outs = []
+        for chunk in (128, 512, 2048):
+            step = jax.jit(lambda c, s: streaming.phaser_stream(c, SR, **kw, state=s))
+            y, _ = _stream_all(step, x, chunk)
+            outs.append(np.asarray(y))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+        np.testing.assert_allclose(outs[0], outs[2], atol=1e-5)
