@@ -141,6 +141,12 @@ def main():
         "noise_gate": (
             [f(-30.0), f(10.0), f(60.0), f(0.5), f(20.0), f(1.0)],
             lambda x, p: D.noise_gate(x, SR, *p, hold_ms=10.0)),
+        "de_esser": (
+            [f(5000.0), f(-40.0), f(8.0), f(1.0), f(50.0), f(3.0)],
+            lambda x, p: D.de_esser(x, SR, *p)),
+        "bitcrusher": (
+            [f(6.0), f(8000.0), f(0.9)],
+            lambda x, p: D.bitcrusher(x, SR, *p)),
         "reverb": (rev, lambda x, p: D.noise_shaped_reverberation(x, SR, *p, key=key)),
         "reverb_freq_noise": (
             rev,

@@ -26,6 +26,8 @@ from dasp_tpu.functional import (
     expander,
     sidechain_compressor,
     noise_gate,
+    de_esser,
+    bitcrusher,
     distortion,
     advanced_distortion,
     graphic_eq,
@@ -46,6 +48,8 @@ from dasp_tpu.modules import (
     Expander,
     SidechainCompressor,
     NoiseGate,
+    DeEsser,
+    Bitcrusher,
     ParametricEQ,
     GraphicEQ,
     NoiseShapedReverb,
@@ -79,6 +83,8 @@ __all__ = [
     "expander",
     "sidechain_compressor",
     "noise_gate",
+    "de_esser",
+    "bitcrusher",
     "distortion",
     "advanced_distortion",
     "graphic_eq",
@@ -96,6 +102,8 @@ __all__ = [
     "Expander",
     "SidechainCompressor",
     "NoiseGate",
+    "DeEsser",
+    "Bitcrusher",
     "ParametricEQ",
     "GraphicEQ",
     "NoiseShapedReverb",

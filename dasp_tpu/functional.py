@@ -63,6 +63,8 @@ __all__ = [
     "expander",
     "sidechain_compressor",
     "noise_gate",
+    "de_esser",
+    "bitcrusher",
     "noise_shaped_reverberation",
     "noise_shaped_ir",
     "spectral_band_noise",
@@ -857,9 +859,154 @@ def noise_gate(
     return x * db_to_linear(g_smooth)
 
 
-# ---------------------------------------------------------------------------
-# reverberation
-# ---------------------------------------------------------------------------
+@_scoped("dasp.de_esser")
+def de_esser(
+    x: jnp.ndarray,
+    sample_rate: float,
+    frequency_hz,
+    threshold_db,
+    ratio,
+    attack_ms,
+    release_ms,
+    knee_db,
+    eps: float = 1e-8,
+    mode: str = "split",
+    smoother: str = "parallel",
+    filter_method: str = "coupled",
+) -> jnp.ndarray:
+    """Frequency-selective compressor for taming sibilance (a de-esser).
+
+    Not in the reference. The level detector listens to the program
+    highpassed at ``frequency_hz`` (sibilance band), and the computed
+    gain reduction is applied either to the high band only
+    (``mode="split"`` — the program is split with the LR4 crossover used
+    by :func:`multiband_compressor`; with no reduction the two bands sum
+    to the LR4 allpass, i.e. magnitude-transparent with the crossover's
+    phase rotation) or to the whole signal (``mode="wideband"``, exactly
+    transparent below threshold).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        frequency_hz: sibilance crossover/detector frequency in Hz,
+            shape (bs,).
+        threshold_db / ratio / attack_ms / release_ms / knee_db: the
+            compressor parameters, shape (bs,).
+        eps: numerical floor for the level detector.
+        mode: "split" (gain on the high band only, default) or
+            "wideband" (static).
+        smoother: dynamics smoother, same options as :func:`compressor`;
+            defaults to true ballistics.
+        filter_method: IIR evaluation path for the crossover/detector
+            filters (see :func:`parametric_eq`).
+
+    Returns:
+        De-essed audio, shape (bs, chs, seq_len).
+    """
+    if mode not in ("split", "wideband"):
+        raise ValueError(f"de_esser mode must be 'split' or 'wideband', got {mode!r}.")
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    frequency_hz = _param(frequency_hz, bs, dtype).reshape(bs)
+    threshold_db = _param(threshold_db, bs, dtype)
+    ratio = _param(ratio, bs, dtype)
+    attack_ms = _param(attack_ms, bs, dtype)
+    release_ms = _param(release_ms, bs, dtype)
+    knee_db = _param(knee_db, bs, dtype)
+
+    sos_lp, sos_hp = lr4_crossover_sos(frequency_hz, sample_rate, bs, dtype)
+    if mode == "split":
+        # one batched call for both crossover legs (see multiband)
+        low, high = _apply_sos_batched([sos_lp, sos_hp], [x, x], filter_method)
+        det = high
+    else:
+        high = _apply_sos(sos_hp, x, filter_method)
+        det = high
+        low = None
+
+    _, det_db, alpha_a, alpha_r = _dynamics_common(
+        det, sample_rate, attack_ms, release_ms, eps
+    )
+    g_c = static_gain_computer(det_db, threshold_db, ratio, knee_db, "compressor")
+    g_lin = db_to_linear(_smooth_gain(g_c, alpha_a, alpha_r, smoother))
+
+    if mode == "split":
+        return low + high * g_lin
+    return x * g_lin
+
+
+@_scoped("dasp.bitcrusher")
+def bitcrusher(
+    x: jnp.ndarray,
+    sample_rate: float,
+    bit_depth,
+    sample_rate_hz,
+    mix,
+) -> jnp.ndarray:
+    """Lo-fi bit-depth and sample-rate reduction (bitcrusher).
+
+    Not in the reference. Two stages, both with CONTINUOUS, learnable
+    controls:
+
+      * amplitude quantization to ``bit_depth`` bits (may be
+        fractional). The forward value is the exact staircase; the
+        backward pass uses a smooth surrogate — the staircase minus its
+        first Fourier harmonic, ``round(u) ~ u - sin(2 pi u)/(2 pi)`` —
+        so gradients flow to ``bit_depth`` (and through the stage to
+        ``x``) instead of dying on ``round``'s zero derivative.
+      * zero-order-hold resampling to ``sample_rate_hz``: each output
+        sample holds the most recent input sample on the reduced clock,
+        a gather at ``floor(floor(n * r) / r)``. The gather is
+        differentiable w.r.t. ``x``; the hold positions are integers, so
+        ``sample_rate_hz`` itself receives no gradient through them
+        (documented limitation — train it with a spectral loss through
+        the quantization stage or treat it as a config knob).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        bit_depth: bits of amplitude resolution (>= 1, continuous),
+            shape (bs,).
+        sample_rate_hz: hold clock in Hz (<= sample_rate), shape (bs,).
+        mix: dry/wet mix on [0, 1], shape (bs,).
+
+    Returns:
+        Crushed audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    bit_depth = _param(bit_depth, bs, dtype)
+    sample_rate_hz = _param(sample_rate_hz, bs, dtype)
+    mix = _param(mix, bs, dtype)
+
+    # --- zero-order hold on the reduced clock ---------------------------
+    # tick ordinal = floor(n * r); a sample is a tick when the ordinal
+    # increments, and every sample holds the most recent tick's value
+    # (propagated by a running max over tick sample indices). Only
+    # multiplies and floors — NO division: IEEE multiplication is
+    # deterministic across programs, while XLA may lower a division as a
+    # reciprocal multiply, which made the offline and streaming renders
+    # disagree at tick boundaries.
+    r = jnp.clip(sample_rate_hz / sample_rate, 0.0, 1.0)  # (bs, 1, 1)
+    n = jnp.asarray(np.arange(seq_len, dtype=np.float32))[None, None, :]
+    tick = jnp.floor(n * r + 1e-6)
+    is_tick = jnp.concatenate(
+        [jnp.ones_like(tick[..., :1], dtype=bool), tick[..., 1:] > tick[..., :-1]],
+        axis=-1,
+    )
+    n_int = jnp.asarray(np.arange(seq_len, dtype=np.int32))[None, None, :]
+    hold_idx = lax.cummax(jnp.where(is_tick, n_int, 0), axis=2)
+    held = jnp.take_along_axis(x, jnp.broadcast_to(hold_idx, x.shape), axis=-1)
+
+    # --- fractional-bit quantization with a smooth surrogate ------------
+    scale = 2.0 ** (bit_depth - 1.0)
+    u = held * scale
+    q_exact = jnp.round(u)
+    q_soft = u - jnp.sin(2.0 * np.pi * u) / (2.0 * np.pi)
+    q = q_soft + lax.stop_gradient(q_exact - q_soft)
+    crushed = q / scale
+
+    return (1.0 - mix) * x + mix * crushed
 
 
 def spectral_band_noise(

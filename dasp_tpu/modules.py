@@ -48,6 +48,8 @@ __all__ = [
     "Expander",
     "SidechainCompressor",
     "NoiseGate",
+    "DeEsser",
+    "Bitcrusher",
     "NoiseShapedReverb",
     "StereoWidener",
     "StereoPanner",
@@ -504,6 +506,69 @@ class NoiseGate(Processor):
             "attack_ms": (min_attack_ms, max_attack_ms),
             "release_ms": (min_release_ms, max_release_ms),
             "knee_db": (min_knee_db, max_knee_db),
+        }
+
+
+class DeEsser(Processor):
+    """Frequency-selective sibilance compressor (functional.de_esser).
+    ``mode`` ("split"/"wideband") is a static constructor setting."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_frequency_hz: float = 2000.0,
+        max_frequency_hz: float = 12000.0,
+        min_threshold_db: float = -60.0,
+        max_threshold_db: float = 0.0,
+        min_ratio: float = 1.0,
+        max_ratio: float = 20.0,
+        min_attack_ms: float = 0.5,
+        max_attack_ms: float = 20.0,
+        min_release_ms: float = 5.0,
+        max_release_ms: float = 200.0,
+        min_knee_db: float = 0.0,
+        max_knee_db: float = 12.0,
+        mode: str = "split",
+        smoother: str = "parallel",
+        filter_method: str = "coupled",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.de_esser(
+            x, *a,
+            **{"mode": mode, "smoother": smoother,
+               "filter_method": filter_method, **kw},
+        )
+        self.param_ranges = {
+            "frequency_hz": (min_frequency_hz, max_frequency_hz),
+            "threshold_db": (min_threshold_db, max_threshold_db),
+            "ratio": (min_ratio, max_ratio),
+            "attack_ms": (min_attack_ms, max_attack_ms),
+            "release_ms": (min_release_ms, max_release_ms),
+            "knee_db": (min_knee_db, max_knee_db),
+        }
+
+
+class Bitcrusher(Processor):
+    """Lo-fi bit-depth + sample-rate reduction (functional.bitcrusher)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_bit_depth: float = 2.0,
+        max_bit_depth: float = 16.0,
+        min_sample_rate_hz: float = 1000.0,
+        max_sample_rate_hz: float = 44100.0,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.bitcrusher
+        self.param_ranges = {
+            "bit_depth": (min_bit_depth, max_bit_depth),
+            "sample_rate_hz": (min_sample_rate_hz, max_sample_rate_hz),
+            "mix": (min_mix, max_mix),
         }
 
 

@@ -53,6 +53,8 @@ __all__ = [
     "expander_stream",
     "sidechain_compressor_stream",
     "noise_gate_stream",
+    "de_esser_stream",
+    "bitcrusher_stream",
     "limiter_stream",
     "reverb_stream_init",
     "reverb_stream",
@@ -311,6 +313,130 @@ def noise_gate_stream(
     )
     new_state["env"] = env_f
     return x * F.db_to_linear(g_smooth), new_state
+
+
+def de_esser_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    frequency_hz,
+    threshold_db,
+    ratio,
+    attack_ms,
+    release_ms,
+    knee_db,
+    eps: float = 1e-8,
+    mode: str = "split",
+    state=None,
+    smoother: str = "parallel",
+    filter_method: str = "coupled",
+) -> Tuple[jnp.ndarray, Any]:
+    """Streaming de-esser (offline :func:`dasp_tpu.functional.de_esser`).
+
+    Carried state: the LR4 crossover filter state (both legs batched
+    into one sosfilt call, like the multiband compressor) plus the
+    dynamics ballistics envelope.
+    """
+    if mode not in ("split", "wideband"):
+        raise ValueError(f"de_esser mode must be 'split' or 'wideband', got {mode!r}.")
+    bs = x.shape[0]
+    dtype = x.dtype
+    frequency_hz = F._param(frequency_hz, bs, dtype).reshape(bs)
+    threshold_db = F._param(threshold_db, bs, dtype)
+    ratio = F._param(ratio, bs, dtype)
+    attack_ms = F._param(attack_ms, bs, dtype)
+    release_ms = F._param(release_ms, bs, dtype)
+    knee_db = F._param(knee_db, bs, dtype)
+
+    if state is None:
+        state = {"xo": None, "env": None}
+    new_state: Dict[str, Any] = {}
+
+    sos_lp, sos_hp = F.lr4_crossover_sos(frequency_hz, sample_rate, bs, dtype)
+    if mode == "split":
+        y2, new_state["xo"] = sosfilt_stream(
+            jnp.concatenate([sos_lp, sos_hp], axis=0),
+            jnp.concatenate([x, x], axis=0),
+            zi=state.get("xo"), filter_method=filter_method,
+        )
+        low, high = y2[:bs], y2[bs:]
+    else:
+        high, new_state["xo"] = sosfilt_stream(
+            sos_hp, x, zi=state.get("xo"), filter_method=filter_method
+        )
+        low = None
+
+    _, det_db, alpha_a, alpha_r = F._dynamics_common(
+        high, sample_rate, attack_ms, release_ms, eps
+    )
+    g_c = F.static_gain_computer(det_db, threshold_db, ratio, knee_db, "compressor")
+    if smoother not in ("parallel", "exact"):
+        raise ValueError(
+            f"de_esser_stream smoother must be 'parallel' or 'exact', "
+            f"got {smoother!r}."
+        )
+    g_smooth, env_f = ballistics_smooth(
+        g_c, alpha_a, alpha_r, mode=smoother, y0=state.get("env"), return_yf=True
+    )
+    new_state["env"] = env_f
+    g_lin = F.db_to_linear(g_smooth)
+    y = low + high * g_lin if mode == "split" else x * g_lin
+    return y, new_state
+
+
+def bitcrusher_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    bit_depth,
+    sample_rate_hz,
+    mix,
+    state=None,
+) -> Tuple[jnp.ndarray, Any]:
+    """Streaming bitcrusher (offline :func:`dasp_tpu.functional.bitcrusher`).
+
+    Carried state: the absolute sample counter (the reduced hold clock's
+    phase) and the currently-held sample value, so zero-order holds that
+    span a chunk boundary are seamless.
+    """
+    import numpy as np
+
+    bs, chs, Tc = x.shape
+    dtype = x.dtype
+    bit_depth = F._param(bit_depth, bs, dtype)
+    sample_rate_hz = F._param(sample_rate_hz, bs, dtype)
+    mix = F._param(mix, bs, dtype)
+
+    if state is None:
+        state = {"n0": jnp.zeros((), jnp.int32), "held": jnp.zeros((bs, chs, 1), dtype)}
+
+    # same deterministic multiply-and-floor tick logic as the offline
+    # render (see functional.bitcrusher) on ABSOLUTE sample positions;
+    # the previous tick at the chunk boundary is recomputed from
+    # n0 - 1 (identical expression, no state needed)
+    from jax import lax
+
+    r = jnp.clip(sample_rate_hz / sample_rate, 0.0, 1.0)
+    n_abs = state["n0"].astype(jnp.float32) + jnp.asarray(
+        np.arange(Tc, dtype=np.float32)
+    )[None, None, :]
+    tick = jnp.floor(n_abs * r + 1e-6)
+    tick_prev = jnp.concatenate(
+        [jnp.floor((n_abs[..., :1] - 1.0) * r + 1e-6), tick[..., :-1]], axis=-1
+    )
+    is_tick = tick > tick_prev
+    n_loc = jnp.asarray(np.arange(Tc, dtype=np.int32))[None, None, :]
+    idx_local = lax.cummax(jnp.where(is_tick, n_loc, -1), axis=2)
+    in_chunk = idx_local >= 0
+    held = jnp.take_along_axis(
+        x, jnp.broadcast_to(jnp.maximum(idx_local, 0), x.shape), axis=-1
+    )
+    held = jnp.where(in_chunk, held, state["held"])
+
+    scale = 2.0 ** (bit_depth - 1.0)
+    u = held * scale
+    q = jnp.round(u) / scale
+    y = (1.0 - mix) * x + mix * q
+    new_state = {"n0": state["n0"] + Tc, "held": held[..., -1:]}
+    return y.astype(dtype), new_state
 
 
 def reverb_stream_init(

@@ -34,7 +34,7 @@ def main():
                         choices=["compressor", "expander", "limiter",
                                  "multiband_compressor", "delay", "chorus",
                                  "flanger", "tremolo", "noise_gate",
-                                 "phaser", "auto_wah"],
+                                 "phaser", "auto_wah", "de_esser", "bitcrusher"],
                         default="compressor",
                         help="which processor to blind-estimate")
     args = parser.parse_args()
@@ -66,6 +66,10 @@ def main():
         processor = D.Phaser(sr)
     elif args.processor == "auto_wah":
         processor = D.AutoWah(sr)
+    elif args.processor == "de_esser":
+        processor = D.DeEsser(sr)
+    elif args.processor == "bitcrusher":
+        processor = D.Bitcrusher(sr)
     else:
         processor = D.Compressor(sr, smoother=args.smoother or "fsm")
     net = ParameterNetwork.blind_estimation(processor.num_params)

@@ -267,6 +267,8 @@ class TestProcessorWrappers:
             (D.NoiseGate, 2),
             (D.Phaser, 2),
             (D.AutoWah, 1),
+            (D.DeEsser, 2),
+            (D.Bitcrusher, 1),
         ],
     )
     def test_fuzz_normalized(self, cls, chs):
@@ -592,3 +594,105 @@ class TestAutoWah:
         for g in gs:
             assert bool(jnp.isfinite(g).all())
         assert float(jnp.abs(gs[2]).sum()) > 0  # mix always has signal
+
+
+class TestDeEsser:
+    def _p(self, bs=1, **over):
+        kw = dict(frequency_hz=_b(5000.0, bs), threshold_db=_b(-40.0, bs),
+                  ratio=_b(8.0, bs), attack_ms=_b(1.0, bs),
+                  release_ms=_b(50.0, bs), knee_db=_b(3.0, bs))
+        kw.update(over)
+        return kw
+
+    def _sib(self, t=32768):
+        # 300 Hz "voice" + loud 8 kHz "sibilance" in the second half
+        n = np.arange(t, dtype=np.float32)
+        low = 0.3 * np.sin(2 * np.pi * 300.0 * n / SR)
+        hi = 0.4 * np.sin(2 * np.pi * 8000.0 * n / SR) * (n > t // 2)
+        return jnp.asarray((low + hi)[None, None].astype(np.float32))
+
+    def test_attenuates_sibilance_keeps_lows(self):
+        x = self._sib()
+        y = np.asarray(jax.jit(lambda x: F.de_esser(x, SR, **self._p()))(x))[0, 0]
+        t = x.shape[-1]
+        Y2 = np.abs(np.fft.rfft(y[3 * t // 4:]))
+        X2 = np.abs(np.fft.rfft(np.asarray(x)[0, 0, 3 * t // 4:]))
+        f = np.fft.rfftfreq(t // 4, 1 / SR)
+        bl = (f > 200) & (f < 400)
+        bh = (f > 7500) & (f < 8500)
+        att_low = Y2[bl].max() / X2[bl].max()
+        att_hi = Y2[bh].max() / X2[bh].max()
+        assert att_low > 0.9, att_low        # voice band untouched
+        assert att_hi < 0.5, att_hi          # sibilance compressed hard
+
+    def test_split_magnitude_transparent_below_threshold(self):
+        # quiet signal, nothing above threshold: the split sums to the
+        # LR4 allpass — flat MAGNITUDE response (phase rotates, so a
+        # sample-wise comparison would be wrong by construction)
+        x = _noise(2, 2, 16384, scale=0.001)
+        y = jax.jit(lambda x: F.de_esser(
+            x, SR, **self._p(2, threshold_db=_b(0.0, 2))))(x)
+        X = np.abs(np.fft.rfft(np.asarray(x), axis=-1))[..., :-1]
+        Y = np.abs(np.fft.rfft(np.asarray(y), axis=-1))[..., :-1]
+        # compare band energies (coarse bins absorb fp noise at tiny X)
+        Xb = X.reshape(*X.shape[:-1], 64, -1).sum(-1)
+        Yb = Y.reshape(*Y.shape[:-1], 64, -1).sum(-1)
+        np.testing.assert_allclose(Yb, Xb, rtol=0.02)
+        # and wideband mode IS exactly transparent below threshold
+        y_wb = jax.jit(lambda x: F.de_esser(
+            x, SR, **self._p(2, threshold_db=_b(0.0, 2)), mode="wideband"))(x)
+        np.testing.assert_allclose(np.asarray(y_wb), np.asarray(x), atol=2e-6)
+
+    def test_wideband_mode_and_guard(self):
+        x = self._sib(16384)
+        y = jax.jit(lambda x: F.de_esser(x, SR, **self._p(), mode="wideband"))(x)
+        assert bool(jnp.isfinite(y).all())
+        with pytest.raises(ValueError, match="mode"):
+            F.de_esser(x, SR, **self._p(), mode="bogus")
+
+    def test_grads_flow(self):
+        x = self._sib(16384)
+
+        def loss(fr, th):
+            return jnp.mean(F.de_esser(x, SR, **self._p(
+                frequency_hz=fr, threshold_db=th)) ** 2)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1)))(_b(5000.0), _b(-40.0))
+        for gi in g:
+            assert bool(jnp.isfinite(gi).all())
+            assert float(jnp.abs(gi).sum()) > 0
+
+
+class TestBitcrusher:
+    def test_quantization_levels(self):
+        # 3 bits -> at most 2^3 + 1 distinct output levels on a ramp
+        t = 8192
+        x = jnp.asarray(np.linspace(-1, 1, t, dtype=np.float32))[None, None]
+        y = np.asarray(jax.jit(lambda x: F.bitcrusher(
+            x, SR, _b(3.0), _b(SR), _b(1.0)))(x))[0, 0]
+        lv = np.unique(np.round(y * 4).astype(np.int32))
+        assert len(lv) <= 9, lv
+
+    def test_zero_order_hold_length(self):
+        # sample_rate/4 hold clock -> values repeat in runs of 4
+        x = _noise(1, 1, 4096, scale=0.5)
+        y = np.asarray(jax.jit(lambda x: F.bitcrusher(
+            x, SR, _b(16.0), _b(SR / 4), _b(1.0)))(x))[0, 0]
+        runs = y.reshape(-1, 4)
+        assert np.allclose(runs, runs[:, :1], atol=1e-6)
+
+    def test_mix_zero_identity(self):
+        x = _noise(2, 2, 2048)
+        y = jax.jit(lambda x: F.bitcrusher(x, SR, _b(2.0, 2), _b(2000.0, 2), _b(0.0, 2)))(x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_grads_flow_via_surrogate(self):
+        x = _noise(2, 1, 4096, scale=0.5)
+
+        def loss(b, m):
+            return jnp.mean(F.bitcrusher(x, SR, b, _b(SR, 2), m) ** 2)
+
+        gb, gm = jax.jit(jax.grad(loss, argnums=(0, 1)))(_b(4.0, 2), _b(0.8, 2))
+        assert bool(jnp.isfinite(gb).all()) and bool(jnp.isfinite(gm).all())
+        assert float(jnp.abs(gb).sum()) > 0  # surrogate passes bit-depth grads
+        assert float(jnp.abs(gm).sum()) > 0

@@ -458,3 +458,32 @@ class TestTvFilterStreams:
             outs.append(np.asarray(y))
         np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
         np.testing.assert_allclose(outs[0], outs[2], atol=1e-5)
+
+
+class TestDeEsserBitcrusherStreams:
+    def test_de_esser_stream_matches_offline(self):
+        t = 16384
+        n = np.arange(t, dtype=np.float32)
+        sib = (0.3 * np.sin(2 * np.pi * 300 * n / SR)
+               + 0.4 * np.sin(2 * np.pi * 8000 * n / SR) * (n > t // 2))
+        x = jnp.asarray(np.broadcast_to(sib, (BS, 1, t)).astype(np.float32))
+        kw = dict(frequency_hz=jnp.full((BS,), 5000.0),
+                  threshold_db=jnp.full((BS,), -40.0), ratio=jnp.full((BS,), 8.0),
+                  attack_ms=jnp.full((BS,), 1.0), release_ms=jnp.full((BS,), 50.0),
+                  knee_db=jnp.full((BS,), 3.0))
+        offline = jax.jit(lambda x: D.functional.de_esser(
+            x, SR, **kw, smoother="parallel"))(x)
+        step = jax.jit(lambda c, s: streaming.de_esser_stream(
+            c, SR, **kw, state=s))
+        y, _ = _stream_all(step, x, 1024)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=3e-5)
+
+    @pytest.mark.parametrize("srr", [44100.0, 11025.0, 3000.0])
+    def test_bitcrusher_stream_matches_offline(self, srr):
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 8192)).astype(np.float32) * 0.5)
+        kw = dict(bit_depth=jnp.full((BS,), 5.0),
+                  sample_rate_hz=jnp.full((BS,), srr), mix=jnp.full((BS,), 0.9))
+        offline = jax.jit(lambda x: D.functional.bitcrusher(x, SR, **kw))(x)
+        step = jax.jit(lambda c, s: streaming.bitcrusher_stream(c, SR, **kw, state=s))
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=1e-6)
