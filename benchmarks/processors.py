@@ -161,6 +161,12 @@ def main():
         "modulated_delay_matmul": (
             [f(1.5), f(5.0), f(15.0), f(0.5)],
             lambda x, p: D.modulated_delay(x, SR, *p, max_delay_ms=20.0)),
+        "pitch_shift": (
+            [f(4.0), f(1.0)],
+            lambda x, p: D.pitch_shift(x, SR, *p)),
+        "pitch_shift_gather": (
+            [f(4.0), f(1.0)],
+            lambda x, p: D.pitch_shift(x, SR, *p, matmul=False)),
         "tremolo": ([f(4.0), f(0.8)], lambda x, p: D.tremolo(x, SR, *p)),
         "phaser": (
             [f(0.8), f(0.7), f(800.0), f(0.4), f(0.5)],

@@ -34,6 +34,7 @@ from dasp_tpu.functional import (
     parametric_eq,
     delay,
     modulated_delay,
+    pitch_shift,
     tremolo,
     phaser,
     auto_wah,
@@ -61,6 +62,7 @@ from dasp_tpu.modules import (
     StereoBus,
     Delay,
     Chorus,
+    PitchShift,
     Flanger,
     Tremolo,
     Phaser,
@@ -91,6 +93,7 @@ __all__ = [
     "parametric_eq",
     "delay",
     "modulated_delay",
+    "pitch_shift",
     "tremolo",
     "phaser",
     "auto_wah",
@@ -115,6 +118,7 @@ __all__ = [
     "StereoBus",
     "Delay",
     "Chorus",
+    "PitchShift",
     "Flanger",
     "Tremolo",
     "Phaser",

@@ -73,6 +73,8 @@ __all__ = [
     "stereo_panner",
     "delay",
     "modulated_delay",
+    "pitch_shift",
+    "pitch_shift_window_samples",
     "tremolo",
     "phaser",
     "auto_wah",
@@ -1430,38 +1432,57 @@ def modulated_delay(
 
     if max_delay_ms is not None:
         dmax = float(max_delay_ms) * sample_rate / 1e3
-        wet = _frac_delay_matmul(x, jnp.minimum(d, dmax), dmax, block)
+        wet = _frac_delay_matmul(x, [(jnp.minimum(d, dmax), None)], dmax, block)
     else:
-        idx = n - d  # fractional read position
-        i0 = jnp.floor(idx)
-        frac = idx - i0  # gradient flows: d(frac)/d(params) = -d(d)/d(params)
-        i0i = jnp.clip(i0, 0, seq_len - 1).astype(jnp.int32)
-        i1i = jnp.clip(i0 + 1.0, 0, seq_len - 1).astype(jnp.int32)
-        i0b = jnp.broadcast_to(i0i, (bs, chs, seq_len))
-        i1b = jnp.broadcast_to(i1i, (bs, chs, seq_len))
-        x0 = jnp.take_along_axis(x, i0b, axis=-1)
-        x1 = jnp.take_along_axis(x, i1b, axis=-1)
-        wet = x0 * (1.0 - frac) + x1 * frac
-        wet = jnp.where(idx >= 0.0, wet, 0.0)  # before the signal started
+        wet = _frac_delay_gather(x, d)
 
     return ((1.0 - mix) * x + mix * wet).astype(dtype)
 
 
-def _frac_delay_matmul(x, d, dmax: float, block: int) -> jnp.ndarray:
-    """Time-varying fractional delay as per-tile interpolation matmuls.
+def _frac_delay_gather(x, d):
+    """Linearly interpolated read of ``x`` at positions ``n - d``.
+
+    Fully dynamic (any delay), but TPU gathers are VPU-bound and the
+    backward pass is a scatter-add; prefer :func:`_frac_delay_matmul`
+    when a static delay bound exists. ``d``: samples, (bs, 1, T).
+    Samples whose read position precedes the signal start are zero.
+    """
+    bs, chs, seq_len = x.shape
+    n = np.arange(seq_len, dtype=np.float32)[None, None, :]
+    idx = n - d  # fractional read position
+    i0 = jnp.floor(idx)
+    frac = idx - i0  # gradient flows: d(frac)/d(params) = -d(d)/d(params)
+    i0i = jnp.clip(i0, 0, seq_len - 1).astype(jnp.int32)
+    i1i = jnp.clip(i0 + 1.0, 0, seq_len - 1).astype(jnp.int32)
+    i0b = jnp.broadcast_to(i0i, (bs, chs, seq_len))
+    i1b = jnp.broadcast_to(i1i, (bs, chs, seq_len))
+    x0 = jnp.take_along_axis(x, i0b, axis=-1)
+    x1 = jnp.take_along_axis(x, i1b, axis=-1)
+    wet = x0 * (1.0 - frac) + x1 * frac
+    return jnp.where(idx >= 0.0, wet, 0.0)  # before the signal started
+
+
+def _frac_delay_matmul(x, taps, dmax: float, block: int) -> jnp.ndarray:
+    """Time-varying fractional multi-tap delay as per-tile interpolation matmuls.
 
     For each ``block``-sample output tile, the linearly interpolated read
-    ``wet[t] = (1-frac) x[floor(t-d)] + frac x[floor(t-d)+1]`` is a
-    contraction of a (block, W) interpolation matrix — two nonzeros per
-    row, built on the fly from iota comparisons — against the (W,) input
-    window covering ``[tile_start - Dm, tile_start + block)``. XLA fuses
-    the matrix build into the dot operand, so only the tiny window
-    slices move through HBM and the contraction runs on the MXU; the VJP
-    is the transposed contraction (a matmul too, not a scatter).
+    ``wet[t] = sum_i g_i[t] ((1-frac) x[floor(t-d_i)] + frac x[floor(t-d_i)+1])``
+    is a contraction of a (block, W) interpolation matrix — two nonzeros
+    per row per tap, built on the fly from iota comparisons — against the
+    (W,) input window covering ``[tile_start - Dm, tile_start + block)``.
+    XLA fuses the matrix build into the dot operand, so only the tiny
+    window slices move through HBM and the contraction runs on the MXU;
+    the VJP is the transposed contraction (a matmul too, not a scatter).
+    All taps share ONE contraction — a second tap (the pitch shifter's
+    crossfaded pair) adds only the cheap fused matrix build, not a
+    second matmul.
 
     Args:
-        x: (bs, chs, T). d: delay in samples, (bs, 1, T), <= dmax.
-        dmax: static bound on d (samples). block: tile length.
+        x: (bs, chs, T).
+        taps: list of ``(d, g)`` — delay in samples (bs, 1, T), <= dmax,
+            and tap gain (bs, 1, T) or None for unity. Reads that precede
+            the signal start contribute zero.
+        dmax: static bound on every d (samples). block: tile length.
     """
     bs, chs, T = x.shape
     B = int(block)
@@ -1472,7 +1493,13 @@ def _frac_delay_matmul(x, d, dmax: float, block: int) -> jnp.ndarray:
 
     # ext coords: position t of the original signal sits at t + Dm
     x_ext = jnp.pad(x, ((0, 0), (0, 0), (Dm, pad_t)))
-    d_p = jnp.pad(d, ((0, 0), (0, 0), (0, pad_t)))
+    taps_p = [
+        (
+            jnp.pad(d, ((0, 0), (0, 0), (0, pad_t))),
+            None if g is None else jnp.pad(g, ((0, 0), (0, 0), (0, pad_t))),
+        )
+        for d, g in taps
+    ]
 
     j = np.arange(B, dtype=np.float32)  # in-tile output offset
     iota_w = np.arange(W, dtype=np.int32)
@@ -1484,25 +1511,128 @@ def _frac_delay_matmul(x, d, dmax: float, block: int) -> jnp.ndarray:
     @jax.checkpoint
     def tile(k):
         win = jax.lax.dynamic_slice_in_dim(x_ext, k * B, W, axis=-1)  # (bs, chs, W)
-        d_k = jax.lax.dynamic_slice_in_dim(d_p, k * B, B, axis=-1)[:, 0, :]  # (bs, B)
         t_abs = (k * B).astype(np.float32) + j[None, :]  # (1, B) global time
-        r = j[None, :] + Dm - d_k  # fractional read pos in window coords
-        i0 = jnp.floor(r)
-        frac = (r - i0)[..., None]  # (bs, B, 1)
-        i0 = i0.astype(jnp.int32)[..., None]  # (bs, B, 1)
-        onehot0 = (iota_w[None, None, :] == i0).astype(x.dtype)
-        onehot1 = (iota_w[None, None, :] == i0 + 1).astype(x.dtype)
-        m = (1.0 - frac) * onehot0 + frac * onehot1  # (bs, B, W) — fused
+        m = 0.0
+        for d_p, g_p in taps_p:
+            d_k = jax.lax.dynamic_slice_in_dim(d_p, k * B, B, axis=-1)[:, 0, :]
+            r = j[None, :] + Dm - d_k  # fractional read pos in window coords
+            i0 = jnp.floor(r)
+            frac = (r - i0)[..., None]  # (bs, B, 1)
+            i0 = i0.astype(jnp.int32)[..., None]  # (bs, B, 1)
+            onehot0 = (iota_w[None, None, :] == i0).astype(x.dtype)
+            onehot1 = (iota_w[None, None, :] == i0 + 1).astype(x.dtype)
+            # tap gain, zeroed before the global signal start (t - d < 0)
+            g_k = (t_abs - d_k >= 0.0).astype(x.dtype)
+            if g_p is not None:
+                g_k = g_k * jax.lax.dynamic_slice_in_dim(
+                    g_p, k * B, B, axis=-1
+                )[:, 0, :]
+            m = m + g_k[..., None] * ((1.0 - frac) * onehot0 + frac * onehot1)
         wet_k = jnp.einsum(
             "bjw,bcw->bcj", m, win,
             precision=jax.lax.Precision.HIGHEST,
         )
-        # zero before the global signal start (read position t - d < 0)
-        return jnp.where((t_abs - d_k >= 0.0)[:, None, :], wet_k, 0.0)
+        return wet_k
 
     _, wets = jax.lax.scan(lambda c, k: (c, tile(k)), None, jnp.arange(nb))
     wet = jnp.moveaxis(wets, 0, 2).reshape(bs, chs, nb * B)
     return wet[..., :T]
+
+
+def pitch_shift_window_samples(window_ms: float, sample_rate: float) -> int:
+    """The (even) delay-line window length W :func:`pitch_shift` uses."""
+    if isinstance(sample_rate, jax.core.Tracer):
+        raise TypeError(
+            "pitch_shift needs a concrete (static) sample_rate — it sizes "
+            "the delay-line window. Close over it or mark it static in jit "
+            "(e.g. jax.jit(lambda x, st, mix: pitch_shift(x, sr, st, mix)))."
+        )
+    return max(2, 2 * int(round(window_ms * float(sample_rate) / 2e3)))
+
+
+@_scoped("dasp.pitch_shift")
+def pitch_shift(
+    x: jnp.ndarray,
+    sample_rate: float,
+    semitones,
+    mix=1.0,
+    window_ms: float = 60.0,
+    block: int = 512,
+    matmul: bool = True,
+    compensate_latency: bool = True,
+) -> jnp.ndarray:
+    """Delay-line pitch shifter, differentiable in the shift amount.
+
+    The classic dual-tap "doppler" design (Bode/Eventide-style): two
+    read taps whose delay ramps as a sawtooth with slope ``1 - r``
+    (``r = 2**(semitones/12)``), half a window apart, equal-power
+    crossfaded so each tap's gain is zero exactly when its delay wraps:
+
+        ``u(n)   = (1 - r) n / W``
+        ``p_i(n) = frac(u(n) + i/2),  i in {0, 1}``
+        ``d_i(n) = W p_i(n)``, ``g_i(n) = sin(pi p_i(n))``
+
+    (``g_0^2 + g_1^2 = 1``.) Reading the input at slope-``r`` positions
+    resamples it locally by ``r``, i.e. shifts pitch while the wrapping
+    keeps duration fixed. The mean ``W/2``-sample latency is compensated
+    (offline form; the output's last ``W/2`` samples are zeros shifted
+    in), so ``semitones=0`` is the identity. Unlike phase-vocoder
+    shifters the shift amount enters only through smooth interpolation
+    weights and gains, so gradients flow to ``semitones`` — it can be
+    *learned* like any other dasp parameter. The reference framework has
+    no pitch manipulation at all (dasp_pytorch/functional.py declares
+    none).
+
+    Periodicity artifacts inherent to the algorithm: the crossfade
+    comb-filters components whose period does not divide ``W``; larger
+    windows reduce amplitude modulation but smear transients.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        semitones: pitch shift in semitones (+12 = one octave up),
+            shape (bs,).
+        mix: dry/wet mix on [0, 1] (1 = fully shifted), shape (bs,).
+        window_ms: delay-line window length in milliseconds (static).
+        block: MXU-path tile length (static).
+        matmul: evaluate the taps on the MXU via
+            :func:`_frac_delay_matmul` (both taps share one contraction);
+            False uses the gather path (any delay, VPU-bound).
+        compensate_latency: shift the wet path left by the mean W/2-sample
+            tap latency (the acausal offline form, so ``semitones=0`` is
+            the identity). False keeps the causal form — what
+            :func:`dasp_tpu.streaming.pitch_shift_stream` reproduces
+            chunk by chunk.
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    semitones = _param(semitones, bs, dtype)
+    mix = _param(mix, bs, dtype)
+
+    W = pitch_shift_window_samples(window_ms, sample_rate)
+    half = W // 2
+
+    n = np.arange(seq_len, dtype=np.float32)[None, None, :]
+    slope = 1.0 - 2.0 ** (semitones / 12.0)  # (bs, 1, 1)
+    u = slope * n / W
+    taps = []
+    for i in (0.0, 0.5):
+        p = u + i
+        p = p - jnp.floor(p)  # sawtooth phase in [0, 1)
+        taps.append((W * p, jnp.sin(np.pi * p)))
+
+    if matmul:
+        wet = _frac_delay_matmul(x, taps, float(W), block)
+    else:
+        wet = sum(g * _frac_delay_gather(x, d) for d, g in taps)
+
+    if compensate_latency:
+        # compensate the mean W/2-sample latency (zeros shift in at the tail)
+        wet = jnp.pad(wet, ((0, 0), (0, 0), (0, half)))[..., half:]
+    return ((1.0 - mix) * x + mix * wet).astype(dtype)
 
 
 @_scoped("dasp.tremolo")

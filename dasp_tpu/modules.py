@@ -57,6 +57,7 @@ __all__ = [
     "Delay",
     "Chorus",
     "Flanger",
+    "PitchShift",
     "Tremolo",
     "Phaser",
     "AutoWah",
@@ -772,6 +773,32 @@ class Flanger(_ModulatedDelay):
             min_base_ms, max_base_ms,
             min_mix, max_mix,
         )
+
+
+class PitchShift(Processor):
+    """Dual-tap delay-line pitch shifter (functional.pitch_shift).
+
+    ``semitones`` and ``mix`` are learnable normalized parameters;
+    ``window_ms`` is a static constructor setting."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_semitones: float = -12.0,
+        max_semitones: float = 12.0,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+        window_ms: float = 60.0,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.pitch_shift(
+            x, *a, **{"window_ms": window_ms, **kw}
+        )
+        self.param_ranges = {
+            "semitones": (min_semitones, max_semitones),
+            "mix": (min_mix, max_mix),
+        }
 
 
 class Tremolo(Processor):

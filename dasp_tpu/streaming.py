@@ -60,6 +60,7 @@ __all__ = [
     "reverb_stream",
     "delay_stream",
     "modulated_delay_stream",
+    "pitch_shift_stream",
     "tremolo_stream",
     "phaser_stream",
     "auto_wah_stream",
@@ -690,6 +691,73 @@ def modulated_delay_stream(
 
     y = (1.0 - mix) * x + mix * wet
     new_state = {"hist": x_ext[..., -L:], "n0": state["n0"] + T}
+    return y.astype(dtype), new_state
+
+
+def pitch_shift_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    semitones,
+    mix,
+    window_ms: float = 60.0,
+    state: Optional[Dict[str, Any]] = None,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """One streaming step of the dual-tap delay-line pitch shifter
+    (offline counterpart :func:`functional.pitch_shift` with
+    ``compensate_latency=False`` — streaming is causal, so the mean
+    W/2-sample tap latency stays in the output).
+
+    Carries W samples of input history plus the absolute sample counter,
+    so the sawtooth tap phases are continuous across chunks and chunked
+    output equals the uncompensated offline render exactly.
+
+    Args:
+        x: chunk (bs, chs, T).
+        semitones / mix: as in :func:`functional.pitch_shift`; must stay
+            fixed for the lifetime of a stream (the tap phase history
+            assumes a constant slope).
+        window_ms: static delay-line window length (ms).
+        state: from the previous step (None = from rest).
+
+    Returns:
+        (y, state).
+    """
+    import numpy as np
+
+    bs, chs, T = x.shape
+    dtype = x.dtype
+    semitones = F._param(semitones, bs, dtype)
+    mix = F._param(mix, bs, dtype)
+
+    W = F.pitch_shift_window_samples(window_ms, sample_rate)
+    if state is None:
+        state = {"hist": jnp.zeros((bs, chs, W), dtype),
+                 "n0": jnp.zeros((), jnp.int32)}
+
+    n_local = np.arange(T, dtype=np.float32)[None, None, :]
+    t_abs = state["n0"].astype(jnp.float32) + n_local
+    slope = 1.0 - 2.0 ** (semitones / 12.0)
+    u = slope * t_abs / W
+
+    x_ext = jnp.concatenate([state["hist"], x], axis=-1)  # (bs, chs, W+T)
+    wet = 0.0
+    for i in (0.0, 0.5):
+        p = u + i
+        p = p - jnp.floor(p)  # sawtooth phase in [0, 1)
+        d = W * p
+        idx = (W + n_local) - d  # fractional read position in ext coords
+        i0 = jnp.floor(idx)
+        frac = idx - i0
+        i0i = jnp.clip(i0, 0, W + T - 1).astype(jnp.int32)
+        i1i = jnp.clip(i0 + 1.0, 0, W + T - 1).astype(jnp.int32)
+        x0 = jnp.take_along_axis(x_ext, jnp.broadcast_to(i0i, (bs, chs, T)), axis=-1)
+        x1 = jnp.take_along_axis(x_ext, jnp.broadcast_to(i1i, (bs, chs, T)), axis=-1)
+        tap = x0 * (1.0 - frac) + x1 * frac
+        # offline zero-masks reads before the global signal start
+        wet = wet + jnp.sin(np.pi * p) * jnp.where(t_abs - d >= 0.0, tap, 0.0)
+
+    y = (1.0 - mix) * x + mix * wet
+    new_state = {"hist": x_ext[..., -W:], "n0": state["n0"] + T}
     return y.astype(dtype), new_state
 
 

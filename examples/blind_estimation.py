@@ -34,7 +34,8 @@ def main():
                         choices=["compressor", "expander", "limiter",
                                  "multiband_compressor", "delay", "chorus",
                                  "flanger", "tremolo", "noise_gate",
-                                 "phaser", "auto_wah", "de_esser", "bitcrusher"],
+                                 "phaser", "auto_wah", "de_esser", "bitcrusher",
+                                 "pitch_shift"],
                         default="compressor",
                         help="which processor to blind-estimate")
     args = parser.parse_args()
@@ -70,6 +71,8 @@ def main():
         processor = D.DeEsser(sr)
     elif args.processor == "bitcrusher":
         processor = D.Bitcrusher(sr)
+    elif args.processor == "pitch_shift":
+        processor = D.PitchShift(sr)
     else:
         processor = D.Compressor(sr, smoother=args.smoother or "fsm")
     net = ParameterNetwork.blind_estimation(processor.num_params)

@@ -696,3 +696,76 @@ class TestBitcrusher:
         assert bool(jnp.isfinite(gb).all()) and bool(jnp.isfinite(gm).all())
         assert float(jnp.abs(gb).sum()) > 0  # surrogate passes bit-depth grads
         assert float(jnp.abs(gm).sum()) > 0
+
+
+class TestPitchShift:
+    def test_zero_shift_is_identity(self):
+        t = 8192
+        x = _noise(2, 2, t)
+        W = F.pitch_shift_window_samples(60.0, SR)
+        y = jax.jit(lambda x, st, m: F.pitch_shift(x, SR, st, m))(
+            x, _b(0.0, 2), _b(1.0, 2)
+        )
+        # the tail (W/2 latency compensation) shifts in zeros; the rest
+        # must be bit-exact-ish (tap 2 sits at an integer W/2 delay)
+        keep = t - W // 2
+        np.testing.assert_allclose(
+            np.asarray(y)[..., :keep], np.asarray(x)[..., :keep], atol=2e-5
+        )
+
+    def test_mix_zero_is_identity(self):
+        x = _noise(1, 2, 4096)
+        y = jax.jit(lambda x, st, m: F.pitch_shift(x, SR, st, m))(
+            x, _b(7.0), _b(0.0)
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-5)
+
+    @pytest.mark.parametrize("st", [7.0, -5.0])
+    def test_sine_moves_by_the_equal_tempered_ratio(self, st):
+        t = 32768
+        f0 = 440.0
+        n = np.arange(t) / SR
+        x = jnp.asarray(
+            np.sin(2 * np.pi * f0 * n).astype(np.float32)[None, None, :]
+        )
+        y = np.asarray(
+            jax.jit(lambda x, s, m: F.pitch_shift(x, SR, s, m))(x, _b(st), _b(1.0))
+        )[0, 0]
+        seg = y[8192 : 8192 + 16384] * np.hanning(16384)
+        spec = np.abs(np.fft.rfft(seg))
+        f_peak = spec.argmax() * SR / 16384
+        assert abs(f_peak - f0 * 2.0 ** (st / 12.0)) < 8.0, f_peak
+
+    def test_matmul_matches_gather(self):
+        x = _noise(2, 1, 4096)
+        args = (SR, _b(3.0, 2), _b(0.8, 2))
+        ym = jax.jit(lambda x: F.pitch_shift(x, *args, window_ms=20.0))(x)
+        yg = jax.jit(
+            lambda x: F.pitch_shift(x, *args, window_ms=20.0, matmul=False)
+        )(x)
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(yg), atol=2e-4)
+
+    def test_grad_flows_to_semitones(self):
+        x = _noise(1, 1, 4096)
+        tgt = jax.jit(lambda x: F.pitch_shift(x, SR, _b(4.0), _b(1.0), window_ms=20.0))(x)
+
+        def loss(st):
+            return jnp.mean((F.pitch_shift(x, SR, st, _b(1.0), window_ms=20.0) - tgt) ** 2)
+
+        g = jax.jit(jax.grad(loss))(_b(2.0))
+        assert np.isfinite(np.asarray(g)).all() and abs(float(g[0])) > 1e-9
+        # loss decreases toward the true shift
+        l2, l35, l4 = (float(jax.jit(loss)(_b(v))) for v in (2.0, 3.5, 4.0))
+        assert l4 < l35 < l2
+
+    def test_traced_sample_rate_raises_clearly(self):
+        x = _noise(1, 1, 256)
+        with pytest.raises(TypeError, match="static.*sample_rate"):
+            jax.jit(F.pitch_shift)(x, SR, _b(0.0), _b(1.0))
+
+    def test_module_dispatch(self):
+        proc = D.PitchShift(int(SR), window_ms=20.0)
+        x = _noise(2, 2, 4096)
+        p = jnp.asarray(np.array([[0.5, 1.0], [0.8, 0.5]], np.float32))
+        y = proc.process_normalized(x, p)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()

@@ -246,6 +246,26 @@ class TestNewEffectStreams:
         y, _ = _stream_all(step, x, 512)
         np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
 
+    def test_pitch_shift_stream_matches_offline(self):
+        st = jnp.full((BS,), 5.0, jnp.float32)
+        mix = jnp.full((BS,), 0.9, jnp.float32)
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 8192)).astype(np.float32) * 0.3)
+        # streaming is causal: it matches the compensate_latency=False form
+        offline = jax.jit(
+            lambda x: D.functional.pitch_shift(
+                x, SR, st, mix, window_ms=30.0, compensate_latency=False
+            )
+        )(x)
+        step = jax.jit(
+            lambda c, s: streaming.pitch_shift_stream(
+                c, SR, st, mix, window_ms=30.0, state=s
+            )
+        )
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(offline), atol=5e-4
+        )
+
     def test_tremolo_stream_matches_offline(self):
         rate = jnp.full((BS,), 4.5, jnp.float32)
         depth = jnp.full((BS,), 0.9, jnp.float32)
