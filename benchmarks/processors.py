@@ -80,6 +80,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--length", type=int, default=131072)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on case names; measured rows are "
+                         "merged into an existing report instead of replacing it")
     args = ap.parse_args()
 
     bs, T = args.batch_size, args.length
@@ -147,6 +150,15 @@ def main():
         "bitcrusher": (
             [f(6.0), f(8000.0), f(0.9)],
             lambda x, p: D.bitcrusher(x, SR, *p)),
+        "transient_shaper": (
+            [f(0.8), f(-0.5), f(0.0)],
+            lambda x, p: D.transient_shaper(x, SR, *p)),
+        "exciter": (
+            [f(3000.0), f(12.0), f(0.5)],
+            lambda x, p: D.exciter(x, SR, *p)),
+        "spectral_gate": (
+            [f(6.0), f(40.0), f(5.0), f(80.0)],
+            lambda x, p: D.spectral_gate(x, SR, *p)),
         "reverb": (rev, lambda x, p: D.noise_shaped_reverberation(x, SR, *p, key=key)),
         "reverb_freq_noise": (
             rev,
@@ -239,6 +251,11 @@ def main():
 
     runs = {name: (x0, params, fn, None) for name, (params, fn) in cases.items()}
     runs.update(special)
+    if args.only:
+        runs = {n: r for n, r in runs.items() if args.only in n}
+        if os.path.exists(args.out):  # merge partial measurements
+            with open(args.out) as fjson:
+                report["processors"] = json.load(fjson).get("processors", {})
     for name, (xc, params, fn, chain) in runs.items():
         try:
             t_fwd = timed(fn, xc, params, iters=args.iters, chain=chain)

@@ -35,6 +35,10 @@ from dasp_tpu.functional import (
     delay,
     modulated_delay,
     pitch_shift,
+    transient_shaper,
+    exciter,
+    spectral_gate,
+    spectral_noise_profile,
     tremolo,
     phaser,
     auto_wah,
@@ -63,6 +67,9 @@ from dasp_tpu.modules import (
     Delay,
     Chorus,
     PitchShift,
+    TransientShaper,
+    Exciter,
+    SpectralGate,
     Flanger,
     Tremolo,
     Phaser,
@@ -94,6 +101,10 @@ __all__ = [
     "delay",
     "modulated_delay",
     "pitch_shift",
+    "transient_shaper",
+    "exciter",
+    "spectral_gate",
+    "spectral_noise_profile",
     "tremolo",
     "phaser",
     "auto_wah",
@@ -119,6 +130,9 @@ __all__ = [
     "Delay",
     "Chorus",
     "PitchShift",
+    "TransientShaper",
+    "Exciter",
+    "SpectralGate",
     "Flanger",
     "Tremolo",
     "Phaser",

@@ -48,7 +48,7 @@ from .ops.biquad import (
 from .ops.fft_filter import lfilter_via_fsm, sosfilt_via_fsm
 from .ops.filterbank import NUM_OCTAVE_BANDS, octave_band_filterbank
 from .ops.fir import fft_conv_causal, fft_correlate_valid
-from .ops.iir import ballistics_smooth, onepole_exact, sosfilt_exact
+from .ops.iir import ballistics_smooth, onepole_exact, peak_decay, sosfilt_exact
 
 __all__ = [
     "gain",
@@ -65,6 +65,11 @@ __all__ = [
     "noise_gate",
     "de_esser",
     "bitcrusher",
+    "transient_shaper",
+    "exciter",
+    "exciter_sos",
+    "spectral_gate",
+    "spectral_noise_profile",
     "noise_shaped_reverberation",
     "noise_shaped_ir",
     "spectral_band_noise",
@@ -935,6 +940,425 @@ def de_esser(
     if mode == "split":
         return low + high * g_lin
     return x * g_lin
+
+
+def _transient_detectors(
+    x, sample_rate, fast_attack_ms, slow_attack_ms,
+    fast_release_ms, slow_release_ms, eps, smoother,
+    pre_smooth_ms=5.0, max_det_db=24.0, y0=None, return_yf=False,
+):
+    """The transient shaper's differential envelope detectors.
+
+    The mono-summed sidechain power is pre-smoothed by a fixed one-pole
+    (``pre_smooth_ms`` — tames rectifier ripple on tonal content, which
+    would otherwise leak into the differential detectors as a constant
+    offset), converted to dB, and run through three envelope followers
+    differing only in ballistics (``ballistics_smooth`` follows
+    gain-curve convention — attack coefficient on the *falling* branch —
+    so rise/fall times map to the (release, attack) slots, like
+    :func:`auto_wah`; each follower starts at the first level sample,
+    NOT the gain-curve convention's 0 dB, which for always-negative
+    level envelopes would swamp the slow followers with an
+    initial-condition transient):
+
+      * ``env_ff``: fast rise, fast fall
+      * ``env_sf``: slow rise, fast fall
+      * ``env_fs``: fast rise, slow fall
+
+    Detectors (dB, >= 0): ``attack = relu(env_ff - env_sf)`` — nonzero
+    only while the fast follower has caught an onset the slow one
+    hasn't. The sustain pair instead uses :func:`ops.iir.peak_decay`
+    followers (instant rise, linear dB decay — PPM-style): a
+    slow-fall/fast-rise ballistics follower is exactly the shape the
+    "parallel" branching proxy mis-tracks (its symmetric attack-pass
+    lags BELOW a decaying signal after an onset, flipping the envelope
+    onto the fast branch), while the max-plus follower is exact AND
+    scan-parallel. ``sustain = relu(pd_slow - pd_fast)`` — nonzero only
+    while the slow-decay peak hangs above the fast one, i.e. in decay
+    tails; both rise instantly at onsets so onsets are untouched. The
+    release knobs map to decay slopes of ``20 dB / release_ms``.
+
+    Both detectors are capped at ``max_det_db`` — from digital silence a
+    level jump measures as ~150 dB of "overshoot", which would otherwise
+    explode the shaped gain at clip starts and after gated passages.
+
+    Returns ``(att_det, sus_det)`` and, with ``return_yf``, the tuple of
+    five carried states — pre-smoother, two ballistics, two peak-decay —
+    (the streaming layer's state).
+    """
+    bs = x.shape[0]
+    dtype = x.dtype
+    x_side = jnp.sum(x, axis=1, keepdims=True)
+
+    ln9 = math.log(9.0)
+    y0 = y0 or (None, None, None, None, None)
+    a_pre = jnp.exp(
+        -ln9 / (sample_rate * (_param(pre_smooth_ms, bs, dtype) / 1e3))
+    )
+    power = onepole_exact(jnp.square(x_side), a_pre, y0=y0[0])
+    level_db = 10.0 * jnp.log10(jnp.maximum(power, eps * eps))
+
+    a_fa = jnp.exp(-ln9 / (sample_rate * (_param(fast_attack_ms, bs, dtype) / 1e3)))
+    a_sa = jnp.exp(-ln9 / (sample_rate * (_param(slow_attack_ms, bs, dtype) / 1e3)))
+    a_fr = jnp.exp(-ln9 / (sample_rate * (_param(fast_release_ms, bs, dtype) / 1e3)))
+    # peak-decay slopes in dB/sample: fall 20 dB per release time
+    d_fr = 20e3 / (sample_rate * _param(fast_release_ms, bs, dtype))
+    d_sr = 20e3 / (sample_rate * _param(slow_release_ms, bs, dtype))
+
+    # from rest: start every follower AT the signal (zero detectors)
+    lv0 = level_db[..., 0]
+    rest = (lv0, lv0)
+    # note the (fall, rise) slot order — see docstring
+    env_ff, s_ff = ballistics_smooth(level_db, a_fr, a_fa, mode=smoother,
+                                     y0=y0[1] or rest, return_yf=True)
+    env_sf, s_sf = ballistics_smooth(level_db, a_fr, a_sa, mode=smoother,
+                                     y0=y0[2] or rest, return_yf=True)
+    pd_fast, s_pf = peak_decay(level_db, d_fr, y0=y0[3], return_yf=True)
+    pd_slow, s_ps = peak_decay(level_db, d_sr, y0=y0[4], return_yf=True)
+    max_det = _param(max_det_db, bs, dtype)
+    att_det = jnp.minimum(jax.nn.relu(env_ff - env_sf), max_det)
+    sus_det = jnp.minimum(jax.nn.relu(pd_slow - pd_fast), max_det)
+    if return_yf:
+        return att_det, sus_det, (power[..., -1], s_ff, s_sf, s_pf, s_ps)
+    return att_det, sus_det
+
+
+@_scoped("dasp.transient_shaper")
+def transient_shaper(
+    x: jnp.ndarray,
+    sample_rate: float,
+    attack,
+    sustain,
+    output_gain_db=0.0,
+    fast_attack_ms=1.0,
+    slow_attack_ms=30.0,
+    fast_release_ms=50.0,
+    slow_release_ms=500.0,
+    pre_smooth_ms=5.0,
+    max_det_db=24.0,
+    eps: float = 1e-8,
+    smoother: str = "parallel",
+) -> jnp.ndarray:
+    """Transient shaper: level-independent attack/sustain control.
+
+    The SPL Transient Designer idea, built differentiably on the
+    dynamics ballistics machinery: two differential envelope followers
+    isolate the onset (attack) and tail (sustain) portions of the
+    program in dB, and the ``attack`` / ``sustain`` controls scale those
+    dB amounts into a time-varying gain:
+
+        ``gain_db(n) = attack * att_det(n) + sustain * sus_det(n)``
+
+    Unlike a compressor this is threshold-free — it reacts to the
+    *shape* of the envelope, not its absolute level — so it shapes
+    quiet and loud hits alike. ``attack=+1`` roughly doubles each
+    onset's dB overshoot, ``attack=-1`` cancels it; likewise ``sustain``
+    for decay tails. Steady-state program (both detectors ~0) passes at
+    ``output_gain_db``. Fully differentiable in all parameters (the
+    detector relu is the only kink). The reference framework has no
+    transient processing (dasp_pytorch/functional.py declares none).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        attack: onset gain scale, ~[-1, 1] (0 = neutral), shape (bs,).
+        sustain: tail gain scale, ~[-1, 1] (0 = neutral), shape (bs,).
+        output_gain_db: static output gain in dB, shape (bs,).
+        fast_attack_ms / slow_attack_ms: rise times of the onset
+            detector pair (ms); their gap sets how long an onset "lasts".
+        fast_release_ms / slow_release_ms: fall times of the tail
+            detector pair (each a peak-decay slope of 20 dB per release
+            time); their gap sets how much tail is shaped.
+        pre_smooth_ms: fixed one-pole on the detector power before the
+            followers (tames rectifier ripple on tonal content).
+        max_det_db: detector cap in dB (bounds the shaped gain at
+            silence-to-signal boundaries).
+        eps: numerical floor for the level detector.
+        smoother: "parallel" (default, scan-parallel ballistics) or
+            "exact" (sequential reference-grade recursion).
+
+    Returns:
+        Shaped audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    attack = _param(attack, bs, dtype)
+    sustain = _param(sustain, bs, dtype)
+    output_gain_db = _param(output_gain_db, bs, dtype)
+
+    att_det, sus_det = _transient_detectors(
+        x, sample_rate, fast_attack_ms, slow_attack_ms,
+        fast_release_ms, slow_release_ms, eps, smoother, pre_smooth_ms,
+        max_det_db,
+    )
+    gain_db = attack * att_det + sustain * sus_det + output_gain_db
+    return (x * db_to_linear(gain_db)).astype(dtype)
+
+
+def exciter_sos(bs, dtype, frequency_hz, sample_rate) -> jnp.ndarray:
+    """The exciter's 2nd-order high-pass section, (bs, 1, 6) a0-normalized."""
+    from .ops.biquad import biquad
+
+    zeros = jnp.zeros((bs,), dtype)
+    q = jnp.full((bs,), 0.7071, dtype)
+    b, a = biquad(zeros, frequency_hz.reshape(bs), q, sample_rate, "high_pass")
+    return jnp.concatenate([b, a], -1)[:, None, :]
+
+
+@_scoped("dasp.exciter")
+def exciter(
+    x: jnp.ndarray,
+    sample_rate: float,
+    frequency_hz,
+    drive_db,
+    amount,
+    filter_method: str = "coupled",
+) -> jnp.ndarray:
+    """Harmonic exciter / aural enhancer.
+
+    The Aphex-style recipe: isolate the band above ``frequency_hz``
+    (2nd-order Butterworth-Q high-pass biquad), generate harmonics by
+    driving it through a level-matched tanh waveshaper, and add the
+    result back to the untouched program:
+
+        ``y = x + amount * tanh(g * highpass(x)) / g``,  ``g = 10^(drive/20)``
+
+    The ``/g`` keeps the wet branch's small-signal gain at unity, so
+    ``drive_db`` controls harmonic *density* (how hard the band
+    saturates) while ``amount`` controls how much brightness is blended
+    in — at ``amount=0`` the effect is exactly the identity.
+    Differentiable in all three parameters (``frequency_hz`` enters
+    through the biquad coefficients). The reference framework has no
+    harmonic enhancement (dasp_pytorch/functional.py declares none).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        frequency_hz: high-pass corner — only content above it is
+            excited (typ. 1-8 kHz), shape (bs,).
+        drive_db: waveshaper drive in dB (>= 0), shape (bs,).
+        amount: wet blend on [0, 1], shape (bs,).
+        filter_method: how the high-pass runs — "coupled" (default,
+            exact block-state), "block", "fsm", "exact" or "pallas"
+            (as in :func:`parametric_eq`).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    frequency_hz = _param(frequency_hz, bs, dtype)
+    drive_db = _param(drive_db, bs, dtype)
+    amount = _param(amount, bs, dtype)
+
+    sos = exciter_sos(bs, dtype, frequency_hz, sample_rate)
+    high = _apply_sos(sos, x, filter_method)
+    g = db_to_linear(drive_db)
+    harm = jnp.tanh(high * g) / g
+    return (x + amount * harm).astype(dtype)
+
+
+def _smooth_det_power(power, alpha_d, mode="centered", y0=None):
+    """Smooth a (bs, n_frames, n_bins) detector power over frames — the
+    per-(frame, bin) power of white noise is chi-square distributed
+    (+-5.6 dB), far too noisy to gate on raw.
+
+    ``mode="centered"`` (offline default): forward + backward one-pole —
+    zero-phase, so the gate OPENS ON TIME at program onsets instead of
+    lagging by the smoothing constant (a causal smoother chops the first
+    ~det_smooth_ms of every burst). ``mode="causal"``: forward only —
+    what the streaming layer must use. Returns the smoothed power and
+    the carried last forward-pass frame (the streaming state)."""
+    p_t = jnp.swapaxes(power, 1, 2)  # (bs, n_bins, n_frames)
+    p_s = onepole_exact(p_t, alpha_d, y0=y0)
+    yf = p_s[..., -1]
+    if mode == "centered":
+        p_s = jnp.flip(onepole_exact(jnp.flip(p_s, -1), alpha_d), -1)
+    elif mode != "causal":
+        raise ValueError(
+            f"det_smooth_mode must be 'centered' or 'causal', got {mode!r}."
+        )
+    return jnp.swapaxes(p_s, 1, 2), yf
+
+
+def _spectral_gate_gain(
+    det_db, noise_db, threshold_db, range_db, sharpness_db,
+    alpha_a, alpha_r, smoother, freq_smooth_bins=9, y0=None, return_yf=False,
+):
+    """Per-bin gate gain from a detector spectrogram (dB).
+
+    ``det_db``/``noise_db``: (bs, n_frames, n_bins) / (bs, {1,n_frames},
+    n_bins). Returns linear gain of the same shape (plus the carried
+    ballistics state with ``return_yf``). Shared by the offline effect
+    and the streaming layer. The gain is smoothed across bins with a
+    ``freq_smooth_bins``-wide normalized Hann kernel (static; <= 1
+    disables): it suppresses musical noise AND bounds the mask's
+    effective impulse response so the WOLA tail-truncation contract
+    holds (a bin-independent jagged mask would smear across the whole
+    FFT frame).
+    """
+    above = det_db - noise_db - threshold_db
+    mask = jax.nn.sigmoid(above / jnp.maximum(sharpness_db, 1e-3))
+    floor = db_to_linear(-range_db)
+    gain = floor + (1.0 - floor) * mask
+
+    # frame-rate ballistics, gate convention (first slot fires when the
+    # gain FALLS = gate closing = release; see noise_gate)
+    g = jnp.swapaxes(gain, 1, 2)  # (bs, n_bins, n_frames): scan over frames
+    out = ballistics_smooth(g, alpha_r, alpha_a, mode=smoother,
+                            y0=y0, return_yf=return_yf)
+    gain = jnp.swapaxes(out[0] if return_yf else out, 1, 2)
+
+    W = int(freq_smooth_bins)
+    if W > 1:
+        w = np.hanning(W + 2)[1:-1].astype(np.float32)
+        w = w / w.sum()
+        half = W // 2
+        gp = jnp.pad(gain, ((0, 0), (0, 0), (half, W - 1 - half)), mode="edge")
+        gain = sum(w[k] * gp[..., k : k + gain.shape[-1]] for k in range(W))
+
+    if return_yf:
+        return gain, out[1]
+    return gain
+
+
+@_scoped("dasp.spectral_gate")
+def spectral_gate(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    range_db,
+    attack_ms,
+    release_ms,
+    sharpness_db=3.0,
+    noise_profile_db: Optional[jnp.ndarray] = None,
+    noise_quantile: float = 0.15,
+    det_smooth_ms: float = 40.0,
+    det_smooth_mode: str = "centered",
+    freq_smooth_bins: int = 9,
+    frame_size: int = 2048,
+    hop: int = 512,
+    eps: float = 1e-8,
+    smoother: str = "parallel",
+) -> jnp.ndarray:
+    """Spectral gate (broadband noise reduction), fully differentiable.
+
+    The classic spectral-subtraction denoiser recast as a smooth gate:
+    the signal's own short-time spectra are compared per (frame, bin)
+    against a noise floor, and bins that do not exceed it by
+    ``threshold_db`` are attenuated toward ``-range_db``:
+
+        ``gain = floor + (1-floor) * sigmoid((X_db - N_db - thr) / sharp)``
+
+    The mask is then smoothed across frames by the dual-time-constant
+    ballistics (gate convention: ``attack_ms`` = bin opening,
+    ``release_ms`` = bin closing — release limits musical noise) and
+    across bins by a Hann kernel, and applied with the WOLA machinery
+    (`ops.tv_filter`) — ONE analysis STFT serves both detection and
+    filtering. The detector power is pre-smoothed over frames
+    (``det_smooth_ms``): raw per-(frame, bin) noise power is chi-square
+    distributed with a ~10 dB spread that would flicker the gate open.
+    With no ``noise_profile_db`` the floor is self-estimated as a
+    per-bin ``noise_quantile`` quantile of the SMOOTHED detector (whose
+    noise-only spread is only ~2 dB, so a low quantile sits close under
+    the true floor) — robust as long as each bin's smoothing-widened
+    program footprint leaves that quantile on clean frames; a
+    CONTINUOUS tone is absorbed into its own bin's estimate, so
+    production use passes a profile measured from a noise-only capture
+    (:func:`spectral_noise_profile`). Everything — threshold, range,
+    ballistics, even the estimated profile — is differentiable, so the
+    gate can be *trained* like any other dasp processor. The reference
+    framework has no spectral processing (dasp_pytorch/functional.py
+    declares none).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len). Channels share one
+            power-mean detector (the mask is common across channels —
+            per-channel masks would decorrelate a stereo image).
+        sample_rate: audio sample rate (Hz).
+        threshold_db: dB above the noise floor where a bin half-opens,
+            shape (bs,).
+        range_db: maximum attenuation depth in dB (>= 0), shape (bs,).
+        attack_ms / release_ms: per-bin open/close times (ms), shape
+            (bs,). Measured in wall time (converted to frame rate).
+        sharpness_db: sigmoid transition width in dB (smaller = harder
+            gate), shape (bs,) or scalar.
+        noise_profile_db: measured per-bin noise floor (bs, n_bins) with
+            ``n_bins = frame_size + 1``; None = self-estimate.
+        noise_quantile: quantile for self-estimation (static float).
+        det_smooth_ms: detector power pre-smoothing time (static).
+        det_smooth_mode: "centered" (zero-phase — opens on time at
+            onsets; offline default) or "causal" (what
+            :func:`dasp_tpu.streaming.spectral_gate_stream` reproduces).
+        freq_smooth_bins: gain smoothing kernel width in bins (static;
+            <= 1 disables).
+        frame_size: analysis frame (static; n_fft = 2*frame_size).
+        hop: frame hop (static; frame_size must be a multiple of 2*hop).
+        eps: numerical floor for the detector.
+        smoother: "parallel" (default) or "exact" frame ballistics.
+
+    Returns:
+        Denoised audio, shape (bs, chs, seq_len).
+    """
+    from .ops.tv_filter import tv_istft, tv_stft
+
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    threshold_db = _param(threshold_db, bs, dtype)[:, :, 0]  # (bs, 1)
+    range_db = _param(range_db, bs, dtype)[:, :, 0]
+    attack_ms = _param(attack_ms, bs, dtype)
+    release_ms = _param(release_ms, bs, dtype)
+    sharpness_db = _param(sharpness_db, bs, dtype)[:, :, 0]
+
+    n_fft = 2 * frame_size
+    ln9 = math.log(9.0)
+    frame_rate = sample_rate / hop
+
+    X = tv_stft(x, frame_size, hop, n_fft)  # (bs, chs, n_frames, n_bins)
+    power = jnp.mean(jnp.square(jnp.abs(X)), axis=1)  # (bs, n_frames, n_bins)
+    alpha_d = np.exp(-ln9 / (frame_rate * (det_smooth_ms / 1e3))).astype(np.float32)
+    power, _ = _smooth_det_power(power, alpha_d, det_smooth_mode)
+    det_db = 10.0 * jnp.log10(jnp.maximum(power, eps * eps))
+
+    if noise_profile_db is None:
+        noise_db = jnp.quantile(det_db, noise_quantile, axis=1, keepdims=True)
+    else:
+        noise_db = jnp.asarray(noise_profile_db, dtype)[:, None, :]
+
+    alpha_a = jnp.exp(-ln9 / (frame_rate * (attack_ms / 1e3)))  # (bs, 1, 1)
+    alpha_r = jnp.exp(-ln9 / (frame_rate * (release_ms / 1e3)))
+
+    gain = _spectral_gate_gain(
+        det_db, noise_db, threshold_db[..., None], range_db[..., None],
+        sharpness_db[..., None], alpha_a, alpha_r, smoother,
+        freq_smooth_bins,
+    )  # (bs, n_frames, n_bins)
+
+    y = tv_istft(X * gain[:, None].astype(X.dtype), seq_len, frame_size, hop)
+    return y.astype(dtype)
+
+
+def spectral_noise_profile(
+    noise: jnp.ndarray,
+    frame_size: int = 2048,
+    hop: int = 512,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Measure a noise floor for :func:`spectral_gate` from a noise-only
+    capture: the per-bin mean power of its short-time spectra, in dB.
+
+    Args:
+        noise: noise-only audio, shape (bs, chs, T).
+
+    Returns:
+        Profile, shape (bs, n_bins) with ``n_bins = frame_size + 1`` —
+        pass as ``noise_profile_db``.
+    """
+    from .ops.tv_filter import tv_stft
+
+    X = tv_stft(noise, frame_size, hop, 2 * frame_size)
+    power = jnp.mean(jnp.square(jnp.abs(X)), axis=(1, 2))  # (bs, n_bins)
+    return 10.0 * jnp.log10(jnp.maximum(power, eps * eps))
 
 
 @_scoped("dasp.bitcrusher")

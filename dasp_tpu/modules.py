@@ -50,6 +50,9 @@ __all__ = [
     "NoiseGate",
     "DeEsser",
     "Bitcrusher",
+    "TransientShaper",
+    "Exciter",
+    "SpectralGate",
     "NoiseShapedReverb",
     "StereoWidener",
     "StereoPanner",
@@ -570,6 +573,102 @@ class Bitcrusher(Processor):
             "bit_depth": (min_bit_depth, max_bit_depth),
             "sample_rate_hz": (min_sample_rate_hz, max_sample_rate_hz),
             "mix": (min_mix, max_mix),
+        }
+
+
+class TransientShaper(Processor):
+    """Threshold-free attack/sustain control (functional.transient_shaper).
+
+    ``attack``, ``sustain`` and ``output_gain_db`` are learnable;
+    detector ballistics and the smoother are static constructor
+    settings."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_attack: float = -1.0,
+        max_attack: float = 1.0,
+        min_sustain: float = -1.0,
+        max_sustain: float = 1.0,
+        min_output_gain_db: float = -12.0,
+        max_output_gain_db: float = 12.0,
+        smoother: str = "parallel",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.transient_shaper(
+            x, *a, **{"smoother": smoother, **kw}
+        )
+        self.param_ranges = {
+            "attack": (min_attack, max_attack),
+            "sustain": (min_sustain, max_sustain),
+            "output_gain_db": (min_output_gain_db, max_output_gain_db),
+        }
+
+
+class Exciter(Processor):
+    """Harmonic exciter / aural enhancer (functional.exciter)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_frequency_hz: float = 1000.0,
+        max_frequency_hz: float = 10000.0,
+        min_drive_db: float = 0.0,
+        max_drive_db: float = 24.0,
+        min_amount: float = 0.0,
+        max_amount: float = 1.0,
+        filter_method: str = "coupled",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.exciter(
+            x, *a, **{"filter_method": filter_method, **kw}
+        )
+        self.param_ranges = {
+            "frequency_hz": (min_frequency_hz, max_frequency_hz),
+            "drive_db": (min_drive_db, max_drive_db),
+            "amount": (min_amount, max_amount),
+        }
+
+
+class SpectralGate(Processor):
+    """Spectral noise gate / denoiser (functional.spectral_gate).
+
+    ``threshold_db``, ``range_db``, ``attack_ms``, ``release_ms`` are
+    learnable; frame layout, sharpness and the noise-profile policy are
+    static constructor settings (pass ``noise_profile_db=`` through
+    ``process_normalized`` kwargs for a measured floor)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_threshold_db: float = 0.0,
+        max_threshold_db: float = 24.0,
+        min_range_db: float = 0.0,
+        max_range_db: float = 60.0,
+        min_attack_ms: float = 1.0,
+        max_attack_ms: float = 50.0,
+        min_release_ms: float = 20.0,
+        max_release_ms: float = 500.0,
+        sharpness_db: float = 3.0,
+        frame_size: int = 2048,
+        hop: int = 512,
+        smoother: str = "parallel",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.spectral_gate(
+            x, *a, **{
+                "sharpness_db": sharpness_db, "frame_size": frame_size,
+                "hop": hop, "smoother": smoother, **kw,
+            }
+        )
+        self.param_ranges = {
+            "threshold_db": (min_threshold_db, max_threshold_db),
+            "range_db": (min_range_db, max_range_db),
+            "attack_ms": (min_attack_ms, max_attack_ms),
+            "release_ms": (min_release_ms, max_release_ms),
         }
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "sosfilt_coupled",
     "stabilize_sos",
     "ballistics_smooth",
+    "peak_decay",
     "embed_first_order_sos",
     "onepole_ba",
     "ar_impulse_response",
@@ -893,3 +894,47 @@ def ballistics_smooth(
         return y
 
     raise ValueError(f"Unknown ballistics mode: {mode!r}")
+
+
+def peak_decay(
+    g: jnp.ndarray,
+    delta: jnp.ndarray,
+    y0: jnp.ndarray | None = None,
+    return_yf: bool = False,
+):
+    """Peak envelope with linear decay: ``y[n] = max(g[n], y[n-1] - delta)``.
+
+    The PPM-meter follower — instant rise, constant-slope fall (``delta``
+    per sample; for a dB-domain ``g`` this is a linear dB/s release). The
+    recursion is a max-plus scan with an exact parallel form:
+
+        ``y[n] = max_{k<=n}(g[k] - delta*(n-k))
+               = cummax(g[k] + delta*k) - delta*n``
+
+    so it runs as ONE ``lax.cummax`` (O(log T) depth on TPU), with no
+    branching-decision approximation — unlike the two-time-constant
+    :func:`ballistics_smooth`, whose "parallel" proxy mis-branches for
+    slow-fall/fast-rise envelopes (the transient shaper's sustain pair;
+    see ``functional._transient_detectors``). Gradients flow to ``g``
+    (subgradient through the max) and to ``delta``.
+
+    Args:
+        g: envelope input, shape (bs, ..., T).
+        delta: decay per sample (>= 0), broadcastable to g (e.g.
+            (bs, 1, 1)).
+        y0: carried y[-1] from a previous chunk (shape g.shape[:-1];
+            None = from rest at g[..., 0]).
+        return_yf: also return y[..., -1] (the streaming state).
+
+    Note: the ramp trick accumulates ``delta * n``; at fp32, keep
+    ``delta * T`` below ~1e4 per call (chunked/streaming evaluation
+    resets the ramp every chunk).
+    """
+    T = g.shape[-1]
+    ramp = delta * jnp.arange(T, dtype=g.dtype)
+    y = lax.cummax(g + ramp, axis=g.ndim - 1) - ramp
+    if y0 is not None:
+        y = jnp.maximum(y, y0[..., None] - delta * jnp.arange(1, T + 1, dtype=g.dtype))
+    if return_yf:
+        return y, y[..., -1]
+    return y

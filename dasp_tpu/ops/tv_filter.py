@@ -44,6 +44,8 @@ __all__ = [
     "tv_frame_count",
     "tv_frame_centers",
     "tv_freq_filter",
+    "tv_stft",
+    "tv_istft",
 ]
 
 
@@ -94,15 +96,40 @@ def tv_freq_filter(
     Returns:
         Filtered audio, shape (bs, chs, T).
     """
-    bs, chs, T = x.shape
-    n_frames = tv_frame_count(T, frame_size, hop)
     n_bins = H.shape[-1]
     n_fft = 2 * (n_bins - 1)
-    if H.shape[0] != bs or H.shape[1] != n_frames:
+    n_frames = tv_frame_count(x.shape[-1], frame_size, hop)
+    if H.shape[0] != x.shape[0] or H.shape[1] != n_frames:
         raise ValueError(
-            f"H has shape {H.shape}; expected ({bs}, {n_frames}, n_bins) "
-            f"for seq_len={T}, frame_size={frame_size}, hop={hop}."
+            f"H has shape {H.shape}; expected ({x.shape[0]}, {n_frames}, "
+            f"n_bins) for seq_len={x.shape[-1]}, frame_size={frame_size}, "
+            f"hop={hop}."
         )
+    X = tv_stft(x, frame_size, hop, n_fft)
+    Y = X * H[:, None].astype(X.dtype)
+    return tv_istft(Y, x.shape[-1], frame_size, hop)
+
+
+def tv_stft(x: jnp.ndarray, frame_size: int, hop: int, n_fft: int) -> jnp.ndarray:
+    """Windowed analysis frames of ``x``, transformed: the first half of
+    :func:`tv_freq_filter` (see its contract for the framing/COLA rules).
+
+    Args:
+        x: input audio, shape (bs, chs, T).
+        frame_size: analysis frame length (static), multiple of ``2*hop``.
+        hop: frame hop (static).
+        n_fft: FFT size — ``>= 2*frame_size`` (impulse-tail room when the
+            spectrum will be multiplied by a response) and a multiple of
+            ``hop`` (so :func:`tv_istft`'s overlap-add stays gather-free).
+
+    Returns:
+        Complex spectra, shape (bs, chs, n_frames, n_fft//2 + 1), with
+        ``n_frames = tv_frame_count(T, frame_size, hop)``. The frames
+        carry the COLA-normalized periodic Hann window:
+        ``tv_istft(tv_stft(x, ...), T, ...) == x`` to roundoff.
+    """
+    bs, chs, T = x.shape
+    n_frames = tv_frame_count(T, frame_size, hop)
     if frame_size % (2 * hop) != 0:
         raise ValueError(
             f"frame_size ({frame_size}) must be a multiple of 2*hop "
@@ -138,8 +165,23 @@ def tv_freq_filter(
     cola = frame_size / (2.0 * hop)
     frames = frames * jnp.asarray((win / cola).astype(np.float32))
 
-    X = jnp.fft.rfft(frames, n_fft, axis=-1)  # (bs, chs, n_frames, n_bins)
-    Y = X * H[:, None].astype(X.dtype)
+    return jnp.fft.rfft(frames, n_fft, axis=-1)  # (bs, chs, n_frames, n_bins)
+
+
+def tv_istft(Y: jnp.ndarray, seq_len: int, frame_size: int, hop: int) -> jnp.ndarray:
+    """Inverse of :func:`tv_stft`: irFFT + overlap-add at ``hop`` — the
+    second half of :func:`tv_freq_filter`.
+
+    Args:
+        Y: complex spectra, shape (bs, chs, n_frames, n_bins).
+        seq_len: output length T (the analysis input's length).
+        frame_size / hop: as passed to :func:`tv_stft`.
+
+    Returns:
+        Audio, shape (bs, chs, T).
+    """
+    bs, chs, n_frames, n_bins = Y.shape
+    n_fft = 2 * (n_bins - 1)
     yf = jnp.fft.irfft(Y, n_fft, axis=-1)  # (bs, chs, n_frames, n_fft)
 
     # overlap-add at hop: n_fft/hop static diagonal shifts of the
@@ -152,4 +194,5 @@ def tv_freq_filter(
         for k in range(nchunks)
     )
     y = out.reshape(bs, chs, (n_frames + nchunks - 1) * hop)
-    return y[..., left : left + T]
+    left = frame_size - hop
+    return y[..., left : left + seq_len]

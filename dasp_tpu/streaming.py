@@ -55,6 +55,9 @@ __all__ = [
     "noise_gate_stream",
     "de_esser_stream",
     "bitcrusher_stream",
+    "transient_shaper_stream",
+    "exciter_stream",
+    "spectral_gate_stream",
     "limiter_stream",
     "reverb_stream_init",
     "reverb_stream",
@@ -440,6 +443,67 @@ def bitcrusher_stream(
     return y.astype(dtype), new_state
 
 
+def exciter_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    frequency_hz,
+    drive_db,
+    amount,
+    zi=None,
+    filter_method: str = "coupled",
+) -> Tuple[jnp.ndarray, Any]:
+    """One streaming step of the harmonic exciter (offline
+    :func:`dasp_tpu.functional.exciter`). Carried state: the high-pass
+    biquad's filter state (the waveshaper and blend are memoryless)."""
+    bs = x.shape[0]
+    dtype = x.dtype
+    frequency_hz = F._param(frequency_hz, bs, dtype)
+    drive_db = F._param(drive_db, bs, dtype)
+    amount = F._param(amount, bs, dtype)
+
+    sos = F.exciter_sos(bs, dtype, frequency_hz, sample_rate)
+    high, zf = sosfilt_stream(sos, x, zi=zi, filter_method=filter_method)
+    g = F.db_to_linear(drive_db)
+    y = (x + amount * jnp.tanh(high * g) / g).astype(dtype)
+    return y, zf
+
+
+def transient_shaper_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    attack,
+    sustain,
+    output_gain_db=0.0,
+    fast_attack_ms=1.0,
+    slow_attack_ms=30.0,
+    fast_release_ms=50.0,
+    slow_release_ms=500.0,
+    pre_smooth_ms=5.0,
+    max_det_db=24.0,
+    eps: float = 1e-8,
+    state=None,
+    smoother: str = "parallel",
+) -> Tuple[jnp.ndarray, Any]:
+    """One streaming step of the transient shaper (offline
+    :func:`dasp_tpu.functional.transient_shaper`). Carried state: the
+    detector pre-smoother plus the three differential ballistics
+    envelopes, so onset/tail shaping crosses chunk boundaries exactly."""
+    bs = x.shape[0]
+    dtype = x.dtype
+    att = F._param(attack, bs, dtype)
+    sus = F._param(sustain, bs, dtype)
+    out_db = F._param(output_gain_db, bs, dtype)
+
+    att_det, sus_det, new_state = F._transient_detectors(
+        x, sample_rate, fast_attack_ms, slow_attack_ms,
+        fast_release_ms, slow_release_ms, eps, smoother, pre_smooth_ms,
+        max_det_db, y0=state, return_yf=True,
+    )
+    gain_db = att * att_det + sus * sus_det + out_db
+    y = (x * F.db_to_linear(gain_db)).astype(dtype)
+    return y, new_state
+
+
 def reverb_stream_init(
     sample_rate: float,
     band_gains: jnp.ndarray,
@@ -789,36 +853,24 @@ def tremolo_stream(
     return y.astype(dtype), {"n0": state["n0"] + T}
 
 
-def _wola_stream(x, H, frame_size: int, hop: int, state):
-    """Streaming core of ``ops.tv_filter.tv_freq_filter``.
-
-    ``x`` is a (bs, chs, Tc) chunk with ``Tc % hop == 0``; ``H`` holds
-    the complex responses of the ``Tc/hop`` frames whose input completes
-    within this chunk. Carried state: the trailing ``frame_size - hop``
-    input samples and the ``n_fft - hop`` overlap-add tail. The output
-    equals the offline WOLA render delayed by ``frame_size - hop``
-    samples (the window's algorithmic lookahead — the first chunk leads
-    with that many warm-up samples).
-    """
+def _wola_analyze(x, frame_size: int, hop: int, n_fft: int, xhist):
+    """Streaming half of ``ops.tv_filter.tv_stft``: windowed frame
+    spectra of a chunk given the carried ``frame_size - hop`` input
+    tail. Returns ``(X, new_xhist)`` with X (bs, chs, Tc/hop, n_bins)."""
     import math as _math
 
     import jax
     import numpy as np
 
     bs, chs, Tc = x.shape
-    n_bins = H.shape[-1]
-    n_fft = 2 * (n_bins - 1)
     left = frame_size - hop
     if Tc % hop != 0:
         raise ValueError(f"chunk length {Tc} must be a multiple of hop {hop}.")
     K = Tc // hop
-    if state is None:
-        state = {
-            "xhist": jnp.zeros((bs, chs, left), x.dtype),
-            "ola": jnp.zeros((bs, chs, n_fft - hop), x.dtype),
-        }
+    if xhist is None:
+        xhist = jnp.zeros((bs, chs, left), x.dtype)
 
-    x_ext = jnp.concatenate([state["xhist"], x], axis=-1)
+    x_ext = jnp.concatenate([xhist, x], axis=-1)
     g = _math.gcd(frame_size, hop)
     hop_b, len_b = hop // g, frame_size // g
     xb = x_ext.reshape(bs, chs, x_ext.shape[-1] // g, g)
@@ -832,8 +884,19 @@ def _wola_stream(x, H, frame_size: int, hop: int, state):
     cola = frame_size / (2.0 * hop)
     frames = frames * jnp.asarray((win / cola).astype(np.float32))
 
-    X = jnp.fft.rfft(frames, n_fft, axis=-1)
-    yf = jnp.fft.irfft(X * H[:, None].astype(X.dtype), n_fft, axis=-1)
+    return jnp.fft.rfft(frames, n_fft, axis=-1), x_ext[..., -left:]
+
+
+def _wola_synthesize(Y, hop: int, ola):
+    """Streaming half of ``ops.tv_filter.tv_istft``: irFFT + overlap-add
+    given the carried ``n_fft - hop`` OLA tail. Returns ``(y, new_ola)``
+    with y (bs, chs, Tc = K*hop)."""
+    bs, chs, K, n_bins = Y.shape
+    n_fft = 2 * (n_bins - 1)
+    Tc = K * hop
+    if ola is None:
+        ola = jnp.zeros((bs, chs, n_fft - hop), jnp.float32)
+    yf = jnp.fft.irfft(Y, n_fft, axis=-1)
 
     nchunks = n_fft // hop
     yc = yf.reshape(bs, chs, K, nchunks, hop)
@@ -841,9 +904,93 @@ def _wola_stream(x, H, frame_size: int, hop: int, state):
         jnp.pad(yc[:, :, :, k], ((0, 0), (0, 0), (k, nchunks - 1 - k), (0, 0)))
         for k in range(nchunks)
     ).reshape(bs, chs, (K + nchunks - 1) * hop)
-    out = out.at[..., : n_fft - hop].add(state["ola"])
-    y, ola = out[..., :Tc], out[..., Tc:]
-    return y, {"xhist": x_ext[..., -left:], "ola": ola}
+    out = out.at[..., : n_fft - hop].add(ola.astype(out.dtype))
+    return out[..., :Tc], out[..., Tc:]
+
+
+def _wola_stream(x, H, frame_size: int, hop: int, state):
+    """Streaming core of ``ops.tv_filter.tv_freq_filter``.
+
+    ``x`` is a (bs, chs, Tc) chunk with ``Tc % hop == 0``; ``H`` holds
+    the complex responses of the ``Tc/hop`` frames whose input completes
+    within this chunk. Carried state: the trailing ``frame_size - hop``
+    input samples and the ``n_fft - hop`` overlap-add tail. The output
+    equals the offline WOLA render delayed by ``frame_size - hop``
+    samples (the window's algorithmic lookahead — the first chunk leads
+    with that many warm-up samples).
+    """
+    n_fft = 2 * (H.shape[-1] - 1)
+    if state is None:
+        state = {"xhist": None, "ola": None}
+    X, xhist = _wola_analyze(x, frame_size, hop, n_fft, state["xhist"])
+    y, ola = _wola_synthesize(X * H[:, None].astype(X.dtype), hop, state["ola"])
+    return y, {"xhist": xhist, "ola": ola}
+
+
+def spectral_gate_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    range_db,
+    attack_ms,
+    release_ms,
+    noise_profile_db: jnp.ndarray,
+    sharpness_db=3.0,
+    det_smooth_ms: float = 40.0,
+    freq_smooth_bins: int = 9,
+    frame_size: int = 2048,
+    hop: int = 512,
+    eps: float = 1e-8,
+    state=None,
+    smoother: str = "parallel",
+) -> Tuple[jnp.ndarray, Any]:
+    """Streaming spectral gate (offline
+    :func:`dasp_tpu.functional.spectral_gate`).
+
+    Requires a measured ``noise_profile_db`` (bs, frame_size + 1) —
+    :func:`dasp_tpu.functional.spectral_noise_profile`; a stream cannot
+    self-estimate the quantile floor the offline effect defaults to.
+    Given the same profile, the concatenated stream equals the offline
+    render delayed by ``frame_size - hop`` samples (WOLA lookahead —
+    34.8 ms at the 2048/512 defaults, 44.1 kHz). Carried state: WOLA
+    input/overlap tails + the detector power smoother + the per-bin
+    ballistics envelopes. Chunk length must be a multiple of ``hop``.
+    """
+    import math as _math
+
+    import numpy as np
+
+    bs, chs, Tc = x.shape
+    dtype = x.dtype
+    threshold_db = F._param(threshold_db, bs, dtype)[:, :, 0]  # (bs, 1)
+    range_db = F._param(range_db, bs, dtype)[:, :, 0]
+    attack_ms = F._param(attack_ms, bs, dtype)
+    release_ms = F._param(release_ms, bs, dtype)
+    sharpness_db = F._param(sharpness_db, bs, dtype)[:, :, 0]
+
+    if state is None:
+        state = {"xhist": None, "ola": None, "det": None, "bal": None}
+    n_fft = 2 * frame_size
+    ln9 = _math.log(9.0)
+    frame_rate = sample_rate / hop
+
+    X, xhist = _wola_analyze(x, frame_size, hop, n_fft, state["xhist"])
+    power = jnp.mean(jnp.square(jnp.abs(X)), axis=1)  # (bs, K, n_bins)
+    alpha_d = np.exp(-ln9 / (frame_rate * (det_smooth_ms / 1e3))).astype(np.float32)
+    power, det = F._smooth_det_power(power, alpha_d, "causal", y0=state["det"])
+    det_db = 10.0 * jnp.log10(jnp.maximum(power, eps * eps))
+    noise_db = jnp.asarray(noise_profile_db, dtype)[:, None, :]
+
+    alpha_a = jnp.exp(-ln9 / (frame_rate * (attack_ms / 1e3)))
+    alpha_r = jnp.exp(-ln9 / (frame_rate * (release_ms / 1e3)))
+
+    gain, bal = F._spectral_gate_gain(
+        det_db, noise_db, threshold_db[..., None], range_db[..., None],
+        sharpness_db[..., None], alpha_a, alpha_r, smoother,
+        freq_smooth_bins, y0=state["bal"], return_yf=True,
+    )
+    y, ola = _wola_synthesize(X * gain[:, None].astype(X.dtype), hop, state["ola"])
+    return y.astype(dtype), {"xhist": xhist, "ola": ola, "det": det, "bal": bal}
 
 
 def phaser_stream(

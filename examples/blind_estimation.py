@@ -35,7 +35,8 @@ def main():
                                  "multiband_compressor", "delay", "chorus",
                                  "flanger", "tremolo", "noise_gate",
                                  "phaser", "auto_wah", "de_esser", "bitcrusher",
-                                 "pitch_shift"],
+                                 "pitch_shift", "transient_shaper", "exciter",
+                                 "spectral_gate"],
                         default="compressor",
                         help="which processor to blind-estimate")
     args = parser.parse_args()
@@ -73,6 +74,12 @@ def main():
         processor = D.Bitcrusher(sr)
     elif args.processor == "pitch_shift":
         processor = D.PitchShift(sr)
+    elif args.processor == "transient_shaper":
+        processor = D.TransientShaper(sr, smoother=args.smoother or "parallel")
+    elif args.processor == "exciter":
+        processor = D.Exciter(sr)
+    elif args.processor == "spectral_gate":
+        processor = D.SpectralGate(sr)
     else:
         processor = D.Compressor(sr, smoother=args.smoother or "fsm")
     net = ParameterNetwork.blind_estimation(processor.num_params)

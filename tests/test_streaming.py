@@ -246,6 +246,36 @@ class TestNewEffectStreams:
         y, _ = _stream_all(step, x, 512)
         np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=5e-4)
 
+    def test_exciter_stream_matches_offline(self):
+        freq = jnp.full((BS,), 3000.0, jnp.float32)
+        drive = jnp.full((BS,), 15.0, jnp.float32)
+        amount = jnp.full((BS,), 0.8, jnp.float32)
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 8192)).astype(np.float32) * 0.3)
+        offline = jax.jit(
+            lambda x: D.functional.exciter(x, SR, freq, drive, amount)
+        )(x)
+        step = jax.jit(
+            lambda c, s: streaming.exciter_stream(c, SR, freq, drive, amount, zi=s)
+        )
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=2e-4)
+
+    @pytest.mark.parametrize("smoother", ["parallel", "exact"])
+    def test_transient_shaper_stream_matches_offline(self, smoother):
+        att = jnp.full((BS,), 0.8, jnp.float32)
+        sus = jnp.full((BS,), -0.5, jnp.float32)
+        x = jnp.asarray(RNG.standard_normal((BS, 2, 8192)).astype(np.float32) * 0.3)
+        offline = jax.jit(
+            lambda x: D.functional.transient_shaper(x, SR, att, sus, smoother=smoother)
+        )(x)
+        step = jax.jit(
+            lambda c, s: streaming.transient_shaper_stream(
+                c, SR, att, sus, state=s, smoother=smoother
+            )
+        )
+        y, _ = _stream_all(step, x, 512)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(offline), atol=2e-4)
+
     def test_pitch_shift_stream_matches_offline(self):
         st = jnp.full((BS,), 5.0, jnp.float32)
         mix = jnp.full((BS,), 0.9, jnp.float32)
@@ -464,6 +494,38 @@ class TestTvFilterStreams:
             np.asarray(y)[..., left + L : T - L],
             np.asarray(offline)[..., L : T - left - L],
             atol=3e-5,
+        )
+
+    def test_spectral_gate_stream_matches_offline(self):
+        T, L, hop = 32768, 2048, 512
+        left = L - hop
+        n = np.arange(T) / SR
+        tone = 0.3 * np.sin(2 * np.pi * 1000.0 * n) * (np.arange(T) > T // 2)
+        sig = (tone + 0.01 * RNG.standard_normal(T)).astype(np.float32)
+        x = jnp.asarray(np.broadcast_to(sig, (BS, 1, T)).copy())
+        noise_only = jnp.asarray(
+            0.01 * RNG.standard_normal((BS, 1, T)).astype(np.float32)
+        )
+        prof = D.functional.spectral_noise_profile(noise_only)
+        kw = dict(
+            threshold_db=jnp.full((BS,), 6.0), range_db=jnp.full((BS,), 40.0),
+            attack_ms=jnp.full((BS,), 5.0), release_ms=jnp.full((BS,), 80.0),
+        )
+        # streaming is causal: it matches det_smooth_mode="causal"
+        offline = jax.jit(
+            lambda x: D.functional.spectral_gate(
+                x, SR, **kw, noise_profile_db=prof, det_smooth_mode="causal"
+            )
+        )(x)
+        step = jax.jit(
+            lambda c, s: streaming.spectral_gate_stream(
+                c, SR, **kw, noise_profile_db=prof, state=s
+            )
+        )
+        y, _ = _stream_all(step, x, 2048)
+        np.testing.assert_allclose(
+            np.asarray(y)[..., left:], np.asarray(offline)[..., : T - left],
+            atol=5e-5,
         )
 
     def test_phaser_stream_chunk_size_invariance(self):
