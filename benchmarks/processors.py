@@ -180,6 +180,9 @@ def main():
             [f(4.0), f(1.0)],
             lambda x, p: D.pitch_shift(x, SR, *p, matmul=False)),
         "tremolo": ([f(4.0), f(0.8)], lambda x, p: D.tremolo(x, SR, *p)),
+        "ring_modulator": (
+            [f(440.0), f(0.8)],
+            lambda x, p: D.ring_modulator(x, SR, *p)),
         "phaser": (
             [f(0.8), f(0.7), f(800.0), f(0.4), f(0.5)],
             lambda x, p: D.phaser(x, SR, *p)),

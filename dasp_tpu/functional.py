@@ -81,6 +81,7 @@ __all__ = [
     "pitch_shift",
     "pitch_shift_window_samples",
     "tremolo",
+    "ring_modulator",
     "phaser",
     "auto_wah",
     "limiter",
@@ -2057,6 +2058,44 @@ def pitch_shift(
         # compensate the mean W/2-sample latency (zeros shift in at the tail)
         wet = jnp.pad(wet, ((0, 0), (0, 0), (0, half)))[..., half:]
     return ((1.0 - mix) * x + mix * wet).astype(dtype)
+
+
+@_scoped("dasp.ring_modulator")
+def ring_modulator(
+    x: jnp.ndarray,
+    sample_rate: float,
+    frequency_hz,
+    mix,
+    lfo_phase: float = 0.0,
+) -> jnp.ndarray:
+    """Ring modulator: multiplication by a sinusoidal carrier.
+
+    ``y(n) = (1-mix) x(n) + mix x(n) sin(2 pi f n / fs + phase)`` — the
+    classic inharmonic "bell/robot" effect: each input partial at
+    ``f_p`` is replaced by sum/difference sidebands at ``f_p ± f``.
+    Differentiable in the carrier frequency (it enters through the
+    sinusoid) and mix, so both are learnable. The reference framework
+    has no modulation effects at all (dasp_pytorch/functional.py
+    declares none).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        frequency_hz: carrier frequency in Hz, shape (bs,).
+        mix: dry/wet mix on [0, 1] (1 = fully ring-modulated), shape (bs,).
+        lfo_phase: initial carrier phase in radians (static).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    frequency_hz = _param(frequency_hz, bs, dtype)
+    mix = _param(mix, bs, dtype)
+
+    n = np.arange(seq_len, dtype=np.float32)[None, None, :]
+    carrier = jnp.sin(2.0 * np.pi * frequency_hz * (n / sample_rate) + lfo_phase)
+    return (((1.0 - mix) + mix * carrier) * x).astype(dtype)
 
 
 @_scoped("dasp.tremolo")

@@ -62,6 +62,7 @@ __all__ = [
     "Flanger",
     "PitchShift",
     "Tremolo",
+    "RingModulator",
     "Phaser",
     "AutoWah",
     "Limiter",
@@ -896,6 +897,26 @@ class PitchShift(Processor):
         )
         self.param_ranges = {
             "semitones": (min_semitones, max_semitones),
+            "mix": (min_mix, max_mix),
+        }
+
+
+class RingModulator(Processor):
+    """Sinusoidal carrier multiplication (functional.ring_modulator)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_frequency_hz: float = 20.0,
+        max_frequency_hz: float = 4000.0,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.ring_modulator
+        self.param_ranges = {
+            "frequency_hz": (min_frequency_hz, max_frequency_hz),
             "mix": (min_mix, max_mix),
         }
 

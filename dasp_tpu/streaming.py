@@ -65,6 +65,7 @@ __all__ = [
     "modulated_delay_stream",
     "pitch_shift_stream",
     "tremolo_stream",
+    "ring_modulator_stream",
     "phaser_stream",
     "auto_wah_stream",
     "multiband_compressor_stream",
@@ -756,6 +757,36 @@ def modulated_delay_stream(
     y = (1.0 - mix) * x + mix * wet
     new_state = {"hist": x_ext[..., -L:], "n0": state["n0"] + T}
     return y.astype(dtype), new_state
+
+
+def ring_modulator_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    frequency_hz,
+    mix,
+    state: Optional[Dict[str, Any]] = None,
+    lfo_phase: float = 0.0,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """One streaming step of the ring modulator (offline
+    :func:`functional.ring_modulator`). The only carried state is the
+    absolute sample counter keeping the carrier phase continuous."""
+    import numpy as np
+
+    bs, chs, T = x.shape
+    dtype = x.dtype
+    frequency_hz = F._param(frequency_hz, bs, dtype)
+    mix = F._param(mix, bs, dtype)
+
+    if state is None:
+        state = {"n0": jnp.zeros((), jnp.int32)}
+
+    n_local = np.arange(T, dtype=np.float32)[None, None, :]
+    t_abs = state["n0"].astype(jnp.float32) + n_local
+    carrier = jnp.sin(
+        2.0 * np.pi * frequency_hz * (t_abs / sample_rate) + lfo_phase
+    )
+    y = ((1.0 - mix) + mix * carrier) * x
+    return y.astype(dtype), {"n0": state["n0"] + T}
 
 
 def pitch_shift_stream(

@@ -36,7 +36,7 @@ def main():
                                  "flanger", "tremolo", "noise_gate",
                                  "phaser", "auto_wah", "de_esser", "bitcrusher",
                                  "pitch_shift", "transient_shaper", "exciter",
-                                 "spectral_gate"],
+                                 "spectral_gate", "ring_modulator"],
                         default="compressor",
                         help="which processor to blind-estimate")
     args = parser.parse_args()
@@ -80,6 +80,8 @@ def main():
         processor = D.Exciter(sr)
     elif args.processor == "spectral_gate":
         processor = D.SpectralGate(sr)
+    elif args.processor == "ring_modulator":
+        processor = D.RingModulator(sr)
     else:
         processor = D.Compressor(sr, smoother=args.smoother or "fsm")
     net = ParameterNetwork.blind_estimation(processor.num_params)

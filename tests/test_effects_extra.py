@@ -1069,3 +1069,66 @@ class TestSpectralGate:
         p = jnp.full((2, 4), 0.5, jnp.float32)
         y = proc.process_normalized(x, p)
         assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+class TestRingModulator:
+    def test_sidebands_replace_the_partial(self):
+        # a 1 kHz tone ring-modulated at 300 Hz: energy moves to
+        # 700/1300 Hz; the original 1 kHz partial vanishes (mix=1)
+        t = 32768
+        n = np.arange(t) / SR
+        x = jnp.asarray(
+            (0.5 * np.sin(2 * np.pi * 1000.0 * n)).astype(np.float32)[None, None, :]
+        )
+        y = np.asarray(jax.jit(F.ring_modulator)(x, SR, _b(300.0), _b(1.0)))[0, 0]
+        w = np.hanning(t)
+        spec = np.abs(np.fft.rfft(y * w))
+        k = lambda f: int(round(f * t / SR))
+        peak = lambda f: spec[k(f) - 2 : k(f) + 3].max()
+        assert peak(700.0) > 100.0 * peak(1000.0)
+        assert peak(1300.0) > 100.0 * peak(1000.0)
+        # equal-amplitude sidebands (sin*sin product identity)
+        np.testing.assert_allclose(peak(700.0), peak(1300.0), rtol=0.05)
+
+    def test_mix_zero_is_identity(self):
+        x = _noise(2, 2, 2048)
+        y = jax.jit(F.ring_modulator)(x, SR, _b(440.0, 2), _b(0.0, 2))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_grad_flows_to_frequency(self):
+        x = _noise(1, 1, 4096)
+        tgt = jax.jit(F.ring_modulator)(x, SR, _b(500.0), _b(1.0))
+
+        def loss(f):
+            return jnp.mean((F.ring_modulator(x, SR, f, _b(1.0)) - tgt) ** 2)
+
+        g = jax.jit(jax.grad(loss))(_b(480.0))
+        assert np.isfinite(np.asarray(g)).all() and abs(float(g[0])) > 0
+        l480, l495, l500 = (float(jax.jit(loss)(_b(v))) for v in (480.0, 495.0, 500.0))
+        assert l500 < l495 < l480
+
+    def test_stream_matches_offline(self):
+        from dasp_tpu import streaming
+
+        f = _b(777.0, 2)
+        mix = _b(0.7, 2)
+        x = _noise(2, 2, 8192)
+        off = jax.jit(lambda x: F.ring_modulator(x, SR, f, mix))(x)
+        step = jax.jit(
+            lambda c, s: streaming.ring_modulator_stream(c, SR, f, mix, state=s)
+        )
+        state = None
+        outs = []
+        for k in range(0, 8192, 1024):
+            yk, state = step(x[..., k : k + 1024], state)
+            outs.append(yk)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(outs, -1)), np.asarray(off), atol=5e-5
+        )
+
+    def test_module_dispatch(self):
+        proc = D.RingModulator(int(SR))
+        x = _noise(2, 2, 2048)
+        p = jnp.asarray(np.array([[0.3, 1.0], [0.7, 0.5]], np.float32))
+        y = proc.process_normalized(x, p)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
