@@ -183,6 +183,12 @@ def main():
         "ring_modulator": (
             [f(440.0), f(0.8)],
             lambda x, p: D.ring_modulator(x, SR, *p)),
+        "dynamic_eq": (
+            [jnp.tile(jnp.asarray([[200.0, 1500.0, 6000.0]]), (bs, 1)),
+             jnp.full((bs, 3), 2.0), jnp.full((bs, 3), -24.0),
+             jnp.full((bs, 3), 4.0), jnp.full((bs, 3), 5.0),
+             jnp.full((bs, 3), 80.0)],
+            lambda x, p: D.dynamic_eq(x, SR, *p)),
         "phaser": (
             [f(0.8), f(0.7), f(800.0), f(0.4), f(0.5)],
             lambda x, p: D.phaser(x, SR, *p)),

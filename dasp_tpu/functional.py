@@ -86,6 +86,7 @@ __all__ = [
     "auto_wah",
     "limiter",
     "multiband_compressor",
+    "dynamic_eq",
     "GRAPHIC_EQ_BANDS",
 ]
 
@@ -2521,3 +2522,198 @@ def multiband_compressor(
         smoother=smoother,
     )
     return y[:bs] + y[bs : 2 * bs] + y[2 * bs :]
+
+
+def _band_param(p, bs: int, nb: int, dtype) -> jnp.ndarray:
+    """Canonicalize a per-band parameter to (bs, n_bands). Scalars and
+    (bs,) arrays broadcast across bands."""
+    p = jnp.asarray(p, dtype)
+    if p.ndim == 0:
+        return jnp.broadcast_to(p, (bs, nb))
+    if p.ndim == 1:  # (bs,): same value for every band
+        return jnp.broadcast_to(p[:, None], (bs, nb))
+    return p.reshape(bs, nb)
+
+
+def _biquad_response(f, q, gain_db, n_bins: int, sample_rate: float,
+                     filter_type: str = "peaking"):
+    """Closed-form complex response of a cookbook biquad on the rFFT grid.
+
+    Broadcast-batched over arbitrary leading dims (the dynamic EQ calls
+    it at (bs, n_bands, n_frames)); the coefficient math is the
+    ``ops.biquad.biquad`` "peaking"/"band_pass" math, evaluated directly
+    at ``w = linspace(0, pi, n_bins)`` instead of materializing (b, a).
+
+    Returns H with shape ``f.shape + (n_bins,)``, complex64.
+    """
+    A = 10.0 ** (gain_db / 40.0)
+    w0 = 2.0 * np.pi * (f / sample_rate)
+    alpha = jnp.sin(w0) / (2.0 * q)
+    cos_w0 = jnp.cos(w0)
+    if filter_type == "peaking":
+        b0, b1, b2 = 1.0 + alpha * A, -2.0 * cos_w0, 1.0 - alpha * A
+        a0, a1, a2 = 1.0 + alpha / A, -2.0 * cos_w0, 1.0 - alpha / A
+    elif filter_type == "band_pass":
+        b0, b1, b2 = A * alpha, jnp.zeros_like(alpha), -A * alpha
+        a0, a1, a2 = 1.0 + alpha, -2.0 * cos_w0, 1.0 - alpha
+    else:
+        raise ValueError(f"Unsupported filter_type: {filter_type!r}")
+
+    w = np.linspace(0.0, np.pi, n_bins, dtype=np.float32)
+    e1 = jnp.asarray(np.exp(-1j * w).astype(np.complex64))
+    e2 = e1 * e1
+    num = b0[..., None] + b1[..., None] * e1 + b2[..., None] * e2
+    den = a0[..., None] + a1[..., None] * e1 + a2[..., None] * e2
+    return num / den
+
+
+def _dynamic_eq_gain(
+    P, band_w, threshold_db, ratio, knee_db, max_cut_db,
+    alpha_a, alpha_r, smoother, eps, y0=None, return_yf=False,
+):
+    """Per-band gain-reduction track from a power spectrogram.
+
+    ``P``: (bs, n_frames, n_bins) detector power; ``band_w``:
+    (bs, n_bands, n_bins) normalized detection weights. Returns
+    (bs, n_bands, n_frames) dB <= 0 (plus carried ballistics state).
+    Shared by the offline effect and the streaming layer.
+    """
+    level = jnp.einsum("bfk,bnk->bnf", P, band_w)
+    L = 10.0 * jnp.log10(jnp.maximum(level, eps * eps))
+    g_c = static_gain_computer(L, threshold_db, ratio, knee_db, "compressor")
+    g_c = jnp.maximum(g_c, -max_cut_db)
+    out = ballistics_smooth(g_c, alpha_a, alpha_r, mode=smoother,
+                            y0=y0, return_yf=return_yf)
+    return out
+
+
+@_scoped("dasp.dynamic_eq")
+def dynamic_eq(
+    x: jnp.ndarray,
+    sample_rate: float,
+    frequency_hz,
+    q_factor,
+    threshold_db,
+    ratio,
+    attack_ms,
+    release_ms,
+    knee_db: float = 6.0,
+    max_cut_db: float = 24.0,
+    frame_size: int = 1024,
+    hop: int = 256,
+    eps: float = 1e-8,
+    smoother: str = "parallel",
+) -> jnp.ndarray:
+    """Dynamic EQ: peaking bands whose cut follows their own band level.
+
+    The modern mixing tool between an EQ and a multiband compressor
+    (and the generalization of the de-esser): each of N bands watches
+    the program's level *inside its own bell* and, when that level
+    exceeds ``threshold_db``, dips a peaking filter at the same
+    (frequency, Q) by the compressor static curve's gain reduction —
+    transparent (exactly unity response) whenever the band is below
+    threshold, surgical when it is not.
+
+    TPU-native design: runs entirely on the WOLA machinery
+    (`ops.tv_filter`) with ONE analysis STFT doing double duty — the
+    per-band detector level is the band_pass-weighted power of each
+    frame's spectrum (a batched einsum), and the time-varying filter is
+    the product of closed-form peaking responses per frame
+    (:func:`_biquad_response`), applied in the frequency domain. No
+    sample-serial time-varying recursion anywhere; gradients flow to
+    every band parameter. The reference framework has nothing in this
+    category (dasp_pytorch/functional.py declares none).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len). Channels share one
+            power-mean detector per band.
+        sample_rate: audio sample rate (Hz).
+        frequency_hz: band centre frequencies, shape (bs, n_bands).
+            (Per-band args also accept scalars or (bs,) — broadcast
+            across bands.)
+        q_factor: band quality factors, shape (bs, n_bands).
+        threshold_db: per-band detector level where reduction begins,
+            shape (bs, n_bands).
+        ratio: per-band compression ratio (>1), shape (bs, n_bands).
+        attack_ms / release_ms: per-band ballistics (ms), shape
+            (bs, n_bands) — applied at the frame rate.
+        knee_db: static soft-knee width (dB).
+        max_cut_db: static cap on per-band gain reduction (dB).
+        frame_size: analysis frame (static; n_fft = 2*frame_size).
+        hop: frame hop (static; frame_size must be a multiple of 2*hop).
+        eps: numerical floor for the detector.
+        smoother: "parallel" (default) or "exact" frame ballistics.
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    from .ops.tv_filter import tv_istft, tv_stft
+
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    frequency_hz = jnp.asarray(frequency_hz, dtype)
+    if frequency_hz.ndim < 2:
+        frequency_hz = frequency_hz.reshape(bs, -1)
+    nb = frequency_hz.shape[-1]
+    canon = lambda p: _band_param(p, bs, nb, dtype)  # noqa: E731
+    frequency_hz = canon(frequency_hz)
+    q_factor = canon(q_factor)
+    threshold_db = canon(threshold_db)
+    ratio = canon(ratio)
+    attack_ms = canon(attack_ms)
+    release_ms = canon(release_ms)
+
+    n_fft = 2 * frame_size
+    n_bins = frame_size + 1
+    X = tv_stft(x, frame_size, hop, n_fft)
+    P = jnp.mean(jnp.square(jnp.abs(X)), axis=1)  # (bs, n_frames, n_bins)
+
+    band_w = _dynamic_eq_band_weights(
+        frequency_hz, q_factor, n_bins, sample_rate, frame_size, hop
+    )
+
+    ln9 = math.log(9.0)
+    frame_rate = sample_rate / hop
+    alpha_a = jnp.exp(-ln9 / (frame_rate * (attack_ms / 1e3)))[..., None]
+    alpha_r = jnp.exp(-ln9 / (frame_rate * (release_ms / 1e3)))[..., None]
+
+    g = _dynamic_eq_gain(
+        P, band_w, threshold_db[..., None], ratio[..., None],
+        knee_db, max_cut_db, alpha_a, alpha_r, smoother, eps,
+    )  # (bs, n_bands, n_frames)
+
+    H = _dynamic_eq_response(frequency_hz, q_factor, g, n_bins, sample_rate)
+    y = tv_istft(X * H[:, None], seq_len, frame_size, hop)
+    return y.astype(dtype)
+
+
+def _dynamic_eq_band_weights(
+    frequency_hz, q_factor, n_bins: int, sample_rate: float,
+    frame_size: int, hop: int,
+):
+    """Parseval-calibrated band_pass power weights, (bs, n_bands, n_bins):
+    the weighted sum over bins of a frame's power spectrum is the
+    MEAN-SQUARE of the band-filtered signal, so a sine of amplitude a at
+    a band's centre reads 20*log10(a) - 3 dB and thresholds mean the
+    same thing they mean on the compressor."""
+    from .ops.tv_filter import tv_analysis_window
+
+    bp = _biquad_response(
+        frequency_hz, q_factor, jnp.zeros_like(q_factor), n_bins,
+        sample_rate, "band_pass",
+    )
+    n_fft = 2 * (n_bins - 1)
+    wpow = float(np.sum(tv_analysis_window(frame_size, hop) ** 2))
+    return jnp.square(jnp.abs(bp)) * (2.0 / (n_fft * wpow))
+
+
+def _dynamic_eq_response(frequency_hz, q_factor, g, n_bins: int, sample_rate: float):
+    """Per-frame response: the product of the N peaking bells at their
+    current gain reductions. ``g``: (bs, n_bands, n_frames) dB.
+    Returns (bs, n_frames, n_bins) complex."""
+    Hb = _biquad_response(
+        jnp.broadcast_to(frequency_hz[:, :, None], g.shape),
+        jnp.broadcast_to(q_factor[:, :, None], g.shape),
+        g, n_bins, sample_rate, "peaking",
+    )  # (bs, n_bands, n_frames, n_bins)
+    return jnp.prod(Hb, axis=1)

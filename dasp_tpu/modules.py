@@ -63,6 +63,7 @@ __all__ = [
     "PitchShift",
     "Tremolo",
     "RingModulator",
+    "DynamicEQ",
     "Phaser",
     "AutoWah",
     "Limiter",
@@ -899,6 +900,78 @@ class PitchShift(Processor):
             "semitones": (min_semitones, max_semitones),
             "mix": (min_mix, max_mix),
         }
+
+
+class DynamicEQ(Processor):
+    """N-band dynamic EQ (functional.dynamic_eq).
+
+    ``num_bands`` is static; the flat normalized tensor holds
+    ``num_bands * 6`` columns in band-major order
+    (band0_frequency_hz .. band0_release_ms, band1_..., ...). Default
+    band frequency ranges are staggered low/mid/high like
+    :class:`ParametricEQ`."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        num_bands: int = 3,
+        min_q: float = 0.5,
+        max_q: float = 8.0,
+        min_threshold_db: float = -60.0,
+        max_threshold_db: float = 0.0,
+        min_ratio: float = 1.0,
+        max_ratio: float = 10.0,
+        min_attack_ms: float = 1.0,
+        max_attack_ms: float = 100.0,
+        min_release_ms: float = 10.0,
+        max_release_ms: float = 500.0,
+        knee_db: float = 6.0,
+        max_cut_db: float = 24.0,
+        frame_size: int = 1024,
+        hop: int = 256,
+        smoother: str = "parallel",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.num_bands = num_bands
+        # stagger band frequency ranges across the spectrum
+        edges = [
+            20.0 * (0.5 * sample_rate / 20.0) ** (i / num_bands)
+            for i in range(num_bands + 1)
+        ]
+        names = ("frequency_hz", "q_factor", "threshold_db", "ratio",
+                 "attack_ms", "release_ms")
+        ranges = {
+            "q_factor": (min_q, max_q),
+            "threshold_db": (min_threshold_db, max_threshold_db),
+            "ratio": (min_ratio, max_ratio),
+            "attack_ms": (min_attack_ms, max_attack_ms),
+            "release_ms": (min_release_ms, max_release_ms),
+        }
+        self.param_ranges = {}
+        for i in range(num_bands):
+            for name in names:
+                if name == "frequency_hz":
+                    self.param_ranges[f"band{i}_{name}"] = (edges[i], edges[i + 1])
+                else:
+                    self.param_ranges[f"band{i}_{name}"] = ranges[name]
+
+        def _process(x, sr, *args, **kw):
+            static = {"knee_db": knee_db, "max_cut_db": max_cut_db,
+                      "frame_size": frame_size, "hop": hop,
+                      "smoother": smoother}
+            if args:  # raw positional passthrough
+                return F.dynamic_eq(x, sr, *args, **{**static, **kw})
+            stacked = {
+                name: jnp.stack(
+                    [kw.pop(f"band{i}_{name}") for i in range(num_bands)],
+                    axis=-1,
+                )
+                for name in names
+            }
+            return F.dynamic_eq(x, sr, **stacked, **{**static, **kw})
+
+        self.process_fn = _process
 
 
 class RingModulator(Processor):

@@ -46,7 +46,17 @@ __all__ = [
     "tv_freq_filter",
     "tv_stft",
     "tv_istft",
+    "tv_analysis_window",
 ]
+
+
+def tv_analysis_window(frame_size: int, hop: int) -> np.ndarray:
+    """The COLA-normalized periodic Hann window :func:`tv_stft` applies
+    (float32 numpy). ``sum(w**2)`` is the Parseval normalizer for power
+    measurements on the frame spectra (see ``functional.dynamic_eq``)."""
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame_size) / frame_size)
+    cola = frame_size / (2.0 * hop)
+    return (win / cola).astype(np.float32)
 
 
 def tv_frame_count(seq_len: int, frame_size: int, hop: int) -> int:
@@ -159,11 +169,7 @@ def tv_stft(x: jnp.ndarray, frame_size: int, hop: int, n_fft: int) -> jnp.ndarra
     frames = jnp.concatenate(parts, axis=-1)  # (bs, chs, n_frames, L)
 
     # periodic Hann: COLA with constant frame_size / (2*hop) at this hop
-    win = 0.5 - 0.5 * np.cos(
-        2.0 * np.pi * np.arange(frame_size) / frame_size
-    )
-    cola = frame_size / (2.0 * hop)
-    frames = frames * jnp.asarray((win / cola).astype(np.float32))
+    frames = frames * jnp.asarray(tv_analysis_window(frame_size, hop))
 
     return jnp.fft.rfft(frames, n_fft, axis=-1)  # (bs, chs, n_frames, n_bins)
 

@@ -58,6 +58,7 @@ __all__ = [
     "transient_shaper_stream",
     "exciter_stream",
     "spectral_gate_stream",
+    "dynamic_eq_stream",
     "limiter_stream",
     "reverb_stream_init",
     "reverb_stream",
@@ -911,9 +912,9 @@ def _wola_analyze(x, frame_size: int, hop: int, n_fft: int, xhist):
     ]
     frames = jnp.concatenate(parts, axis=-1)  # (bs, chs, K, L)
 
-    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame_size) / frame_size)
-    cola = frame_size / (2.0 * hop)
-    frames = frames * jnp.asarray((win / cola).astype(np.float32))
+    from .ops.tv_filter import tv_analysis_window
+
+    frames = frames * jnp.asarray(tv_analysis_window(frame_size, hop))
 
     return jnp.fft.rfft(frames, n_fft, axis=-1), x_ext[..., -left:]
 
@@ -1022,6 +1023,70 @@ def spectral_gate_stream(
     )
     y, ola = _wola_synthesize(X * gain[:, None].astype(X.dtype), hop, state["ola"])
     return y.astype(dtype), {"xhist": xhist, "ola": ola, "det": det, "bal": bal}
+
+
+def dynamic_eq_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    frequency_hz,
+    q_factor,
+    threshold_db,
+    ratio,
+    attack_ms,
+    release_ms,
+    knee_db: float = 6.0,
+    max_cut_db: float = 24.0,
+    frame_size: int = 1024,
+    hop: int = 256,
+    eps: float = 1e-8,
+    state=None,
+    smoother: str = "parallel",
+) -> Tuple[jnp.ndarray, Any]:
+    """One streaming step of the dynamic EQ (offline
+    :func:`dasp_tpu.functional.dynamic_eq`). The concatenated stream
+    equals the offline render delayed by ``frame_size - hop`` samples
+    (WOLA lookahead). Carried state: WOLA input/overlap tails + the
+    per-band ballistics envelopes. Chunk length must be a multiple of
+    ``hop``.
+    """
+    import math as _math
+
+    bs, chs, Tc = x.shape
+    dtype = x.dtype
+    frequency_hz = jnp.asarray(frequency_hz, dtype)
+    if frequency_hz.ndim < 2:
+        frequency_hz = frequency_hz.reshape(bs, -1)
+    nb = frequency_hz.shape[-1]
+    frequency_hz = F._band_param(frequency_hz, bs, nb, dtype)
+    q_factor = F._band_param(q_factor, bs, nb, dtype)
+    threshold_db = F._band_param(threshold_db, bs, nb, dtype)
+    ratio = F._band_param(ratio, bs, nb, dtype)
+    attack_ms = F._band_param(attack_ms, bs, nb, dtype)
+    release_ms = F._band_param(release_ms, bs, nb, dtype)
+
+    if state is None:
+        state = {"xhist": None, "ola": None, "bal": None}
+    n_fft = 2 * frame_size
+    n_bins = frame_size + 1
+    X, xhist = _wola_analyze(x, frame_size, hop, n_fft, state["xhist"])
+    P = jnp.mean(jnp.square(jnp.abs(X)), axis=1)
+
+    band_w = F._dynamic_eq_band_weights(
+        frequency_hz, q_factor, n_bins, sample_rate, frame_size, hop
+    )
+    ln9 = _math.log(9.0)
+    frame_rate = sample_rate / hop
+    alpha_a = jnp.exp(-ln9 / (frame_rate * (attack_ms / 1e3)))[..., None]
+    alpha_r = jnp.exp(-ln9 / (frame_rate * (release_ms / 1e3)))[..., None]
+
+    g, bal = F._dynamic_eq_gain(
+        P, band_w, threshold_db[..., None], ratio[..., None],
+        knee_db, max_cut_db, alpha_a, alpha_r, smoother, eps,
+        y0=state["bal"], return_yf=True,
+    )
+    H = F._dynamic_eq_response(frequency_hz, q_factor, g, n_bins, sample_rate)
+    y, ola = _wola_synthesize(X * H[:, None], hop, state["ola"])
+    return y.astype(dtype), {"xhist": xhist, "ola": ola, "bal": bal}
 
 
 def phaser_stream(

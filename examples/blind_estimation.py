@@ -36,7 +36,8 @@ def main():
                                  "flanger", "tremolo", "noise_gate",
                                  "phaser", "auto_wah", "de_esser", "bitcrusher",
                                  "pitch_shift", "transient_shaper", "exciter",
-                                 "spectral_gate", "ring_modulator"],
+                                 "spectral_gate", "ring_modulator",
+                                 "dynamic_eq"],
                         default="compressor",
                         help="which processor to blind-estimate")
     args = parser.parse_args()
@@ -82,6 +83,8 @@ def main():
         processor = D.SpectralGate(sr)
     elif args.processor == "ring_modulator":
         processor = D.RingModulator(sr)
+    elif args.processor == "dynamic_eq":
+        processor = D.DynamicEQ(sr)
     else:
         processor = D.Compressor(sr, smoother=args.smoother or "fsm")
     net = ParameterNetwork.blind_estimation(processor.num_params)

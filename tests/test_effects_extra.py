@@ -1132,3 +1132,94 @@ class TestRingModulator:
         p = jnp.asarray(np.array([[0.3, 1.0], [0.7, 0.5]], np.float32))
         y = proc.process_normalized(x, p)
         assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+class TestDynamicEQ:
+    BANDS = dict(
+        frequency_hz=np.array([[300.0, 3000.0]], np.float32),
+        q_factor=np.array([[2.0, 2.0]], np.float32),
+        threshold_db=np.array([[-20.0, -20.0]], np.float32),
+        ratio=np.array([[4.0, 4.0]], np.float32),
+        attack_ms=np.array([[5.0, 5.0]], np.float32),
+        release_ms=np.array([[60.0, 60.0]], np.float32),
+    )
+
+    def _two_tone(self, t=32768):
+        n = np.arange(t) / SR
+        loud = 0.5 * np.sin(2 * np.pi * 300.0 * n)
+        quiet = 0.05 * np.sin(2 * np.pi * 3000.0 * n)
+        return jnp.asarray((loud + quiet).astype(np.float32)[None, None, :])
+
+    @staticmethod
+    def _peak_db_change(x, y, f, t):
+        w = np.hanning(t)
+        spec = lambda s: np.abs(np.fft.rfft(s * w))
+        k = int(round(f * t / SR))
+        pk = lambda s: spec(s)[k - 2 : k + 3].max()
+        return 20 * np.log10(pk(y) / pk(x))
+
+    def test_loud_band_cut_by_the_static_curve(self):
+        # 0.5 sine -> band level -9 dB, 11 dB over threshold, ratio 4
+        # with a 6 dB knee: ~ -8.2 dB reduction expected at 300 Hz
+        t = 32768
+        x = self._two_tone(t)
+        kw = {k: jnp.asarray(v) for k, v in self.BANDS.items()}
+        y = np.asarray(jax.jit(lambda x: F.dynamic_eq(x, SR, **kw))(x))
+        d300 = self._peak_db_change(np.asarray(x)[0, 0], y[0, 0], 300.0, t)
+        d3k = self._peak_db_change(np.asarray(x)[0, 0], y[0, 0], 3000.0, t)
+        assert abs(d300 + 8.2) < 1.0, d300      # loud band dipped
+        assert abs(d3k) < 0.3, d3k              # quiet band untouched
+
+    def test_transparent_below_threshold(self):
+        x = _noise(2, 2, 8192, scale=1e-3)  # far below every threshold
+        kw = {k: jnp.asarray(np.tile(v, (2, 1))) for k, v in self.BANDS.items()}
+        y = jax.jit(lambda x: F.dynamic_eq(x, SR, **kw))(x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_grads_flow_to_all_band_params(self):
+        x = self._two_tone(16384)
+        kw0 = {k: jnp.asarray(v) for k, v in self.BANDS.items()}
+        tgt = jax.jit(lambda x: F.dynamic_eq(x, SR, **kw0))(x)
+        names = list(self.BANDS)
+
+        def loss(flat):
+            kw = {k: flat[i].reshape(1, 2) for i, k in enumerate(names)}
+            return jnp.mean((F.dynamic_eq(x, SR, **kw) - tgt) ** 2)
+
+        flat0 = jnp.asarray(np.stack([self.BANDS[k][0] * 0.9 for k in names]))
+        g = jax.jit(jax.grad(loss))(flat0)
+        assert np.isfinite(np.asarray(g)).all()
+        # frequency, q, threshold, ratio all carry signal
+        for i in (0, 1, 2, 3):
+            assert float(jnp.abs(g[i]).sum()) > 0, names[i]
+
+    def test_stream_matches_offline(self):
+        from dasp_tpu import streaming
+
+        t = 16384
+        x = self._two_tone(t)
+        x = jnp.tile(x, (2, 2, 1)) * jnp.asarray([1.0, 0.5])[:, None, None]
+        kw = {k: jnp.asarray(np.tile(v, (2, 1))) for k, v in self.BANDS.items()}
+        offline = jax.jit(lambda x: F.dynamic_eq(x, SR, **kw))(x)
+        step = jax.jit(
+            lambda c, s: streaming.dynamic_eq_stream(c, SR, **kw, state=s)
+        )
+        state = None
+        outs = []
+        for k in range(0, t, 2048):
+            yk, state = step(x[..., k : k + 2048], state)
+            outs.append(yk)
+        y = jnp.concatenate(outs, -1)
+        left = 1024 - 256
+        np.testing.assert_allclose(
+            np.asarray(y)[..., left:], np.asarray(offline)[..., : t - left],
+            atol=5e-5,
+        )
+
+    def test_module_dispatch(self):
+        proc = D.DynamicEQ(int(SR))
+        assert proc.num_params == 18
+        x = _noise(2, 2, 8192)
+        p = jnp.full((2, 18), 0.5, jnp.float32)
+        y = proc.process_normalized(x, p)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
