@@ -197,3 +197,48 @@ def test_checked_wrapper_catches_nan():
     x_bad = x.at[0, 0, 5].set(jnp.nan)
     with pytest.raises(Exception, match="NaN|Inf|nan"):
         safe_gain(x_bad, SR, jnp.array([3.0]))
+
+
+def test_mastering_chain_loss_decreases():
+    """examples/mastering.py at tiny scale: the 5-processor mastering
+    chain (transient shaper -> dynamic EQ -> multiband compressor ->
+    exciter -> limiter) renders, differentiates and improves under one
+    jit."""
+    chain = D.Chain([
+        D.TransientShaper(SR),
+        D.DynamicEQ(SR, num_bands=3),
+        D.MultibandCompressor(SR),
+        D.Exciter(SR),
+        D.Limiter(SR),
+    ])
+    bs, T = 1, 8192
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.repeat(synthetic_batch(rng, bs, T, SR), 2, axis=1))
+    p_true = jnp.asarray(
+        np.clip(0.5 + 0.25 * rng.standard_normal((bs, chain.num_params)), 0.05, 0.95),
+        jnp.float32,
+    )
+    target = jax.jit(
+        lambda x, p: chain.process_normalized(x, p, clip_params=True)
+    )(x, p_true)
+
+    z = jnp.zeros((bs, chain.num_params), jnp.float32)
+    opt = optax.adam(3e-2)
+    opt_state = opt.init(z)
+
+    @jax.jit
+    def step(z, opt_state):
+        def loss_fn(z):
+            y = chain.process_normalized(x, jax.nn.sigmoid(z), clip_params=True)
+            return jnp.mean((y - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(z)
+        u, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(z, u), opt_state, loss
+
+    losses = []
+    for _ in range(25):
+        z, opt_state, loss = step(z, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert min(losses[-5:]) < 0.5 * losses[0], f"{losses[0]} -> {losses[-5:]}"
