@@ -746,7 +746,14 @@ class TestPitchShift:
         np.testing.assert_allclose(np.asarray(ym), np.asarray(yg), atol=2e-4)
 
     def test_grad_flows_to_semitones(self):
-        x = _noise(1, 1, 4096)
+        # own seed: the loss landscape on white noise is flat-with-wiggles
+        # away from the minimum, so the signal must not depend on suite
+        # order (the shared-RNG draw) — and the robust property is the
+        # SHARP minimum at the true shift, not monotonicity of the plateau
+        x = jnp.asarray(
+            np.random.default_rng(11).standard_normal((1, 1, 4096)).astype(np.float32)
+            * 0.1
+        )
         tgt = jax.jit(lambda x: F.pitch_shift(x, SR, _b(4.0), _b(1.0), window_ms=20.0))(x)
 
         def loss(st):
@@ -754,9 +761,8 @@ class TestPitchShift:
 
         g = jax.jit(jax.grad(loss))(_b(2.0))
         assert np.isfinite(np.asarray(g)).all() and abs(float(g[0])) > 1e-9
-        # loss decreases toward the true shift
         l2, l35, l4 = (float(jax.jit(loss)(_b(v))) for v in (2.0, 3.5, 4.0))
-        assert l4 < l35 < l2
+        assert l4 < 0.01 * min(l2, l35), (l2, l35, l4)
 
     def test_traced_sample_rate_raises_clearly(self):
         x = _noise(1, 1, 256)
