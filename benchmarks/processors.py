@@ -159,6 +159,15 @@ def main():
         "spectral_gate": (
             [f(6.0), f(40.0), f(5.0), f(80.0)],
             lambda x, p: D.spectral_gate(x, SR, *p)),
+        "clipper": (
+            [f(-6.0), f(0.5)],
+            lambda x, p: D.clipper(x, SR, *p)),
+        "convolution_reverb": (
+            [f(0.4)],
+            lambda x, p: D.convolution_reverb(
+                x, SR, *p,
+                ir=jnp.asarray(rng.standard_normal((bs, 2, 65536)).astype(np.float32)
+                               * np.exp(-np.arange(65536, dtype=np.float32) / 22050.0)))),
         "reverb": (rev, lambda x, p: D.noise_shaped_reverberation(x, SR, *p, key=key)),
         "reverb_freq_noise": (
             rev,

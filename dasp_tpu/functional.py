@@ -70,6 +70,8 @@ __all__ = [
     "exciter_sos",
     "spectral_gate",
     "spectral_noise_profile",
+    "clipper",
+    "convolution_reverb",
     "noise_shaped_reverberation",
     "noise_shaped_ir",
     "spectral_band_noise",
@@ -2717,3 +2719,90 @@ def _dynamic_eq_response(frequency_hz, q_factor, g, n_bins: int, sample_rate: fl
         g, n_bins, sample_rate, "peaking",
     )  # (bs, n_bands, n_frames, n_bins)
     return jnp.prod(Hb, axis=1)
+
+
+@_scoped("dasp.clipper")
+def clipper(
+    x: jnp.ndarray,
+    sample_rate: float,
+    threshold_db,
+    hardness,
+) -> jnp.ndarray:
+    """Clipper with a learnable ceiling and hard/soft blend.
+
+    ``y = (1-h) * c * tanh(x/c) + h * clip(x, -c, c)`` with ceiling
+    ``c = 10^(threshold_db/20)``: ``hardness=0`` is a smooth tanh
+    saturator normalized to the ceiling, ``hardness=1`` a true hard
+    clipper (zero gradient outside the ceiling rides the tanh branch
+    whenever ``hardness < 1``, so intermediate settings stay trainable).
+    Distinct from :func:`distortion` (fixed unit ceiling, drive-scaled):
+    here the CEILING is the parameter, the mastering "shave the peaks"
+    tool. Not in the reference.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (unused; signature uniformity).
+        threshold_db: clip ceiling in dB (<= 0 typical), shape (bs,).
+        hardness: hard/soft blend on [0, 1], shape (bs,).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    threshold_db = _param(threshold_db, bs, dtype)
+    hardness = _param(hardness, bs, dtype)
+
+    c = db_to_linear(threshold_db)
+    soft = c * jnp.tanh(x / c)
+    hard = jnp.clip(x, -c, c)
+    return ((1.0 - hardness) * soft + hardness * hard).astype(dtype)
+
+
+@_scoped("dasp.convolution_reverb")
+def convolution_reverb(
+    x: jnp.ndarray,
+    sample_rate: float,
+    mix,
+    ir: jnp.ndarray,
+    block: Optional[int] = None,
+) -> jnp.ndarray:
+    """Convolution reverb with a USER impulse response.
+
+    The companion to :func:`noise_shaped_reverberation` (which
+    synthesizes its IR from 25 parameters): here the IR is measured or
+    learned audio passed in directly — gradients flow to ``x``, ``mix``
+    AND the IR itself, so the IR can be a trainable tensor (a
+    65536-tap free-form reverb model). Mono IRs apply to every channel;
+    an (bs, chs, K) IR convolves per channel. The convolution runs as
+    one batched rFFT product (`ops.fir.fft_conv_causal`) or bounded
+    overlap-save blocks (``block=`` — O(block + K) memory for very long
+    audio, `ops.fir.ola_conv_causal`). Not in the reference (its only
+    reverb is the filtered-noise design, functional.py:406-496).
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (unused; signature uniformity).
+        mix: dry/wet mix on [0, 1], shape (bs,).
+        ir: impulse response, shape (K,), (bs, K), or (bs, chs, K).
+        block: optional overlap-save block length (static).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    from .ops.fir import fft_conv_causal, ola_conv_causal
+
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    mix = _param(mix, bs, dtype)
+    ir = jnp.asarray(ir, dtype)
+    if ir.ndim == 1:
+        ir = ir[None, None, :]
+    elif ir.ndim == 2:
+        ir = ir[:, None, :]
+
+    if block is None:
+        wet = fft_conv_causal(x, ir)
+    else:
+        wet = ola_conv_causal(x, ir, block=block)
+    return ((1.0 - mix) * x + mix * wet).astype(dtype)

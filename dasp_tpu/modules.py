@@ -53,6 +53,8 @@ __all__ = [
     "TransientShaper",
     "Exciter",
     "SpectralGate",
+    "Clipper",
+    "ConvolutionReverb",
     "NoiseShapedReverb",
     "StereoWidener",
     "StereoPanner",
@@ -99,6 +101,9 @@ class Processor:
     param_ranges: Dict[str, Tuple[float, float]]
     # True for processors whose functional form consumes a PRNG key.
     stochastic: bool = False
+    # names of side-input kwargs (e.g. "sidechain", "ir") this processor
+    # needs; Chain.process_normalized forwards exactly these to it
+    consumes_kwargs: Tuple[str, ...] = ()
 
     def __init__(self):
         pass
@@ -220,8 +225,10 @@ class Chain(Processor):
         **kwargs,
     ) -> jnp.ndarray:
         """Extra ``**kwargs`` (e.g. ``noise=`` for deterministic reverb
-        injection) are forwarded to the STOCHASTIC processors only — the
-        deterministic members never see them."""
+        injection) are forwarded to the STOCHASTIC processors; named
+        side inputs (``sidechain=``, ``ir=``, ``noise_profile_db=``) are
+        forwarded exactly to the members declaring them in
+        ``consumes_kwargs``. Other members never see them."""
         if param_tensor.shape[1] != self.num_params:
             raise ValueError(
                 f"Parameter tensor has {param_tensor.shape[1]} parameters, "
@@ -241,6 +248,10 @@ class Chain(Processor):
                 kw.update(kwargs)
                 if key is not None:
                     kw["key"] = jax.random.fold_in(key, i)
+            else:
+                for name in p.consumes_kwargs:
+                    if name in kwargs:
+                        kw[name] = kwargs[name]
             y = p.process_normalized(y, cols, clip_params=clip_params, **kw)
         return y
 
@@ -444,6 +455,8 @@ class SidechainCompressor(Processor):
     pass it through ``process_normalized(x, p, sidechain=key_audio)``,
     the same forwarding contract as the reverb's ``key=``."""
 
+    consumes_kwargs = ("sidechain",)
+
     def __init__(
         self,
         sample_rate: int,
@@ -642,6 +655,8 @@ class SpectralGate(Processor):
     static constructor settings (pass ``noise_profile_db=`` through
     ``process_normalized`` kwargs for a measured floor)."""
 
+    consumes_kwargs = ("noise_profile_db",)
+
     def __init__(
         self,
         sample_rate: int,
@@ -672,6 +687,50 @@ class SpectralGate(Processor):
             "attack_ms": (min_attack_ms, max_attack_ms),
             "release_ms": (min_release_ms, max_release_ms),
         }
+
+
+class Clipper(Processor):
+    """Hard/soft clipper with a learnable ceiling (functional.clipper)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_threshold_db: float = -24.0,
+        max_threshold_db: float = 0.0,
+        min_hardness: float = 0.0,
+        max_hardness: float = 1.0,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = F.clipper
+        self.param_ranges = {
+            "threshold_db": (min_threshold_db, max_threshold_db),
+            "hardness": (min_hardness, max_hardness),
+        }
+
+
+class ConvolutionReverb(Processor):
+    """User-IR convolution reverb (functional.convolution_reverb).
+
+    ``mix`` is the learnable parameter; pass the impulse response
+    through ``process_normalized(..., ir=...)`` kwargs (it may itself
+    be a trainable tensor — gradients flow into it)."""
+
+    consumes_kwargs = ("ir",)
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_mix: float = 0.0,
+        max_mix: float = 1.0,
+        block: Optional[int] = None,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.convolution_reverb(
+            x, *a, **{"block": block, **kw}
+        )
+        self.param_ranges = {"mix": (min_mix, max_mix)}
 
 
 class NoiseShapedReverb(Processor):

@@ -62,6 +62,8 @@ __all__ = [
     "limiter_stream",
     "reverb_stream_init",
     "reverb_stream",
+    "convolution_reverb_stream_init",
+    "convolution_reverb_stream",
     "delay_stream",
     "modulated_delay_stream",
     "pitch_shift_stream",
@@ -565,6 +567,15 @@ def reverb_stream(
     """
     if x.shape[1] == 1:
         x = jnp.tile(x, (1, 2, 1))
+    return _conv_stream_step(x, state)
+
+
+def _conv_stream_step(
+    x: jnp.ndarray, state: Dict[str, Any]
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Shared overlap-save convolution step (reverb_stream /
+    convolution_reverb_stream): dry/wet mix of ``x`` against the
+    carried-history convolution with the precomputed IR spectrum."""
     hist = state["hist"]
     K = state["ir"].shape[-1]
     seg = jnp.concatenate([hist, x], axis=-1)
@@ -581,6 +592,52 @@ def reverb_stream(
     new_hist = seg[..., seg.shape[-1] - (K - 1):]
     y = (1.0 - state["mix"]) * x + state["mix"] * wet
     return y, {**state, "hist": new_hist}
+
+
+def convolution_reverb_stream_init(
+    ir: jnp.ndarray,
+    mix,
+    bs: int,
+    chs: int,
+    chunk_len: Optional[int] = None,
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """Start a user-IR convolution reverb stream (offline counterpart
+    :func:`dasp_tpu.functional.convolution_reverb`): transform the IR
+    once and allocate the convolution history.
+
+    Args:
+        ir: impulse response, shape (K,), (bs, K) or (bs, chs, K).
+        mix: dry/wet mix on [0, 1], shape (bs,) or scalar.
+        bs / chs: the stream's chunk batch/channel shape.
+        chunk_len: expected per-step chunk length (sizes the
+            overlap-save FFT; default supports any chunk up to ~K).
+
+    Returns:
+        Opaque state dict for :func:`convolution_reverb_stream`.
+    """
+    ir = jnp.asarray(ir, dtype)
+    if ir.ndim == 1:
+        ir = ir[None, None, :]
+    elif ir.ndim == 2:
+        ir = ir[:, None, :]
+    K = ir.shape[-1]
+    n_fft = next_pow2(K - 1 + (chunk_len or K))
+    return {
+        "ir": ir,
+        "ir_rfft": jnp.fft.rfft(ir, n_fft, axis=-1),
+        "hist": jnp.zeros((bs, chs, K - 1), dtype),
+        "mix": F._param(mix, bs, dtype),
+    }
+
+
+def convolution_reverb_stream(
+    x: jnp.ndarray, state: Dict[str, Any]
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """One streaming step of the user-IR convolution reverb. Unlike
+    :func:`reverb_stream` the channel layout is the caller's (no
+    mono-to-stereo duplication)."""
+    return _conv_stream_step(x, state)
 
 
 def limiter_stream(

@@ -37,7 +37,7 @@ def main():
                                  "phaser", "auto_wah", "de_esser", "bitcrusher",
                                  "pitch_shift", "transient_shaper", "exciter",
                                  "spectral_gate", "ring_modulator",
-                                 "dynamic_eq"],
+                                 "dynamic_eq", "clipper"],
                         default="compressor",
                         help="which processor to blind-estimate")
     args = parser.parse_args()
@@ -85,6 +85,8 @@ def main():
         processor = D.RingModulator(sr)
     elif args.processor == "dynamic_eq":
         processor = D.DynamicEQ(sr)
+    elif args.processor == "clipper":
+        processor = D.Clipper(sr)
     else:
         processor = D.Compressor(sr, smoother=args.smoother or "fsm")
     net = ParameterNetwork.blind_estimation(processor.num_params)

@@ -1229,3 +1229,150 @@ class TestDynamicEQ:
         p = jnp.full((2, 18), 0.5, jnp.float32)
         y = proc.process_normalized(x, p)
         assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+class TestClipper:
+    def test_hard_clip_enforces_ceiling(self):
+        x = _noise(1, 1, 4096, scale=1.0)
+        y = np.asarray(jax.jit(F.clipper)(x, SR, _b(-6.0), _b(1.0)))
+        c = 10 ** (-6.0 / 20.0)
+        assert np.abs(y).max() <= c + 1e-6
+        # below the ceiling the hard clipper is the identity
+        inside = np.abs(np.asarray(x)) < c
+        np.testing.assert_allclose(y[inside], np.asarray(x)[inside], atol=1e-7)
+
+    def test_soft_clip_is_scaled_tanh(self):
+        x = _noise(1, 1, 2048, scale=0.5)
+        y = np.asarray(jax.jit(F.clipper)(x, SR, _b(-12.0), _b(0.0)))
+        c = 10 ** (-12.0 / 20.0)
+        np.testing.assert_allclose(y, c * np.tanh(np.asarray(x) / c), atol=1e-6)
+
+    def test_grads_flow_to_both_params(self):
+        x = _noise(1, 1, 4096, scale=0.6)
+        tgt = jax.jit(F.clipper)(x, SR, _b(-9.0), _b(0.7))
+
+        def loss(p):
+            return jnp.mean((F.clipper(x, SR, p[0:1], p[1:2]) - tgt) ** 2)
+
+        g = jax.jit(jax.grad(loss))(jnp.asarray([-3.0, 0.2], jnp.float32))
+        assert np.isfinite(np.asarray(g)).all()
+        assert all(abs(float(v)) > 1e-9 for v in g)
+
+    def test_module_dispatch(self):
+        proc = D.Clipper(int(SR))
+        x = _noise(2, 2, 2048, scale=0.8)
+        p = jnp.asarray(np.array([[0.5, 1.0], [0.2, 0.0]], np.float32))
+        y = proc.process_normalized(x, p)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+class TestConvolutionReverb:
+    def test_identity_ir_with_full_mix_is_identity(self):
+        x = _noise(2, 2, 4096)
+        ir = np.zeros(64, np.float32)
+        ir[0] = 1.0
+        y = jax.jit(lambda x: F.convolution_reverb(x, SR, _b(1.0, 2), ir=jnp.asarray(ir)))(x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+    def test_matches_reference_convolution(self):
+        x = _noise(1, 1, 2048)
+        ir = RNG.standard_normal(256).astype(np.float32) * 0.1
+        y = np.asarray(
+            jax.jit(lambda x: F.convolution_reverb(x, SR, _b(1.0), ir=jnp.asarray(ir)))(x)
+        )[0, 0]
+        ref = np.convolve(np.asarray(x)[0, 0], ir)[:2048]
+        np.testing.assert_allclose(y, ref, atol=1e-4)
+
+    def test_ola_block_path_matches(self):
+        x = _noise(1, 2, 8192)
+        ir = (RNG.standard_normal(512) * np.exp(-np.arange(512) / 128.0)).astype(np.float32)
+        a = jax.jit(lambda x: F.convolution_reverb(x, SR, _b(0.7), ir=jnp.asarray(ir)))(x)
+        b = jax.jit(
+            lambda x: F.convolution_reverb(x, SR, _b(0.7), ir=jnp.asarray(ir), block=1024)
+        )(x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_ir_itself_is_trainable(self):
+        x = _noise(1, 1, 4096)
+        true_ir = jnp.asarray(
+            (RNG.standard_normal(128) * np.exp(-np.arange(128) / 32.0)).astype(np.float32) * 0.3
+        )
+        tgt = jax.jit(lambda x: F.convolution_reverb(x, SR, _b(1.0), ir=true_ir))(x)
+
+        def loss(ir):
+            return jnp.mean((F.convolution_reverb(x, SR, _b(1.0), ir=ir) - tgt) ** 2)
+
+        import optax
+
+        ir = jnp.zeros(128, jnp.float32)
+        opt = optax.adam(0.02)
+        st = opt.init(ir)
+        step = jax.jit(
+            lambda ir, st: (lambda lg: (
+                optax.apply_updates(ir, opt.update(lg[1], st)[0]),
+                opt.update(lg[1], st)[1], lg[0],
+            ))(jax.value_and_grad(loss)(ir))
+        )
+        l0 = float(loss(ir))
+        for _ in range(150):
+            ir, st, l = step(ir, st)
+        assert float(l) < 0.01 * l0, (l0, float(l))
+
+    def test_stream_matches_offline(self):
+        from dasp_tpu import streaming
+
+        bs, chs, t = 2, 2, 8192
+        x = _noise(bs, chs, t)
+        ir = jnp.asarray(
+            (RNG.standard_normal((bs, chs, 700)) * 0.1).astype(np.float32)
+        )
+        mix = _b(0.6, 2)
+        off = jax.jit(lambda x: F.convolution_reverb(x, SR, mix, ir=ir))(x)
+        state0 = streaming.convolution_reverb_stream_init(ir, mix, bs, chs, chunk_len=1024)
+        step = jax.jit(streaming.convolution_reverb_stream)
+        state = state0
+        outs = []
+        for k in range(0, t, 1024):
+            yk, state = step(x[..., k : k + 1024], state)
+            outs.append(yk)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(outs, -1)), np.asarray(off), atol=2e-5
+        )
+
+    def test_module_dispatch_requires_ir(self):
+        proc = D.ConvolutionReverb(int(SR))
+        x = _noise(2, 2, 2048)
+        ir = jnp.asarray(RNG.standard_normal(128).astype(np.float32) * 0.1)
+        p = jnp.full((2, 1), 0.5, jnp.float32)
+        y = proc.process_normalized(x, p, ir=ir)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+        with pytest.raises(TypeError):
+            proc.process_normalized(x, p)  # no ir
+
+
+class TestChainSideInputs:
+    def test_chain_forwards_declared_side_inputs_only(self):
+        # ir reaches ConvolutionReverb inside a Chain; Gain never sees it
+        sr = int(SR)
+        chain = D.Chain([D.Gain(sr), D.ConvolutionReverb(sr)])
+        x = _noise(2, 2, 2048)
+        ir = jnp.asarray(RNG.standard_normal(64).astype(np.float32) * 0.1)
+        p = jnp.full((2, chain.num_params), 0.5, jnp.float32)
+        y = jax.jit(
+            lambda x, p: chain.process_normalized(x, p, clip_params=True, ir=ir)
+        )(x, p)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+    def test_sidechain_reaches_ducker_in_chain(self):
+        sr = int(SR)
+        chain = D.Chain([D.SidechainCompressor(sr), D.Gain(sr)])
+        x = _noise(1, 2, 4096)
+        key_sig = _noise(1, 1, 4096, scale=0.5)
+        p = jnp.full((1, chain.num_params), 0.5, jnp.float32)
+        y = chain.process_normalized(x, p, clip_params=True, sidechain=key_sig)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+        # a hot key must duck harder than a silent one
+        y_quiet = chain.process_normalized(
+            x, p, clip_params=True, sidechain=key_sig * 1e-6
+        )
+        assert float(jnp.mean(y**2)) < float(jnp.mean(y_quiet**2))
