@@ -188,6 +188,10 @@ def main():
         "pitch_shift_gather": (
             [f(4.0), f(1.0)],
             lambda x, p: D.pitch_shift(x, SR, *p, matmul=False)),
+        "pitch_shift_pv": (
+            [f(0.0)],  # dummy (the PV shift is static); p keeps the
+                       # timing harness's grad path alive
+            lambda x, p: D.pitch_shift_pv(x + 0.0 * p[0].reshape(-1, 1, 1), SR, 4.0)),
         "tremolo": ([f(4.0), f(0.8)], lambda x, p: D.tremolo(x, SR, *p)),
         "ring_modulator": (
             [f(440.0), f(0.8)],

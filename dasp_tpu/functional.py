@@ -81,7 +81,9 @@ __all__ = [
     "delay",
     "modulated_delay",
     "pitch_shift",
+    "pitch_shift_pv",
     "pitch_shift_window_samples",
+    "time_stretch",
     "tremolo",
     "ring_modulator",
     "phaser",
@@ -2806,3 +2808,128 @@ def convolution_reverb(
     else:
         wet = ola_conv_causal(x, ir, block=block)
     return ((1.0 - mix) * x + mix * wet).astype(dtype)
+
+
+@_scoped("dasp.time_stretch")
+def time_stretch(
+    x: jnp.ndarray,
+    sample_rate: float,
+    rate: float,
+    frame_size: int = 2048,
+    hop: int = 512,
+) -> jnp.ndarray:
+    """Phase-vocoder time stretch: change duration without changing pitch.
+
+    The classic PV recipe, TPU-native end to end: ONE batched analysis
+    STFT (`ops.tv_filter.tv_stft` — gather-free framing), magnitudes
+    linearly interpolated at fractional frame positions ``j * rate``
+    (static indices — ``rate`` is a static float, so the "gathers" are
+    constant-index slices), phases propagated by the standard
+    instantaneous-frequency estimate
+
+        ``phi_out[j+1] = phi_out[j] + dphi_expected
+                         + princarg(phi[t+1] - phi[t] - dphi_expected)``
+
+    evaluated as ONE ``cumsum`` over output frames (phase accumulation
+    is a prefix sum — no sequential scan), and ONE synthesis iSTFT at
+    the same hop. ``rate > 1`` speeds up (shorter output), ``rate < 1``
+    slows down. Gradients flow to ``x`` through magnitude and phase.
+    The reference framework has no time-scale modification
+    (dasp_pytorch/functional.py declares none).
+
+    Known PV artifacts apply (transient smearing, slight phasiness);
+    within a frame the result is the textbook phase vocoder, not a
+    transient-preserving variant.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (unused; signature uniformity).
+        rate: stretch factor (static Python float > 0).
+        frame_size: analysis frame (static; n_fft = 2*frame_size).
+        hop: frame hop (static; frame_size must be a multiple of 2*hop).
+
+    Returns:
+        Output audio, shape (bs, chs, round(seq_len / rate)).
+    """
+    from .ops.tv_filter import tv_frame_count, tv_istft, tv_stft
+
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    rate = float(rate)
+    if rate <= 0.0:
+        raise ValueError(f"rate must be > 0, got {rate}")
+
+    n_fft = 2 * frame_size
+    n_bins = frame_size + 1
+    X = tv_stft(x, frame_size, hop, n_fft)  # (bs, chs, n_frames, n_bins)
+    n_frames = X.shape[2]
+
+    out_len = int(round(seq_len / rate))
+    n_out = tv_frame_count(out_len, frame_size, hop)
+
+    # static fractional analysis positions for each output frame
+    tau = np.arange(n_out, dtype=np.float64) * rate
+    i0 = np.clip(np.floor(tau).astype(np.int64), 0, n_frames - 1)
+    i1 = np.minimum(i0 + 1, n_frames - 1)
+    frac = jnp.asarray((tau - np.floor(tau)).astype(np.float32))[:, None]
+
+    X0 = jnp.take(X, jnp.asarray(i0), axis=2)  # constant-index gathers
+    X1 = jnp.take(X, jnp.asarray(i1), axis=2)
+    mag = (1.0 - frac) * jnp.abs(X0) + frac * jnp.abs(X1)
+
+    # phase advance between consecutive ANALYSIS frames at each output
+    # position, deviation-corrected around the bin's expected advance
+    w_bin = np.float32(2.0 * np.pi) * np.arange(n_bins, dtype=np.float32) \
+        * np.float32(hop / n_fft)  # expected per-hop advance (rad)
+    dphi = jnp.angle(X1 * jnp.conj(X0) * jnp.asarray(
+        np.exp(-1j * w_bin).astype(np.complex64)))  # princarg(dphi - expected)
+    inc = w_bin + dphi  # true per-hop advance at each output position
+    # accumulate: phi[j] = angle(X0[0]) + sum_{k<j} inc[k]
+    phase = jnp.angle(X0[:, :, :1]) + jnp.concatenate(
+        [jnp.zeros_like(inc[:, :, :1]), jnp.cumsum(inc[:, :, :-1], axis=2)],
+        axis=2,
+    )
+    Y = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    y = tv_istft(Y, out_len, frame_size, hop)
+    return y.astype(dtype)
+
+
+@_scoped("dasp.pitch_shift_pv")
+def pitch_shift_pv(
+    x: jnp.ndarray,
+    sample_rate: float,
+    semitones: float,
+    frame_size: int = 2048,
+    hop: int = 512,
+) -> jnp.ndarray:
+    """Phase-vocoder pitch shifter: STATIC shift, higher fidelity.
+
+    :func:`time_stretch` by ``r = 2^(semitones/12)`` followed by linear
+    resampling back to the original length — the standard PV
+    pitch-shift. Complements :func:`pitch_shift` (the dual-tap
+    delay-line design): that one has a DIFFERENTIABLE, learnable shift
+    amount but periodic crossfade artifacts; this one requires a static
+    ``semitones`` (it sets output shapes) but avoids the crossfade comb
+    entirely. Gradients flow to ``x``.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (unused; signature uniformity).
+        semitones: pitch shift in semitones (static Python float).
+        frame_size / hop: PV analysis layout (static).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    r = 2.0 ** (float(semitones) / 12.0)
+    stretched = time_stretch(x, sample_rate, 1.0 / r, frame_size, hop)
+
+    # linear resample back to seq_len at static positions
+    ts = np.arange(seq_len, dtype=np.float64) * (stretched.shape[-1] - 1) / max(seq_len - 1, 1)
+    j0 = np.clip(np.floor(ts).astype(np.int64), 0, stretched.shape[-1] - 1)
+    j1 = np.minimum(j0 + 1, stretched.shape[-1] - 1)
+    fr = jnp.asarray((ts - np.floor(ts)).astype(np.float32))
+    s0 = jnp.take(stretched, jnp.asarray(j0), axis=-1)
+    s1 = jnp.take(stretched, jnp.asarray(j1), axis=-1)
+    return ((1.0 - fr) * s0 + fr * s1).astype(x.dtype)

@@ -1376,3 +1376,59 @@ class TestChainSideInputs:
             x, p, clip_params=True, sidechain=key_sig * 1e-6
         )
         assert float(jnp.mean(y**2)) < float(jnp.mean(y_quiet**2))
+
+
+class TestPhaseVocoder:
+    def test_stretch_changes_length_not_pitch(self):
+        t = 65536
+        f0 = 440.0
+        n = np.arange(t) / SR
+        x = jnp.asarray(
+            (0.5 * np.sin(2 * np.pi * f0 * n)).astype(np.float32)[None, None, :]
+        )
+        for rate in (0.5, 2.0):
+            y = np.asarray(
+                jax.jit(lambda x: F.time_stretch(x, SR, rate))(x)
+            )[0, 0]
+            assert abs(len(y) - round(t / rate)) <= 1
+            seg = y[len(y) // 4 : len(y) // 4 + 16384] * np.hanning(16384)
+            spec = np.abs(np.fft.rfft(seg))
+            f_peak = spec.argmax() * SR / 16384
+            assert abs(f_peak - f0) < 5.0, (rate, f_peak)
+
+    def test_unity_rate_roundtrips(self):
+        x = _noise(1, 2, 16384)
+        y = np.asarray(jax.jit(lambda x: F.time_stretch(x, SR, 1.0))(x))
+        # rate 1: integer frame positions, zero phase correction — the
+        # PV reduces to stft->istft through reconstructed phases
+        # (angle -> cumsum -> cos/sin), so fp32 accuracy is ~1e-3 of the
+        # signal scale away from edges
+        np.testing.assert_allclose(
+            y[..., 2048:-2048], np.asarray(x)[..., 2048:-2048], atol=2e-3
+        )
+
+    def test_pv_pitch_shift_moves_the_tone(self):
+        t = 65536
+        f0 = 440.0
+        n = np.arange(t) / SR
+        x = jnp.asarray(
+            (0.5 * np.sin(2 * np.pi * f0 * n)).astype(np.float32)[None, None, :]
+        )
+        for st in (4.0, -7.0):
+            y = np.asarray(
+                jax.jit(lambda x: F.pitch_shift_pv(x, SR, st))(x)
+            )[0, 0]
+            assert len(y) == t
+            seg = y[16384 : 16384 + 16384] * np.hanning(16384)
+            spec = np.abs(np.fft.rfft(seg))
+            f_peak = spec.argmax() * SR / 16384
+            want = f0 * 2.0 ** (st / 12.0)
+            assert abs(f_peak - want) < 8.0, (st, f_peak, want)
+
+    def test_grad_flows_to_audio(self):
+        x = _noise(1, 1, 8192)
+        g = jax.jit(jax.grad(
+            lambda x: jnp.mean(F.time_stretch(x, SR, 1.3) ** 2)
+        ))(x)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
