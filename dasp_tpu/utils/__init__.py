@@ -10,6 +10,7 @@ from .loss import (
     stft_magnitude,
 )
 from .audio import index_wav_dataset, load_clip, load_wav, save_wav, synthetic_batch
+from .loudness import integrated_loudness, k_weighting_sos, loudness_normalize
 from .logging import MetricsLogger, load_checkpoint, save_checkpoint
 from .debug import assert_finite, assert_normalized, checked
 from .pipeline import device_prefetch, threaded_iterator
@@ -27,6 +28,9 @@ __all__ = [
     "load_wav",
     "save_wav",
     "synthetic_batch",
+    "integrated_loudness",
+    "k_weighting_sos",
+    "loudness_normalize",
     "MetricsLogger",
     "load_checkpoint",
     "save_checkpoint",

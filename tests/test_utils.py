@@ -261,3 +261,85 @@ class TestDebug:
         x = jnp.ones((1, 1, 16)).at[0, 0, 3].set(jnp.nan)
         with pytest.raises(Exception, match="NaN"):
             safe(x, 44100)
+
+
+class TestLoudness:
+    SR = 48000.0
+
+    def _sine(self, freq, amp=1.0, t=None, chs=1):
+        t = t or int(self.SR * 2)
+        n = np.arange(t) / self.SR
+        s = (amp * np.sin(2 * np.pi * freq * n)).astype(np.float32)
+        return jnp.asarray(np.broadcast_to(s, (1, chs, t)).copy())
+
+    def test_997hz_full_scale_calibration(self):
+        from dasp_tpu.utils import integrated_loudness
+
+        # BS.1770 calibration: 0 dBFS 997 Hz sine reads -3.01 LUFS
+        x = self._sine(997.0)
+        lufs = float(jax.jit(
+            lambda x: integrated_loudness(x, self.SR)
+        )(x)[0])
+        assert abs(lufs - (-3.01)) < 0.1, lufs
+
+    def test_gain_linearity(self):
+        from dasp_tpu.utils import integrated_loudness
+
+        x = self._sine(997.0, amp=0.5)
+        f = jax.jit(lambda x: integrated_loudness(x, self.SR))
+        l1 = float(f(x)[0])
+        l2 = float(f(x * 0.1)[0])
+        assert abs((l1 - l2) - 20.0) < 0.05, (l1, l2)
+
+    def test_silence_gated_out(self):
+        from dasp_tpu.utils import integrated_loudness
+
+        # a long program followed by equal silence: the -70 LUFS gate
+        # drops the silent blocks (boundary-straddling blocks shift the
+        # reading slightly — inherent BS.1770 behavior, bounded here)
+        x = self._sine(997.0, amp=0.25, t=int(self.SR * 8))
+        x_padded = jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
+        f = lambda x: integrated_loudness(x, self.SR)
+        l1 = float(jax.jit(f)(x)[0])
+        l2 = float(jax.jit(f)(x_padded)[0])
+        assert abs(l1 - l2) < 0.2, (l1, l2)
+
+    def test_k_weighting_rolls_off_lows(self):
+        from dasp_tpu.utils import integrated_loudness
+
+        # the K curve is gentle: ~-7 dB at 25 Hz relative to 1 kHz
+        f = jax.jit(lambda x: integrated_loudness(x, self.SR))
+        l_mid = float(f(self._sine(997.0, amp=0.5))[0])
+        l_low = float(f(self._sine(25.0, amp=0.5))[0])
+        assert l_mid - l_low > 5.0, (l_mid, l_low)
+
+    def test_stereo_sums_channel_energy(self):
+        from dasp_tpu.utils import integrated_loudness
+
+        f = jax.jit(lambda x: integrated_loudness(x, self.SR))
+        mono = self._sine(997.0, amp=0.5, chs=1)
+        stereo = self._sine(997.0, amp=0.5, chs=2)
+        # two identical channels double the weighted energy: +3.01 LU
+        d = float(f(stereo)[0]) - float(f(mono)[0])
+        assert abs(d - 3.01) < 0.05, d
+
+    def test_normalize_hits_target(self):
+        from dasp_tpu.utils import integrated_loudness, loudness_normalize
+
+        x = self._sine(997.0, amp=0.3) + self._sine(3000.0, amp=0.1)
+        y = jax.jit(
+            lambda x: loudness_normalize(x, self.SR, -14.0)
+        )(x)
+        lufs = float(jax.jit(lambda y: integrated_loudness(y, self.SR))(y)[0])
+        assert abs(lufs - (-14.0)) < 0.1, lufs
+
+    def test_differentiable_loudness_objective(self):
+        from dasp_tpu.utils import integrated_loudness
+
+        x = self._sine(997.0, amp=0.1, t=48000)
+
+        def loss(g):
+            return (integrated_loudness(g * x, self.SR)[0] + 14.0) ** 2
+
+        g = jax.jit(jax.grad(loss))(jnp.asarray(1.0))
+        assert np.isfinite(float(g)) and abs(float(g)) > 1e-6
