@@ -173,6 +173,12 @@ def main():
             rev,
             lambda x, p: D.noise_shaped_reverberation(x, SR, *p, key=key, noise_mode="frequency")),
         "stereo_widener": ([f(0.7)], lambda x, p: D.stereo_widener(x, SR, *p)),
+        "stereo_imager": (
+            [f(250.0), f(2500.0), f(0.2), f(0.5), f(0.8)],
+            lambda x, p: D.stereo_imager(x, SR, *p)),
+        "wow_flutter": (
+            [f(0.8), f(0.2), f(0.8), f(8.0)],
+            lambda x, p: D.wow_flutter(x, SR, *p, key=key)),
         "delay": (
             [f(120.0), f(0.5), f(0.5)],
             lambda x, p: D.delay(x, SR, *p)),

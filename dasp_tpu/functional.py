@@ -77,6 +77,7 @@ __all__ = [
     "spectral_band_noise",
     "static_gain_computer",
     "stereo_widener",
+    "stereo_imager",
     "stereo_panner",
     "delay",
     "modulated_delay",
@@ -86,6 +87,7 @@ __all__ = [
     "time_stretch",
     "tremolo",
     "ring_modulator",
+    "wow_flutter",
     "phaser",
     "auto_wah",
     "limiter",
@@ -2485,29 +2487,9 @@ def multiband_compressor(
     """
     bs, chs, seq_len = x.shape
     dtype = x.dtype
-    f_lo = _param(crossover_low_hz, bs, dtype).reshape(bs)
-    f_hi = jnp.maximum(
-        _param(crossover_high_hz, bs, dtype).reshape(bs), 1.01 * f_lo
+    low, mid, high = _lr4_three_band_split(
+        x, crossover_low_hz, crossover_high_hz, sample_rate, filter_method
     )
-
-    sos_lp_lo, sos_hp_lo = lr4_crossover_sos(f_lo, sample_rate, bs, dtype)
-    sos_lp_hi, sos_hp_hi = lr4_crossover_sos(f_hi, sample_rate, bs, dtype)
-    # stage 1: both legs of the f_lo split read the same input — one
-    # batched sosfilt call over a doubled batch axis
-    low_pre, rest = _apply_sos_batched(
-        [sos_lp_lo, sos_hp_lo], [x, x], filter_method
-    )
-    # stage 2: mid/high from `rest` plus the low band's phase
-    # compensation — the high crossover's LR4 allpass (LP + HP of the
-    # same LR4 sum to allpass), keeping all three bands aligned so they
-    # sum flat when uncompressed. All four legs are independent filters
-    # at f_hi, so they run as ONE 4x-batched sosfilt call.
-    mid, high, lo_lp, lo_hp = _apply_sos_batched(
-        [sos_lp_hi, sos_hp_hi, sos_lp_hi, sos_hp_hi],
-        [rest, rest, low_pre, low_pre],
-        filter_method,
-    )
-    low = lo_lp + lo_hp
 
     def cat(*ps):
         return jnp.concatenate([_param(p, bs, dtype).reshape(bs) for p in ps], axis=0)
@@ -2526,6 +2508,97 @@ def multiband_compressor(
         smoother=smoother,
     )
     return y[:bs] + y[bs : 2 * bs] + y[2 * bs :]
+
+
+def _lr4_three_band_split(x, crossover_low_hz, crossover_high_hz,
+                          sample_rate, filter_method):
+    """Phase-compensated LR4 three-band split shared by
+    :func:`multiband_compressor` and :func:`stereo_imager`.
+
+    Returns (low, mid, high), each shaped like x; with no further
+    processing the three sum flat to < 0.1 dB. ``crossover_high_hz`` is
+    softly floored at ``1.01 * crossover_low_hz``.
+    """
+    bs = x.shape[0]
+    dtype = x.dtype
+    f_lo = _param(crossover_low_hz, bs, dtype).reshape(bs)
+    f_hi = jnp.maximum(
+        _param(crossover_high_hz, bs, dtype).reshape(bs), 1.01 * f_lo
+    )
+
+    sos_lp_lo, sos_hp_lo = lr4_crossover_sos(f_lo, sample_rate, bs, dtype)
+    sos_lp_hi, sos_hp_hi = lr4_crossover_sos(f_hi, sample_rate, bs, dtype)
+    # stage 1: both legs of the f_lo split read the same input — one
+    # batched sosfilt call over a doubled batch axis
+    low_pre, rest = _apply_sos_batched(
+        [sos_lp_lo, sos_hp_lo], [x, x], filter_method
+    )
+    # stage 2: mid/high from `rest` plus the low band's phase
+    # compensation — the high crossover's LR4 allpass (LP + HP of the
+    # same LR4 sum to allpass), keeping all three bands aligned so they
+    # sum flat when unprocessed. All four legs are independent filters
+    # at f_hi, so they run as ONE 4x-batched sosfilt call.
+    mid, high, lo_lp, lo_hp = _apply_sos_batched(
+        [sos_lp_hi, sos_hp_hi, sos_lp_hi, sos_hp_hi],
+        [rest, rest, low_pre, low_pre],
+        filter_method,
+    )
+    return lo_lp + lo_hp, mid, high
+
+
+@_scoped("dasp.stereo_imager")
+def stereo_imager(
+    x: jnp.ndarray,
+    sample_rate: float,
+    crossover_low_hz,
+    crossover_high_hz,
+    low_width,
+    mid_width,
+    high_width,
+    filter_method: str = "coupled",
+) -> jnp.ndarray:
+    """Multiband stereo imager: per-band mid/side width control.
+
+    The mixing/mastering tool for frequency-dependent stereo width —
+    the standard recipe keeps lows mono (club playback / vinyl
+    compatibility) while widening highs: the program is split by the
+    same phase-compensated LR4 tree as :func:`multiband_compressor`
+    and each band runs through :func:`stereo_widener` (one 3x-batched
+    call), so at the widener's neutral ``width=0.5`` everywhere the
+    imager is magnitude-transparent to < 0.1 dB. Differentiable in
+    crossovers and widths. The reference has only the broadband widener
+    (and as a stub).
+
+    Args:
+        x: input audio, shape (bs, 2, seq_len) — stereo only.
+        sample_rate: audio sample rate (Hz).
+        crossover_low_hz / crossover_high_hz: band-split frequencies in
+            Hz, shape (bs,).
+        low_width / mid_width / high_width: per-band stereo width on
+            (0, 1), the :func:`stereo_widener` convention — 0 = mono,
+            0.5 = unchanged, 1 = side only; shape (bs,).
+        filter_method: crossover SOS path, as in
+            :func:`multiband_compressor`.
+
+    Returns:
+        Output audio, shape (bs, 2, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    if chs != 2:
+        raise ValueError(f"stereo_imager needs stereo input, got {chs} channels.")
+    dtype = x.dtype
+
+    low, mid, high = _lr4_three_band_split(
+        x, crossover_low_hz, crossover_high_hz, sample_rate, filter_method
+    )
+    bands = jnp.concatenate([low, mid, high], axis=0)  # (3*bs, 2, T)
+    widths = jnp.concatenate([
+        _param(low_width, bs, dtype).reshape(bs),
+        _param(mid_width, bs, dtype).reshape(bs),
+        _param(high_width, bs, dtype).reshape(bs),
+    ], axis=0)
+    y = stereo_widener(bands, sample_rate, widths)
+    return (y[:bs] + y[bs : 2 * bs] + y[2 * bs :]).astype(dtype)
 
 
 def _band_param(p, bs: int, nb: int, dtype) -> jnp.ndarray:
@@ -2933,3 +3006,80 @@ def pitch_shift_pv(
     s0 = jnp.take(stretched, jnp.asarray(j0), axis=-1)
     s1 = jnp.take(stretched, jnp.asarray(j1), axis=-1)
     return ((1.0 - fr) * s0 + fr * s1).astype(x.dtype)
+
+
+@_scoped("dasp.wow_flutter")
+def wow_flutter(
+    x: jnp.ndarray,
+    sample_rate: float,
+    wow_depth_ms,
+    flutter_depth_ms,
+    wow_rate_hz=0.8,
+    flutter_rate_hz=8.0,
+    base_ms: float = 5.0,
+    key: Optional[jax.Array] = None,
+    noise: Optional[jnp.ndarray] = None,
+    block: int = 512,
+) -> jnp.ndarray:
+    """Tape wow & flutter: random slow/fast pitch instability.
+
+    Tape-machine speed never holds perfectly steady; the audible result
+    is WOW (slow drift, ~0.1-2 Hz) and FLUTTER (fast jitter, ~5-30 Hz).
+    Modeled as a fractional delay line around a fixed ``base_ms`` whose
+    read position drifts by two independent band-limited noise
+    processes — white noise one-pole-lowpassed at each component's rate
+    (`ops.iir.onepole_exact`), normalized to unit RMS and scaled by the
+    depths. Like the reverb, the effect is STOCHASTIC: pass ``key=``
+    (or inject ``noise=`` of shape (bs, 2, seq_len) for determinism).
+    Gradients flow to both depths (and the rates, if passed as
+    tensors). The delay evaluates on the MXU via the multi-tap
+    interpolation contraction (:func:`_frac_delay_matmul`) with a
+    static ``2 * base_ms`` bound. The reference framework has no tape
+    or pitch-instability modeling.
+
+    Args:
+        x: input audio, shape (bs, chs, seq_len).
+        sample_rate: audio sample rate (Hz).
+        wow_depth_ms / flutter_depth_ms: RMS modulation depths in ms,
+            shape (bs,). Keep their sum well under ``base_ms``.
+        wow_rate_hz / flutter_rate_hz: noise bandwidths (Hz), (bs,).
+        base_ms: static centre delay (sets the modulation headroom; the
+            dry latency is ``base_ms``).
+        key / noise: PRNG key, or an explicit (bs, 2, seq_len) standard
+            normal draw (channel 0 = wow, 1 = flutter).
+        block: MXU tile length (static).
+
+    Returns:
+        Output audio, shape (bs, chs, seq_len).
+    """
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    wow_depth = _param(wow_depth_ms, bs, dtype)
+    fl_depth = _param(flutter_depth_ms, bs, dtype)
+    wow_rate = _param(wow_rate_hz, bs, dtype)
+    fl_rate = _param(flutter_rate_hz, bs, dtype)
+
+    if noise is None:
+        if key is None:
+            raise ValueError("wow_flutter is stochastic: pass key= (or noise=).")
+        noise = jax.random.normal(key, (bs, 2, seq_len), dtype)
+    else:
+        noise = jnp.asarray(noise, dtype)
+
+    ln9 = math.log(9.0)
+
+    def drift(n, rate):
+        alpha = jnp.exp(-ln9 / (sample_rate / jnp.maximum(rate, 1e-3)))
+        d = onepole_exact(n, alpha)
+        rms = jnp.sqrt(jnp.mean(jnp.square(d), axis=-1, keepdims=True) + 1e-12)
+        return d / rms
+
+    ms = sample_rate / 1e3
+    d = base_ms * ms \
+        + wow_depth * ms * drift(noise[:, 0:1], wow_rate) \
+        + fl_depth * ms * drift(noise[:, 1:2], fl_rate)
+    dmax = 2.0 * base_ms * ms
+    d = jnp.clip(d, 0.0, dmax)
+
+    wet = _frac_delay_matmul(x, [(d, None)], float(dmax), block)
+    return wet.astype(dtype)

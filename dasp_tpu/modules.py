@@ -65,6 +65,8 @@ __all__ = [
     "PitchShift",
     "Tremolo",
     "RingModulator",
+    "StereoImager",
+    "WowFlutter",
     "DynamicEQ",
     "Phaser",
     "AutoWah",
@@ -1031,6 +1033,63 @@ class DynamicEQ(Processor):
             return F.dynamic_eq(x, sr, **stacked, **{**static, **kw})
 
         self.process_fn = _process
+
+
+class StereoImager(Processor):
+    """Multiband stereo width (functional.stereo_imager)."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_crossover_low_hz: float = 80.0,
+        max_crossover_low_hz: float = 500.0,
+        min_crossover_high_hz: float = 1000.0,
+        max_crossover_high_hz: float = 8000.0,
+        min_width: float = 0.0,
+        max_width: float = 1.0,
+        filter_method: str = "coupled",
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.stereo_imager(
+            x, *a, **{"filter_method": filter_method, **kw}
+        )
+        self.param_ranges = {
+            "crossover_low_hz": (min_crossover_low_hz, max_crossover_low_hz),
+            "crossover_high_hz": (min_crossover_high_hz, max_crossover_high_hz),
+            "low_width": (min_width, max_width),
+            "mid_width": (min_width, max_width),
+            "high_width": (min_width, max_width),
+        }
+
+
+class WowFlutter(Processor):
+    """Tape speed instability (functional.wow_flutter). Stochastic —
+    pass ``key=`` (or ``noise=``) to process_normalized."""
+
+    stochastic = True
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_depth_ms: float = 0.0,
+        max_depth_ms: float = 1.5,
+        min_rate_hz: float = 0.1,
+        max_wow_rate_hz: float = 2.0,
+        max_flutter_rate_hz: float = 30.0,
+        base_ms: float = 5.0,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.wow_flutter(
+            x, *a, **{"base_ms": base_ms, **kw}
+        )
+        self.param_ranges = {
+            "wow_depth_ms": (min_depth_ms, max_depth_ms),
+            "flutter_depth_ms": (min_depth_ms, max_depth_ms),
+            "wow_rate_hz": (min_rate_hz, max_wow_rate_hz),
+            "flutter_rate_hz": (min_rate_hz, max_flutter_rate_hz),
+        }
 
 
 class RingModulator(Processor):

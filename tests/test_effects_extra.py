@@ -1432,3 +1432,131 @@ class TestPhaseVocoder:
         ))(x)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestStereoImager:
+    def _stereo(self, t=16384):
+        return _noise(2, 2, t, scale=0.3)
+
+    def test_neutral_widths_magnitude_transparent(self):
+        # the phase-compensated LR4 tree sums to an ALLPASS of the
+        # input (magnitude-flat, not waveform-identical): at the
+        # widener-neutral width 0.5 the impulse response's magnitude
+        # spectrum is flat to ~0.1 dB
+        t = 16384
+        x = np.zeros((1, 2, t), np.float32)
+        x[:, :, 256] = 1.0
+        y = jax.jit(
+            lambda x: F.stereo_imager(
+                x, SR, _b(250.0), _b(2500.0),
+                _b(0.5), _b(0.5), _b(0.5),
+            )
+        )(jnp.asarray(x))
+        H = np.abs(np.fft.rfft(np.asarray(y)[0, 0]))
+        mag_db = 20 * np.log10(H[4:-4] + 1e-12)
+        assert np.abs(mag_db).max() < 0.15, np.abs(mag_db).max()
+
+    def test_zero_low_width_monos_the_lows(self):
+        # an antiphase 100 Hz tone (pure side) with low_width=0 vanishes;
+        # an antiphase 6 kHz tone with high_width=0.5 (neutral) survives
+        t = 32768
+        n = np.arange(t) / SR
+        low = 0.4 * np.sin(2 * np.pi * 100.0 * n)
+        high = 0.4 * np.sin(2 * np.pi * 6000.0 * n)
+        x = jnp.asarray(
+            np.stack([low + high, -(low + high)])[None].astype(np.float32)
+        )  # (1, 2, t), all side, no mid
+        y = np.asarray(
+            jax.jit(
+                lambda x: F.stereo_imager(
+                    x, SR, _b(300.0), _b(2000.0), _b(0.0), _b(0.5), _b(0.5)
+                )
+            )(x)
+        )[0, 0]
+        w = np.hanning(t)
+        spec = np.abs(np.fft.rfft(y * w))
+        k = lambda f: int(round(f * t / SR))
+        pk = lambda f: spec[k(f) - 2 : k(f) + 3].max()
+        assert pk(100.0) < 0.02 * pk(6000.0), (pk(100.0), pk(6000.0))
+
+    def test_grads_and_module(self):
+        x = self._stereo(8192)
+        proc = D.StereoImager(int(SR))
+        p = jnp.full((2, proc.num_params), 0.5, jnp.float32)
+        g = jax.jit(jax.grad(
+            lambda p: jnp.mean(proc.process_normalized(x, p, clip_params=True) ** 2)
+        ))(p)
+        assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+    def test_rejects_mono(self):
+        with pytest.raises(ValueError, match="stereo"):
+            F.stereo_imager(
+                jnp.zeros((1, 1, 1024)), SR, _b(250.0), _b(2500.0),
+                _b(1.0), _b(1.0), _b(1.0),
+            )
+
+
+class TestWowFlutter:
+    def test_zero_depth_is_pure_base_delay(self):
+        t = 8192
+        x = _noise(1, 1, t)
+        base_samp = 200  # integer-sample base so the read is exact
+        base_ms = base_samp / SR * 1e3
+        y = jax.jit(
+            lambda x, k: F.wow_flutter(
+                x, SR, _b(0.0), _b(0.0), key=k, base_ms=base_ms
+            )
+        )(x, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(
+            np.asarray(y)[0, 0, base_samp + 1 :],
+            np.asarray(x)[0, 0, 1 : t - base_samp],
+            atol=1e-4,
+        )
+
+    def test_wow_spreads_a_tone(self):
+        # a pure tone through pitch instability loses spectral
+        # concentration: the peak bin's share of total energy drops
+        t = 65536
+        n = np.arange(t) / SR
+        x = jnp.asarray(
+            (0.5 * np.sin(2 * np.pi * 1000.0 * n)).astype(np.float32)[None, None, :]
+        )
+        run = lambda d: np.asarray(jax.jit(
+            lambda x, k: F.wow_flutter(x, SR, _b(d), _b(d * 0.3), key=k)
+        )(x, jax.random.PRNGKey(1)))[0, 0]
+        w = np.hanning(t)
+        conc = lambda y: (lambda s: float(s.max() / s.sum()))(
+            np.abs(np.fft.rfft(y[8192:] * w[8192:]))
+        )
+        assert conc(run(1.0)) < 0.5 * conc(run(0.0))
+
+    def test_requires_key_or_noise(self):
+        with pytest.raises(ValueError, match="stochastic"):
+            F.wow_flutter(jnp.zeros((1, 1, 1024)), SR, _b(0.5), _b(0.1))
+
+    def test_noise_injection_is_deterministic(self):
+        x = _noise(1, 2, 4096)
+        nz = jnp.asarray(RNG.standard_normal((1, 2, 4096)).astype(np.float32))
+        f = jax.jit(lambda x, nz: F.wow_flutter(x, SR, _b(0.8), _b(0.2), noise=nz))
+        np.testing.assert_allclose(
+            np.asarray(f(x, nz)), np.asarray(f(x, nz)), atol=0.0
+        )
+
+    def test_grads_flow_to_depths(self):
+        x = _noise(1, 1, 8192)
+        nz = jnp.asarray(RNG.standard_normal((1, 2, 8192)).astype(np.float32))
+
+        def loss(p):
+            return jnp.mean(
+                F.wow_flutter(x, SR, p[0:1], p[1:2], noise=nz) ** 2
+            )
+
+        g = jax.jit(jax.grad(loss))(jnp.asarray([0.8, 0.2], jnp.float32))
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_module_dispatch(self):
+        proc = D.WowFlutter(int(SR))
+        x = _noise(2, 2, 4096)
+        p = jnp.full((2, proc.num_params), 0.5, jnp.float32)
+        y = proc.process_normalized(x, p, key=jax.random.PRNGKey(3))
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
