@@ -2655,7 +2655,8 @@ def _dynamic_eq_gain(
     (bs, n_bands, n_frames) dB <= 0 (plus carried ballistics state).
     Shared by the offline effect and the streaming layer.
     """
-    level = jnp.einsum("bfk,bnk->bnf", P, band_w)
+    level = jnp.einsum("bfk,bnk->bnf", P, band_w,
+                       precision=jax.lax.Precision.HIGHEST)
     L = 10.0 * jnp.log10(jnp.maximum(level, eps * eps))
     g_c = static_gain_computer(L, threshold_db, ratio, knee_db, "compressor")
     g_c = jnp.maximum(g_c, -max_cut_db)
@@ -2723,6 +2724,13 @@ def dynamic_eq(
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
+
+    Note: the WOLA contract truncates each frame response's impulse
+    tail at ``n_fft - frame_size`` samples; ``n_fft = 4*frame_size``
+    here (3072 samples of tail room at the defaults, like the phaser)
+    so that even a deep high-Q cut on a low band stays honest. Very low
+    centre frequencies with extreme Q can still exceed it — prefer
+    larger ``frame_size`` there.
     """
     from .ops.tv_filter import tv_istft, tv_stft
 
@@ -2740,8 +2748,8 @@ def dynamic_eq(
     attack_ms = canon(attack_ms)
     release_ms = canon(release_ms)
 
-    n_fft = 2 * frame_size
-    n_bins = frame_size + 1
+    n_fft = 4 * frame_size
+    n_bins = n_fft // 2 + 1
     X = tv_stft(x, frame_size, hop, n_fft)
     P = jnp.mean(jnp.square(jnp.abs(X)), axis=1)  # (bs, n_frames, n_bins)
 

@@ -245,15 +245,13 @@ class Chain(Processor):
         for i, p in enumerate(self.processors):
             cols = param_tensor[:, col : col + p.num_params]
             col += p.num_params
-            kw = {}
-            if p.stochastic:
-                kw.update(kwargs)
-                if key is not None:
-                    kw["key"] = jax.random.fold_in(key, i)
-            else:
-                for name in p.consumes_kwargs:
-                    if name in kwargs:
-                        kw[name] = kwargs[name]
+            kw = {
+                name: kwargs[name]
+                for name in p.consumes_kwargs
+                if name in kwargs
+            }
+            if p.stochastic and key is not None:
+                kw["key"] = jax.random.fold_in(key, i)
             y = p.process_normalized(y, cols, clip_params=clip_params, **kw)
         return y
 
@@ -741,6 +739,7 @@ class NoiseShapedReverb(Processor):
     requires ``key=`` (or ``noise=``) since the effect is stochastic."""
 
     stochastic = True
+    consumes_kwargs = ("noise",)
 
     def __init__(
         self,
@@ -995,9 +994,11 @@ class DynamicEQ(Processor):
         super().__init__()
         self.sample_rate = sample_rate
         self.num_bands = num_bands
-        # stagger band frequency ranges across the spectrum
+        # stagger band frequency ranges across the spectrum; start at
+        # 40 Hz — lower bells with high Q outrun the WOLA tail room
+        # (see functional.dynamic_eq's truncation note)
         edges = [
-            20.0 * (0.5 * sample_rate / 20.0) ** (i / num_bands)
+            40.0 * (0.5 * sample_rate / 40.0) ** (i / num_bands)
             for i in range(num_bands + 1)
         ]
         names = ("frequency_hz", "q_factor", "threshold_db", "ratio",
@@ -1068,6 +1069,7 @@ class WowFlutter(Processor):
     pass ``key=`` (or ``noise=``) to process_normalized."""
 
     stochastic = True
+    consumes_kwargs = ("noise",)
 
     def __init__(
         self,

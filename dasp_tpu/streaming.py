@@ -401,9 +401,12 @@ def bitcrusher_stream(
 ) -> Tuple[jnp.ndarray, Any]:
     """Streaming bitcrusher (offline :func:`dasp_tpu.functional.bitcrusher`).
 
-    Carried state: the absolute sample counter (the reduced hold clock's
-    phase) and the currently-held sample value, so zero-order holds that
-    span a chunk boundary are seamless.
+    Carried state: the reduced hold clock's WRAPPED fractional phase
+    (``floor(n*r)`` on a float32 absolute counter would miss/duplicate
+    ticks after ~2^24 samples; the fractional part carries exactly the
+    information tick detection needs and never grows) and the
+    currently-held sample value, so zero-order holds that span a chunk
+    boundary are seamless.
     """
     import numpy as np
 
@@ -414,21 +417,20 @@ def bitcrusher_stream(
     mix = F._param(mix, bs, dtype)
 
     if state is None:
-        state = {"n0": jnp.zeros((), jnp.int32), "held": jnp.zeros((bs, chs, 1), dtype)}
+        state = {"c0": jnp.zeros((bs, 1, 1), dtype),
+                 "held": jnp.zeros((bs, chs, 1), dtype)}
 
-    # same deterministic multiply-and-floor tick logic as the offline
-    # render (see functional.bitcrusher) on ABSOLUTE sample positions;
-    # the previous tick at the chunk boundary is recomputed from
-    # n0 - 1 (identical expression, no state needed)
+    # same multiply-and-floor tick logic as the offline render (see
+    # functional.bitcrusher), on the carried clock phase: with
+    # c0 = frac(n0 * r), floor((n0+k)r + eps) - floor((n0+k-1)r + eps)
+    # equals floor(c0 + k*r + eps) - floor(c0 + (k-1)*r + eps)
     from jax import lax
 
     r = jnp.clip(sample_rate_hz / sample_rate, 0.0, 1.0)
-    n_abs = state["n0"].astype(jnp.float32) + jnp.asarray(
-        np.arange(Tc, dtype=np.float32)
-    )[None, None, :]
-    tick = jnp.floor(n_abs * r + 1e-6)
+    k = jnp.asarray(np.arange(Tc, dtype=np.float32))[None, None, :]
+    tick = jnp.floor(state["c0"] + k * r + 1e-6)
     tick_prev = jnp.concatenate(
-        [jnp.floor((n_abs[..., :1] - 1.0) * r + 1e-6), tick[..., :-1]], axis=-1
+        [jnp.floor(state["c0"] - r + 1e-6), tick[..., :-1]], axis=-1
     )
     is_tick = tick > tick_prev
     n_loc = jnp.asarray(np.arange(Tc, dtype=np.int32))[None, None, :]
@@ -443,7 +445,9 @@ def bitcrusher_stream(
     u = held * scale
     q = jnp.round(u) / scale
     y = (1.0 - mix) * x + mix * q
-    new_state = {"n0": state["n0"] + Tc, "held": held[..., -1:]}
+    c0 = state["c0"] + Tc * r
+    c0 = c0 - jnp.floor(c0)
+    new_state = {"c0": c0, "held": held[..., -1:]}
     return y.astype(dtype), new_state
 
 
@@ -761,9 +765,12 @@ def modulated_delay_stream(
     """One streaming step of the LFO-modulated fractional delay
     (chorus/flanger — offline counterpart :func:`functional.modulated_delay`).
 
-    Carries ``max_delay_samples`` of input history plus the absolute
-    sample counter, so the LFO phase is continuous across chunks and the
-    chunked output equals the offline render exactly.
+    Carries ``max_delay_samples`` of input history, the WRAPPED LFO
+    phase (see :func:`ring_modulator_stream` on why not a float
+    absolute counter), and an int32 sample counter used only for the
+    before-signal-start mask (exact, and the mask comparison is
+    insensitive to cast rounding once past the delay span), so the
+    chunked output equals the offline render.
 
     Args:
         x: chunk (bs, chs, T).
@@ -787,13 +794,15 @@ def modulated_delay_stream(
     base_ms = F._param(base_ms, bs, dtype)
     mix = F._param(mix, bs, dtype)
 
+    two_pi = 2.0 * np.pi
     if state is None:
         state = {"hist": jnp.zeros((bs, chs, L), dtype),
+                 "ph": jnp.full((bs, 1, 1), float(lfo_phase), dtype),
                  "n0": jnp.zeros((), jnp.int32)}
 
     n_local = np.arange(T, dtype=np.float32)[None, None, :]
-    t_abs = state["n0"].astype(jnp.float32) + n_local  # absolute sample index
-    lfo = 0.5 * (1.0 + jnp.sin(2.0 * np.pi * rate_hz * (t_abs / sample_rate) + lfo_phase))
+    t_abs = state["n0"].astype(jnp.float32) + n_local  # mask only (see doc)
+    lfo = 0.5 * (1.0 + jnp.sin(state["ph"] + two_pi * rate_hz * (n_local / sample_rate)))
     d = (base_ms + depth_ms * lfo) * (sample_rate / 1e3)  # samples
 
     x_ext = jnp.concatenate([state["hist"], x], axis=-1)  # (bs, chs, L+T)
@@ -813,7 +822,8 @@ def modulated_delay_stream(
     wet = jnp.where(t_abs - d >= 0.0, wet, 0.0)
 
     y = (1.0 - mix) * x + mix * wet
-    new_state = {"hist": x_ext[..., -L:], "n0": state["n0"] + T}
+    ph = jnp.mod(state["ph"] + two_pi * rate_hz * (T / sample_rate), two_pi)
+    new_state = {"hist": x_ext[..., -L:], "ph": ph, "n0": state["n0"] + T}
     return y.astype(dtype), new_state
 
 
@@ -827,7 +837,9 @@ def ring_modulator_stream(
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """One streaming step of the ring modulator (offline
     :func:`functional.ring_modulator`). The only carried state is the
-    absolute sample counter keeping the carrier phase continuous."""
+    WRAPPED carrier phase (an absolute sample counter cast to float32
+    would quantize after ~2^24 samples — 6.3 min at 44.1 kHz — and
+    staircase the carrier; the wrapped accumulator never grows)."""
     import numpy as np
 
     bs, chs, T = x.shape
@@ -835,16 +847,16 @@ def ring_modulator_stream(
     frequency_hz = F._param(frequency_hz, bs, dtype)
     mix = F._param(mix, bs, dtype)
 
+    two_pi = 2.0 * np.pi
     if state is None:
-        state = {"n0": jnp.zeros((), jnp.int32)}
+        state = {"ph": jnp.full((bs, 1, 1), float(lfo_phase), dtype)}
 
     n_local = np.arange(T, dtype=np.float32)[None, None, :]
-    t_abs = state["n0"].astype(jnp.float32) + n_local
-    carrier = jnp.sin(
-        2.0 * np.pi * frequency_hz * (t_abs / sample_rate) + lfo_phase
-    )
+    carrier = jnp.sin(state["ph"] + two_pi * frequency_hz * (n_local / sample_rate))
     y = ((1.0 - mix) + mix * carrier) * x
-    return y.astype(dtype), {"n0": state["n0"] + T}
+    ph = state["ph"] + two_pi * frequency_hz * (T / sample_rate)
+    ph = jnp.mod(ph, two_pi)
+    return y.astype(dtype), {"ph": ph}
 
 
 def pitch_shift_stream(
@@ -860,9 +872,12 @@ def pitch_shift_stream(
     ``compensate_latency=False`` — streaming is causal, so the mean
     W/2-sample tap latency stays in the output).
 
-    Carries W samples of input history plus the absolute sample counter,
-    so the sawtooth tap phases are continuous across chunks and chunked
-    output equals the uncompensated offline render exactly.
+    Carries W samples of input history, the WRAPPED sawtooth phase
+    (a float32 absolute counter would quantize the tap phases after
+    ~2^24 samples and staircase the shift; see
+    :func:`ring_modulator_stream`), and an int32 counter used only for
+    the before-signal-start mask — chunked output equals the
+    uncompensated offline render.
 
     Args:
         x: chunk (bs, chs, T).
@@ -885,12 +900,13 @@ def pitch_shift_stream(
     W = F.pitch_shift_window_samples(window_ms, sample_rate)
     if state is None:
         state = {"hist": jnp.zeros((bs, chs, W), dtype),
+                 "u0": jnp.zeros((bs, 1, 1), dtype),
                  "n0": jnp.zeros((), jnp.int32)}
 
     n_local = np.arange(T, dtype=np.float32)[None, None, :]
-    t_abs = state["n0"].astype(jnp.float32) + n_local
+    t_abs = state["n0"].astype(jnp.float32) + n_local  # mask only
     slope = 1.0 - 2.0 ** (semitones / 12.0)
-    u = slope * t_abs / W
+    u = state["u0"] + slope * n_local / W
 
     x_ext = jnp.concatenate([state["hist"], x], axis=-1)  # (bs, chs, W+T)
     wet = 0.0
@@ -910,7 +926,9 @@ def pitch_shift_stream(
         wet = wet + jnp.sin(np.pi * p) * jnp.where(t_abs - d >= 0.0, tap, 0.0)
 
     y = (1.0 - mix) * x + mix * wet
-    new_state = {"hist": x_ext[..., -W:], "n0": state["n0"] + T}
+    u0 = state["u0"] + slope * (T / W)
+    u0 = u0 - jnp.floor(u0)  # wrap: only the sawtooth phase matters
+    new_state = {"hist": x_ext[..., -W:], "u0": u0, "n0": state["n0"] + T}
     return y.astype(dtype), new_state
 
 
@@ -923,8 +941,9 @@ def tremolo_stream(
     lfo_phase: float = 0.0,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """One streaming step of the tremolo (offline
-    :func:`functional.tremolo`). The only carried state is the absolute
-    sample counter that keeps the LFO phase continuous across chunks."""
+    :func:`functional.tremolo`). The only carried state is the WRAPPED
+    LFO phase (see :func:`ring_modulator_stream` on why not an absolute
+    sample counter)."""
     import numpy as np
 
     bs, chs, T = x.shape
@@ -932,14 +951,15 @@ def tremolo_stream(
     rate_hz = F._param(rate_hz, bs, dtype)
     depth = F._param(depth, bs, dtype)
 
+    two_pi = 2.0 * np.pi
     if state is None:
-        state = {"n0": jnp.zeros((), jnp.int32)}
+        state = {"ph": jnp.full((bs, 1, 1), float(lfo_phase), dtype)}
 
     n_local = np.arange(T, dtype=np.float32)[None, None, :]
-    t_abs = state["n0"].astype(jnp.float32) + n_local
-    lfo = 0.5 * (1.0 + jnp.sin(2.0 * np.pi * rate_hz * (t_abs / sample_rate) + lfo_phase))
+    lfo = 0.5 * (1.0 + jnp.sin(state["ph"] + two_pi * rate_hz * (n_local / sample_rate)))
     y = x * (1.0 - depth * lfo)
-    return y.astype(dtype), {"n0": state["n0"] + T}
+    ph = jnp.mod(state["ph"] + two_pi * rate_hz * (T / sample_rate), two_pi)
+    return y.astype(dtype), {"ph": ph}
 
 
 def _wola_analyze(x, frame_size: int, hop: int, n_fft: int, xhist):
@@ -1123,8 +1143,8 @@ def dynamic_eq_stream(
 
     if state is None:
         state = {"xhist": None, "ola": None, "bal": None}
-    n_fft = 2 * frame_size
-    n_bins = frame_size + 1
+    n_fft = 4 * frame_size  # tail room — must match functional.dynamic_eq
+    n_bins = n_fft // 2 + 1
     X, xhist = _wola_analyze(x, frame_size, hop, n_fft, state["xhist"])
     P = jnp.mean(jnp.square(jnp.abs(X)), axis=1)
 
@@ -1165,9 +1185,9 @@ def phaser_stream(
     Chunk-by-chunk :func:`dasp_tpu.functional.phaser`: the concatenated
     stream equals the offline render delayed by ``frame_size - hop``
     samples (WOLA lookahead — 8.7 ms at the defaults/44.1 kHz). Carried
-    state: the WOLA input/overlap tails plus the absolute sample counter
-    that keeps the LFO phase continuous. Chunk length must be a multiple
-    of ``hop``.
+    state: the WOLA input/overlap tails plus the WRAPPED LFO phase
+    (see :func:`ring_modulator_stream` on why not a float absolute
+    counter). Chunk length must be a multiple of ``hop``.
     """
     import numpy as np
 
@@ -1179,21 +1199,23 @@ def phaser_stream(
     feedback = F._param(feedback, bs, dtype).reshape(bs, 1)
     mix = F._param(mix, bs, dtype).reshape(bs, 1)
 
+    two_pi = 2.0 * np.pi
     if state is None:
-        state = {"wola": None, "n0": jnp.zeros((), jnp.int32)}
+        state = {"wola": None,
+                 "ph": jnp.full((bs, 1), float(lfo_phase), dtype)}
     n_fft = 4 * frame_size
     K = Tc // hop
-    # absolute frame centers: n0 + k*hop + hop - frame_size/2 (matches
-    # ops.tv_filter.tv_frame_centers at offset n0)
+    # frame centers within the chunk: k*hop + hop - frame_size/2
+    # (matches ops.tv_filter.tv_frame_centers at the carried phase)
     offs = np.arange(K, dtype=np.float32) * hop + (hop - frame_size / 2.0)
-    t = (state["n0"].astype(jnp.float32) + jnp.asarray(offs))[None, :] / sample_rate
-    lfo = jnp.sin(2.0 * np.pi * rate_hz * t + lfo_phase)
+    lfo = jnp.sin(state["ph"] + two_pi * rate_hz * (jnp.asarray(offs)[None, :] / sample_rate))
     f_break = jnp.clip(centre * 2.0 ** (2.0 * depth * lfo), 1.0, 0.49 * sample_rate)
     H = F._phaser_response(
         f_break, feedback, mix, n_fft // 2 + 1, stages, sample_rate
     )
     y, wola = _wola_stream(x, H, frame_size, hop, state["wola"])
-    return y.astype(dtype), {"wola": wola, "n0": state["n0"] + Tc}
+    ph = jnp.mod(state["ph"] + two_pi * rate_hz * (Tc / sample_rate), two_pi)
+    return y.astype(dtype), {"wola": wola, "ph": ph}
 
 
 def auto_wah_stream(

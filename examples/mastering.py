@@ -59,7 +59,7 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
-        args.length, args.steps = 16384, args.steps
+        args.length, args.steps = 16384, min(args.steps, 50)
 
     sr = 44100
     bs = 1

