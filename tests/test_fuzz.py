@@ -106,3 +106,41 @@ class TestFuzzProcessors:
             assert bool(jnp.isfinite(loss(x, *ps, key)))
             for g in grad(x, *ps, key):
                 assert bool(jnp.isfinite(g).all())
+
+
+class TestFuzzNewProcessors:
+    """Same healthy-under-fuzz contract for the beyond-reference set."""
+
+    def test_dynamics_family(self):
+        _assert_healthy(D.Limiter(SR), _x(2, 8192))
+        _assert_healthy(D.NoiseGate(SR), _x(2, 8192))
+        _assert_healthy(D.TransientShaper(SR), _x(2, 8192))
+        _assert_healthy(D.Clipper(SR), _x(2, 8192))
+
+    def test_multiband_family(self):
+        _assert_healthy(D.MultibandCompressor(SR), _x(2, 8192))
+        _assert_healthy(D.DeEsser(SR), _x(2, 8192))
+        _assert_healthy(D.StereoImager(SR), _x(2, 8192))
+
+    def test_modulation_family(self):
+        _assert_healthy(D.Chorus(SR), _x(2, 8192))
+        _assert_healthy(D.Flanger(SR), _x(2, 8192))
+        _assert_healthy(D.Tremolo(SR), _x(2, 8192))
+        _assert_healthy(D.RingModulator(SR), _x(2, 8192))
+        _assert_healthy(D.Phaser(SR), _x(2, 8192))
+        _assert_healthy(D.AutoWah(SR), _x(2, 8192))
+        _assert_healthy(D.Delay(SR), _x(2, 8192))
+        _assert_healthy(D.PitchShift(SR, window_ms=20.0), _x(2, 8192))
+
+    def test_spectral_family(self):
+        _assert_healthy(D.DynamicEQ(SR), _x(2, 8192))
+        _assert_healthy(D.SpectralGate(SR), _x(2, 8192))
+        _assert_healthy(D.Exciter(SR), _x(2, 8192))
+        _assert_healthy(D.Bitcrusher(SR), _x(2, 8192))
+
+    def test_stochastic_and_side_input(self):
+        _assert_healthy(D.WowFlutter(SR), _x(2, 8192), key=jax.random.PRNGKey(5))
+        ir = jnp.asarray(RNG.standard_normal(256).astype(np.float32) * 0.1)
+        _assert_healthy(D.ConvolutionReverb(SR), _x(2, 8192), ir=ir)
+        sc = _x(1, 8192)
+        _assert_healthy(D.SidechainCompressor(SR), _x(2, 8192), sidechain=sc)
