@@ -242,3 +242,26 @@ def test_mastering_chain_loss_decreases():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert min(losses[-5:]) < 0.5 * losses[0], f"{losses[0]} -> {losses[-5:]}"
+
+
+def test_denoise_gate_improves_snr():
+    """examples/denoise.py at tiny scale: measured-profile spectral gate
+    lifts SNR by > 5 dB on broadband noise."""
+    rng = np.random.default_rng(4)
+    clean = synthetic_batch(rng, 1, 32768, SR)
+    amp = 10.0 ** (-30.0 / 20.0)
+    noisy = clean + (amp * rng.standard_normal(clean.shape)).astype(np.float32)
+    noise_only = (amp * rng.standard_normal(clean.shape)).astype(np.float32)
+    prof = jax.jit(D.spectral_noise_profile)(noise_only)
+
+    gate = D.SpectralGate(SR)
+    p = jnp.asarray([[0.25, 0.66, 0.08, 0.14]], jnp.float32)
+    y = jax.jit(
+        lambda x, p: gate.process_normalized(x, p, clip_params=True, noise_profile_db=prof)
+    )(jnp.asarray(noisy), p)
+
+    def snr(s):
+        n = np.asarray(s) - clean
+        return 10 * np.log10(np.mean(clean**2) / np.mean(n**2))
+
+    assert snr(y) > snr(noisy) + 5.0, (snr(noisy), snr(y))
