@@ -42,7 +42,14 @@ def make_mesh(
     if shape is None:
         shape = (n, 1)
     dp, sp = shape
-    assert dp * sp == n, f"mesh shape {shape} does not match {n} devices"
+    if dp < 1 or sp < 1:
+        raise ValueError(f"mesh shape {shape} must have positive axis sizes")
+    if dp * sp != n:
+        raise ValueError(
+            f"mesh shape (dp={dp}, sp={sp}) needs dp*sp={dp * sp} devices but "
+            f"{n} were given; pass shape=({n}, 1) / ({n // sp if sp and n % sp == 0 else '?'}, {sp}) "
+            f"or a matching `devices=` subset (e.g. jax.devices()[:{dp * sp}])"
+        )
     dev_array = np.asarray(devices).reshape(dp, sp)
     return Mesh(dev_array, axis_names)
 
@@ -59,7 +66,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(x, mesh: Mesh):
-    """Place a (batch, ...) array with the batch axis split over dp."""
+    """Place a (batch, ...) array with the batch axis split over dp.
+
+    Raises ValueError (instead of an opaque XLA sharding error) when the
+    batch does not divide evenly over the dp axis.
+    """
+    dp = mesh.shape["dp"]
+    if x.shape[0] % dp != 0:
+        raise ValueError(
+            f"batch size {x.shape[0]} is not divisible by the mesh's dp axis "
+            f"({dp} devices); pad the batch to a multiple of {dp} or use a "
+            f"mesh with dp dividing the batch"
+        )
     return jax.device_put(x, batch_sharding(mesh))
 
 

@@ -8,15 +8,47 @@ import jax
 import pytest
 
 
-def test_dryrun_multichip_8():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 virtual devices")
+def _load_graft_entry():
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "__graft_entry__.py")
     spec = importlib.util.spec_from_file_location("graft_entry", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)  # raises / asserts on failure
+    return mod
+
+
+def test_dryrun_multichip_8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    _load_graft_entry().dryrun_multichip(8)  # raises / asserts on failure
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (2, 4)])
+def test_dryrun_multichip_mesh_shapes(shape):
+    """All three mesh aspect ratios must compile+run (VERDICT r2 #8);
+    (4, 2) is the default covered by test_dryrun_multichip_8."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    _load_graft_entry().dryrun_multichip(8, shape)
+
+
+def test_make_mesh_and_shard_batch_errors():
+    """Mesh-shape and batch-divisibility misuse must raise actionable
+    ValueErrors, not bare asserts / opaque XLA errors (VERDICT r2 #8)."""
+    from dasp_tpu.parallel import make_mesh, shard_batch
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh((3, 2), devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="positive"):
+        make_mesh((0, 8), devices=jax.devices()[:8])
+    mesh = make_mesh((4, 2), devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="divisible"):
+        shard_batch(jnp.zeros((3, 1, 16)), mesh)
+    out = shard_batch(jnp.zeros((8, 1, 16)), mesh)
+    assert out.shape == (8, 1, 16)
 
 
 def test_force_device_count_flag():
