@@ -1248,6 +1248,8 @@ def spectral_gate(
     hop: int = 512,
     eps: float = 1e-8,
     smoother: str = "parallel",
+    tv_power_fn=None,
+    tv_filter_fn=None,
 ) -> jnp.ndarray:
     """Spectral gate (broadband noise reduction), fully differentiable.
 
@@ -1304,6 +1306,15 @@ def spectral_gate(
         hop: frame hop (static; frame_size must be a multiple of 2*hop).
         eps: numerical floor for the detector.
         smoother: "parallel" (default) or "exact" frame ballistics.
+        tv_power_fn / tv_filter_fn: sequence-parallel plug points —
+            ``tv_power_fn(x, frame_size, hop, n_fft) -> (bs, n_frames,
+            n_bins)`` channel-mean power and ``tv_filter_fn(x, H,
+            frame_size, hop) -> y`` (e.g. ``parallel.sharded_tv_power`` /
+            ``parallel.sharded_tv_freq_filter`` bound to a mesh). When
+            either is given the effect runs as detector + response
+            application (the mask is EXACTLY the same; the analysis
+            frames are computed twice, sharded, instead of once,
+            unsharded); the frame-rate gain logic stays replicated.
 
     Returns:
         Denoised audio, shape (bs, chs, seq_len).
@@ -1322,8 +1333,17 @@ def spectral_gate(
     ln9 = math.log(9.0)
     frame_rate = sample_rate / hop
 
-    X = tv_stft(x, frame_size, hop, n_fft)  # (bs, chs, n_frames, n_bins)
-    power = jnp.mean(jnp.square(jnp.abs(X)), axis=1)  # (bs, n_frames, n_bins)
+    split = tv_power_fn is not None or tv_filter_fn is not None
+    if split:
+        X = None
+        if tv_power_fn is not None:
+            power = tv_power_fn(x, frame_size, hop, n_fft)
+        else:
+            Xd = tv_stft(x, frame_size, hop, n_fft)
+            power = jnp.mean(jnp.square(jnp.abs(Xd)), axis=1)
+    else:
+        X = tv_stft(x, frame_size, hop, n_fft)  # (bs, chs, n_frames, n_bins)
+        power = jnp.mean(jnp.square(jnp.abs(X)), axis=1)  # (bs, n_frames, n_bins)
     alpha_d = np.exp(-ln9 / (frame_rate * (det_smooth_ms / 1e3))).astype(np.float32)
     power, _ = _smooth_det_power(power, alpha_d, det_smooth_mode)
     det_db = 10.0 * jnp.log10(jnp.maximum(power, eps * eps))
@@ -1342,7 +1362,13 @@ def spectral_gate(
         freq_smooth_bins,
     )  # (bs, n_frames, n_bins)
 
-    y = tv_istft(X * gain[:, None].astype(X.dtype), seq_len, frame_size, hop)
+    if split:
+        from .ops.tv_filter import tv_freq_filter
+
+        filt = tv_freq_filter if tv_filter_fn is None else tv_filter_fn
+        y = filt(x, gain, frame_size, hop)
+    else:
+        y = tv_istft(X * gain[:, None].astype(X.dtype), seq_len, frame_size, hop)
     return y.astype(dtype)
 
 
@@ -2176,6 +2202,7 @@ def phaser(
     lfo_phase: float = 0.0,
     frame_size: int = 512,
     hop: int = 128,
+    tv_filter_fn=None,
 ) -> jnp.ndarray:
     """LFO-swept allpass-cascade phaser (time-varying filter).
 
@@ -2206,6 +2233,10 @@ def phaser(
             ``frame_size`` must be a multiple of ``2*hop``. The response
             tail must decay within ``4*frame_size - frame_size`` samples
             — keep |feedback| moderate or enlarge ``frame_size``.
+        tv_filter_fn: custom ``(x, H, frame_size, hop) -> y`` WOLA
+            applier — e.g. ``parallel.sharded_tv_freq_filter`` bound to
+            a mesh for sequence-parallel rendering. Default: the
+            single-device :func:`~dasp_tpu.ops.tv_filter.tv_freq_filter`.
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -2229,7 +2260,8 @@ def phaser(
     f_break = jnp.clip(f_break, 1.0, 0.49 * sample_rate)
 
     H = _phaser_response(f_break, feedback, mix, n_fft // 2 + 1, stages, sample_rate)
-    return tv_freq_filter(x, H, frame_size, hop).astype(dtype)
+    filt = tv_freq_filter if tv_filter_fn is None else tv_filter_fn
+    return filt(x, H, frame_size, hop).astype(dtype)
 
 
 @_scoped("dasp.auto_wah")
@@ -2246,6 +2278,7 @@ def auto_wah(
     eps: float = 1e-8,
     frame_size: int = 512,
     hop: int = 128,
+    tv_filter_fn=None,
 ) -> jnp.ndarray:
     """Envelope-following resonant bandpass filter (auto-wah).
 
@@ -2269,6 +2302,10 @@ def auto_wah(
         mix: dry/wet mix on [0, 1], shape (bs,).
         eps: numerical floor for the envelope detector.
         frame_size / hop: WOLA analysis parameters (static).
+        tv_filter_fn: custom ``(x, H, frame_size, hop) -> y`` WOLA
+            applier (e.g. ``parallel.sharded_tv_freq_filter`` bound to a
+            mesh). The sample-rate envelope follower itself is cheap
+            (one pass over the mono level) and stays unsharded.
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -2315,7 +2352,8 @@ def auto_wah(
     )
     H_bp = fft_freqz(b, a, n_fft).reshape(bs, n_frames, n_fft // 2 + 1)
     H = (1.0 - mix[..., None]) + mix[..., None] * H_bp
-    return tv_freq_filter(x, H, frame_size, hop).astype(dtype)
+    filt = tv_freq_filter if tv_filter_fn is None else tv_filter_fn
+    return filt(x, H, frame_size, hop).astype(dtype)
 
 
 @_scoped("dasp.limiter")
@@ -2681,6 +2719,8 @@ def dynamic_eq(
     hop: int = 256,
     eps: float = 1e-8,
     smoother: str = "parallel",
+    tv_power_fn=None,
+    tv_filter_fn=None,
 ) -> jnp.ndarray:
     """Dynamic EQ: peaking bands whose cut follows their own band level.
 
@@ -2721,6 +2761,11 @@ def dynamic_eq(
         hop: frame hop (static; frame_size must be a multiple of 2*hop).
         eps: numerical floor for the detector.
         smoother: "parallel" (default) or "exact" frame ballistics.
+        tv_power_fn / tv_filter_fn: sequence-parallel plug points — see
+            :func:`spectral_gate` (same contract; e.g.
+            ``parallel.sharded_tv_power`` / ``sharded_tv_freq_filter``
+            bound to a mesh). The band gains are bit-identical; the
+            frame-rate detector/ballistics stay replicated.
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -2750,8 +2795,17 @@ def dynamic_eq(
 
     n_fft = 4 * frame_size
     n_bins = n_fft // 2 + 1
-    X = tv_stft(x, frame_size, hop, n_fft)
-    P = jnp.mean(jnp.square(jnp.abs(X)), axis=1)  # (bs, n_frames, n_bins)
+    split = tv_power_fn is not None or tv_filter_fn is not None
+    if split:
+        X = None
+        if tv_power_fn is not None:
+            P = tv_power_fn(x, frame_size, hop, n_fft)
+        else:
+            Xd = tv_stft(x, frame_size, hop, n_fft)
+            P = jnp.mean(jnp.square(jnp.abs(Xd)), axis=1)
+    else:
+        X = tv_stft(x, frame_size, hop, n_fft)
+        P = jnp.mean(jnp.square(jnp.abs(X)), axis=1)  # (bs, n_frames, n_bins)
 
     band_w = _dynamic_eq_band_weights(
         frequency_hz, q_factor, n_bins, sample_rate, frame_size, hop
@@ -2768,7 +2822,13 @@ def dynamic_eq(
     )  # (bs, n_bands, n_frames)
 
     H = _dynamic_eq_response(frequency_hz, q_factor, g, n_bins, sample_rate)
-    y = tv_istft(X * H[:, None], seq_len, frame_size, hop)
+    if split:
+        from .ops.tv_filter import tv_freq_filter
+
+        filt = tv_freq_filter if tv_filter_fn is None else tv_filter_fn
+        y = filt(x, H, frame_size, hop)
+    else:
+        y = tv_istft(X * H[:, None], seq_len, frame_size, hop)
     return y.astype(dtype)
 
 

@@ -672,14 +672,24 @@ class SpectralGate(Processor):
         frame_size: int = 2048,
         hop: int = 512,
         smoother: str = "parallel",
+        tv_power_fn=None,
+        tv_filter_fn=None,
     ):
+        """``tv_power_fn`` / ``tv_filter_fn`` plug sequence-parallel WOLA
+        implementations into the effect (e.g. ``parallel.sharded_tv_power``
+        / ``parallel.sharded_tv_freq_filter`` bound to a mesh)."""
         super().__init__()
         self.sample_rate = sample_rate
+        defaults = {
+            "sharpness_db": sharpness_db, "frame_size": frame_size,
+            "hop": hop, "smoother": smoother,
+        }
+        if tv_power_fn is not None:
+            defaults["tv_power_fn"] = tv_power_fn
+        if tv_filter_fn is not None:
+            defaults["tv_filter_fn"] = tv_filter_fn
         self.process_fn = lambda x, *a, **kw: F.spectral_gate(
-            x, *a, **{
-                "sharpness_db": sharpness_db, "frame_size": frame_size,
-                "hop": hop, "smoother": smoother, **kw,
-            }
+            x, *a, **{**defaults, **kw}
         )
         self.param_ranges = {
             "threshold_db": (min_threshold_db, max_threshold_db),
@@ -990,7 +1000,11 @@ class DynamicEQ(Processor):
         frame_size: int = 1024,
         hop: int = 256,
         smoother: str = "parallel",
+        tv_power_fn=None,
+        tv_filter_fn=None,
     ):
+        """``tv_power_fn`` / ``tv_filter_fn`` plug sequence-parallel WOLA
+        implementations into the effect (see :class:`SpectralGate`)."""
         super().__init__()
         self.sample_rate = sample_rate
         self.num_bands = num_bands
@@ -1022,6 +1036,10 @@ class DynamicEQ(Processor):
             static = {"knee_db": knee_db, "max_cut_db": max_cut_db,
                       "frame_size": frame_size, "hop": hop,
                       "smoother": smoother}
+            if tv_power_fn is not None:
+                static["tv_power_fn"] = tv_power_fn
+            if tv_filter_fn is not None:
+                static["tv_filter_fn"] = tv_filter_fn
             if args:  # raw positional passthrough
                 return F.dynamic_eq(x, sr, *args, **{**static, **kw})
             stacked = {
@@ -1154,12 +1172,15 @@ class Phaser(Processor):
         stages: int = 6,
         frame_size: int = 512,
         hop: int = 128,
+        tv_filter_fn=None,
     ):
         super().__init__()
         self.sample_rate = sample_rate
+        defaults = {"stages": stages, "frame_size": frame_size, "hop": hop}
+        if tv_filter_fn is not None:
+            defaults["tv_filter_fn"] = tv_filter_fn
         self.process_fn = lambda x, *a, **kw: F.phaser(
-            x, *a,
-            **{"stages": stages, "frame_size": frame_size, "hop": hop, **kw},
+            x, *a, **{**defaults, **kw},
         )
         self.param_ranges = {
             "rate_hz": (min_rate_hz, max_rate_hz),
@@ -1191,11 +1212,15 @@ class AutoWah(Processor):
         max_mix: float = 1.0,
         frame_size: int = 512,
         hop: int = 128,
+        tv_filter_fn=None,
     ):
         super().__init__()
         self.sample_rate = sample_rate
+        defaults = {"frame_size": frame_size, "hop": hop}
+        if tv_filter_fn is not None:
+            defaults["tv_filter_fn"] = tv_filter_fn
         self.process_fn = lambda x, *a, **kw: F.auto_wah(
-            x, *a, **{"frame_size": frame_size, "hop": hop, **kw}
+            x, *a, **{**defaults, **kw}
         )
         # the sweep range is split into two learnable endpoints whose
         # normalized columns both span the full range; the functional

@@ -8,7 +8,13 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
-from .sharded import sharded_fft_conv_causal, sharded_sosfilt_coupled
+from .sharded import (
+    sharded_fft_conv_causal,
+    sharded_multi_resolution_stft_loss,
+    sharded_sosfilt_coupled,
+    sharded_tv_freq_filter,
+    sharded_tv_power,
+)
 
 __all__ = [
     "make_mesh",
@@ -18,4 +24,7 @@ __all__ = [
     "replicate",
     "sharded_fft_conv_causal",
     "sharded_sosfilt_coupled",
+    "sharded_tv_freq_filter",
+    "sharded_tv_power",
+    "sharded_multi_resolution_stft_loss",
 ]

@@ -39,10 +39,23 @@ from dasp_tpu.utils import multi_resolution_stft_loss, synthetic_batch
 from dasp_tpu.utils.audio import save_wav
 
 
-def build_chain(sr: int) -> D.Chain:
+def build_chain(sr: int, mesh=None) -> D.Chain:
+    """``mesh`` with an sp axis > 1 sequence-shards the dynamic EQ's
+    WOLA transforms and (in main) the MR-STFT loss over the mesh —
+    the long-audio path for mastering-length programs."""
+    deq_kw = {}
+    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+        from functools import partial
+
+        from dasp_tpu.parallel import sharded_tv_freq_filter, sharded_tv_power
+
+        deq_kw = {
+            "tv_power_fn": partial(sharded_tv_power, mesh=mesh),
+            "tv_filter_fn": partial(sharded_tv_freq_filter, mesh=mesh),
+        }
     return D.Chain([
         D.TransientShaper(sr),
-        D.DynamicEQ(sr, num_bands=3),
+        D.DynamicEQ(sr, num_bands=3, **deq_kw),
         D.MultibandCompressor(sr),
         D.Exciter(sr),
         D.Limiter(sr),
@@ -57,6 +70,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out-dir", type=str, default="outputs/mastering")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel factor: shard the dynamic EQ's "
+                         "WOLA transforms and the MR-STFT loss over an "
+                         "(n/sp) dp x sp device mesh")
     args = ap.parse_args()
     if args.smoke:
         args.length, args.steps = 16384, min(args.steps, 50)
@@ -68,7 +85,19 @@ def main():
     # (eager device constants break lowering through the axon tunnel)
     mix_np = np.repeat(synthetic_batch(rng, bs, args.length, sr), 2, axis=1)
 
-    chain = build_chain(sr)
+    mesh = None
+    loss_mr = multi_resolution_stft_loss
+    if args.sp > 1:
+        from functools import partial
+
+        from dasp_tpu.parallel import make_mesh, sharded_multi_resolution_stft_loss
+
+        n = len(jax.devices())
+        mesh = make_mesh((n // args.sp, args.sp))
+        loss_mr = partial(sharded_multi_resolution_stft_loss, mesh=mesh)
+        print(f"mesh: dp={n // args.sp} sp={args.sp}")
+
+    chain = build_chain(sr, mesh)
     print(f"mastering chain: {chain.num_params} parameters "
           f"({', '.join(type(p).__name__ for p in chain.processors)})")
 
@@ -89,7 +118,7 @@ def main():
     def step(z, opt_state, mix, target):
         def loss_fn(z):
             y = chain.process_normalized(mix, jax.nn.sigmoid(z), clip_params=True)
-            return multi_resolution_stft_loss(y, target) + 10.0 * jnp.mean((y - target) ** 2)
+            return loss_mr(y, target) + 10.0 * jnp.mean((y - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(z)
         updates, opt_state = opt.update(grads, opt_state)

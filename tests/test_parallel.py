@@ -254,3 +254,238 @@ class TestDataParallelTraining:
         assert xs.sharding == batch_sharding(mesh)
         # each device holds 2 batch items
         assert xs.addressable_shards[0].data.shape == (2, 2, 128)
+
+
+class TestShardedWOLA:
+    """Sequence-sharded WOLA machinery (VERDICT r2 #3): tv filtering,
+    detector power, the MR-STFT loss, and the four WOLA effects must
+    match their unsharded versions forward AND backward."""
+
+    FS, HOP, T = 512, 128, 8192
+
+    def _xh(self, bs=2, chs=2, cplx=True):
+        from dasp_tpu.ops.tv_filter import tv_frame_count
+
+        n_fft = 4 * self.FS
+        n_frames = tv_frame_count(self.T, self.FS, self.HOP)
+        x = jnp.asarray(RNG.standard_normal((bs, chs, self.T)).astype(np.float32))
+        Hr = RNG.standard_normal((bs, n_frames, n_fft // 2 + 1)).astype(np.float32) * 0.3
+        if cplx:
+            Hi = RNG.standard_normal((bs, n_frames, n_fft // 2 + 1)).astype(np.float32) * 0.3
+            return x, jnp.asarray(Hr + 1j * Hi)
+        return x, jnp.asarray(Hr)
+
+    @pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+    def test_tv_freq_filter_matches(self, devices_ok, shape):
+        from dasp_tpu.ops.tv_filter import tv_freq_filter
+        from dasp_tpu.parallel import sharded_tv_freq_filter
+
+        mesh = make_mesh(shape)
+        x, H = self._xh()
+        ref = jax.jit(lambda x, H: tv_freq_filter(x, H, self.FS, self.HOP))(x, H)
+        out = jax.jit(
+            lambda x, H: sharded_tv_freq_filter(x, H, self.FS, self.HOP, mesh)
+        )(x, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_tv_freq_filter_grads_match(self, devices_ok):
+        from dasp_tpu.ops.tv_filter import tv_freq_filter
+        from dasp_tpu.parallel import sharded_tv_freq_filter
+
+        mesh = make_mesh((2, 4))
+        x, H = self._xh()
+
+        def loss(fn, x, H):
+            return jnp.sum(fn(x, H, self.FS, self.HOP) ** 2)
+
+        gx_r, gH_r = jax.jit(jax.grad(
+            lambda x, H: loss(tv_freq_filter, x, H), argnums=(0, 1)))(x, H)
+        gx_s, gH_s = jax.jit(jax.grad(
+            lambda x, H: loss(
+                lambda *a: sharded_tv_freq_filter(*a, mesh), x, H),
+            argnums=(0, 1)))(x, H)
+        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gH_s), np.asarray(gH_r), atol=1e-3)
+
+    def test_tv_freq_filter_batch_split_dp(self, devices_ok):
+        """batch_axis_name='dp' splits items over dp instead of
+        replicating the frame work on every dp row."""
+        from dasp_tpu.ops.tv_filter import tv_freq_filter
+        from dasp_tpu.parallel import sharded_tv_freq_filter
+
+        mesh = make_mesh((4, 2))
+        x, H = self._xh(bs=4)
+        ref = jax.jit(lambda x, H: tv_freq_filter(x, H, self.FS, self.HOP))(x, H)
+        out = jax.jit(lambda x, H: sharded_tv_freq_filter(
+            x, H, self.FS, self.HOP, mesh, batch_axis_name="dp"))(x, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_tv_power_matches(self, devices_ok):
+        from dasp_tpu.ops.tv_filter import tv_stft
+        from dasp_tpu.parallel import sharded_tv_power
+
+        mesh = make_mesh((2, 4))
+        x, _ = self._xh()
+        n_fft = 4 * self.FS
+        ref = jax.jit(lambda x: jnp.mean(
+            jnp.abs(tv_stft(x, self.FS, self.HOP, n_fft)) ** 2, axis=1))(x)
+        out = jax.jit(lambda x: sharded_tv_power(
+            x, self.FS, self.HOP, n_fft, mesh))(x)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4 * float(jnp.max(ref)))
+
+    def test_mrstft_loss_matches(self, devices_ok):
+        from dasp_tpu.parallel import sharded_multi_resolution_stft_loss
+        from dasp_tpu.utils import multi_resolution_stft_loss
+
+        mesh = make_mesh((2, 4))
+        x, _ = self._xh()
+        y = jnp.asarray(RNG.standard_normal(x.shape).astype(np.float32))
+        ref = jax.jit(lambda a, b: multi_resolution_stft_loss(
+            a, b, cpu_fft_workaround=True))(x, y)
+        out = jax.jit(lambda a, b: sharded_multi_resolution_stft_loss(
+            a, b, mesh))(x, y)
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
+
+        # grads: equal up to the fp knife-edge at the eps magnitude clip
+        # (an fp-level forward difference flips clip's 0-gradient against
+        # a 1/mag-amplified one at isolated entries) — compare in l2
+        gr = jax.jit(jax.grad(lambda a: multi_resolution_stft_loss(
+            a, y, cpu_fft_workaround=True)))(x)
+        gs = jax.jit(jax.grad(lambda a: sharded_multi_resolution_stft_loss(
+            a, y, mesh)))(x)
+        rel = float(jnp.linalg.norm(gr - gs) / jnp.linalg.norm(gr))
+        assert rel < 1e-3, rel
+
+    def test_mrstft_loss_dp_split_matches(self, devices_ok):
+        from dasp_tpu.parallel import sharded_multi_resolution_stft_loss
+        from dasp_tpu.utils import multi_resolution_stft_loss
+
+        mesh = make_mesh((4, 2))
+        x, _ = self._xh(bs=4)
+        y = jnp.asarray(RNG.standard_normal(x.shape).astype(np.float32))
+        ref = jax.jit(lambda a, b: multi_resolution_stft_loss(
+            a, b, cpu_fft_workaround=True))(x, y)
+        out = jax.jit(lambda a, b: sharded_multi_resolution_stft_loss(
+            a, b, mesh, batch_axis_name="dp"))(x, y)
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
+
+    @pytest.mark.parametrize("effect", ["phaser", "auto_wah", "spectral_gate", "dynamic_eq"])
+    def test_wola_effects_sharded_match(self, devices_ok, effect):
+        """Every WOLA-family effect must produce the same audio and
+        input-gradients under its sequence-parallel plug points."""
+        from functools import partial
+
+        import dasp_tpu.functional as F
+        from dasp_tpu.parallel import sharded_tv_freq_filter, sharded_tv_power
+
+        mesh = make_mesh((4, 2))
+        filt = partial(sharded_tv_freq_filter, mesh=mesh)
+        powf = partial(sharded_tv_power, mesh=mesh)
+        x = jnp.asarray(RNG.standard_normal((2, 2, self.T)).astype(np.float32) * 0.3)
+        half = jnp.array([0.5, 0.5])
+
+        if effect == "phaser":
+            fu = lambda x, **kw: F.phaser(
+                x, SR, jnp.array([1.0, 2.0]), half, jnp.array([800.0, 1200.0]),
+                jnp.array([0.4, 0.2]), half, **kw)
+            kw = {"tv_filter_fn": filt}
+        elif effect == "auto_wah":
+            fu = lambda x, **kw: F.auto_wah(
+                x, SR, jnp.array([5.0, 8.0]), jnp.array([10.0, 20.0]),
+                jnp.array([80.0, 120.0]), jnp.array([300.0, 400.0]),
+                jnp.array([2000.0, 3000.0]), jnp.array([2.0, 4.0]), half, **kw)
+            kw = {"tv_filter_fn": filt}
+        elif effect == "spectral_gate":
+            fu = lambda x, **kw: F.spectral_gate(
+                x, SR, jnp.array([6.0, 8.0]), jnp.array([24.0, 18.0]),
+                jnp.array([5.0, 10.0]), jnp.array([80.0, 120.0]),
+                frame_size=1024, hop=256, **kw)
+            kw = {"tv_power_fn": powf, "tv_filter_fn": filt}
+        else:
+            fu = lambda x, **kw: F.dynamic_eq(
+                x, SR, jnp.array([[300.0, 2000.0], [500.0, 4000.0]]),
+                2.0, -30.0, 4.0, 5.0, 80.0, frame_size=512, hop=128, **kw)
+            kw = {"tv_power_fn": powf, "tv_filter_fn": filt}
+
+        ref = jax.jit(lambda x: fu(x))(x)
+        out = jax.jit(lambda x: fu(x, **kw))(x)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5 * max(scale, 1.0))
+
+        gr = jax.jit(jax.grad(lambda x: jnp.sum(fu(x) ** 2)))(x)
+        gs = jax.jit(jax.grad(lambda x: jnp.sum(fu(x, **kw) ** 2)))(x)
+        rel = float(jnp.linalg.norm(gr - gs) / (jnp.linalg.norm(gr) + 1e-12))
+        assert rel < 1e-4, rel
+
+    def test_tv_shard_errors(self, devices_ok):
+        from dasp_tpu.parallel import sharded_tv_freq_filter
+
+        mesh = make_mesh((1, 8))
+        x, H = self._xh()
+        with pytest.raises(ValueError, match="halo"):
+            # T/8 = 1024 < n_fft - hop = 1920
+            jax.eval_shape(
+                lambda x, H: sharded_tv_freq_filter(x, H, self.FS, self.HOP, mesh),
+                x, H)
+
+
+class TestMasteringDryrun:
+    """The mastering chain trains dp x sp on the virtual mesh
+    (VERDICT r2 #3 'Done' criterion), and the sp-sharded chain output
+    matches the unsharded chain."""
+
+    def test_dryrun_mastering(self, devices_ok):
+        import importlib.util
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__graft_entry__.py")
+        spec = importlib.util.spec_from_file_location("graft_entry_m", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip_mastering(8)
+
+    def test_mastering_chain_sp_equivalence(self, devices_ok):
+        """Full mastering chain: sp-sharded DynamicEQ == unsharded,
+        forward and parameter gradients."""
+        from functools import partial
+
+        from dasp_tpu.parallel import sharded_tv_freq_filter, sharded_tv_power
+
+        mesh = make_mesh((1, 8))
+        sr = SR
+        x = jnp.asarray(RNG.standard_normal((2, 2, 8192)).astype(np.float32) * 0.25)
+
+        def build(shard):
+            kw = {}
+            if shard:
+                kw = {
+                    "tv_power_fn": partial(sharded_tv_power, mesh=mesh),
+                    "tv_filter_fn": partial(sharded_tv_freq_filter, mesh=mesh),
+                }
+            return D.Chain([
+                D.TransientShaper(sr),
+                D.DynamicEQ(sr, num_bands=3, frame_size=256, hop=64, **kw),
+                D.MultibandCompressor(sr),
+                D.Exciter(sr),
+                D.Limiter(sr),
+            ])
+
+        c_ref, c_sp = build(False), build(True)
+        p = jnp.full((2, c_ref.num_params), 0.55, jnp.float32)
+
+        def run(chain, x, p):
+            return chain.process_normalized(x, p, clip_params=True)
+
+        y_ref = jax.jit(partial(run, c_ref))(x, p)
+        y_sp = jax.jit(partial(run, c_sp))(x, p)
+        np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref), atol=5e-5)
+
+        g_ref = jax.jit(jax.grad(lambda p: jnp.sum(run(c_ref, x, p) ** 2)))(p)
+        g_sp = jax.jit(jax.grad(lambda p: jnp.sum(run(c_sp, x, p) ** 2)))(p)
+        rel = float(jnp.linalg.norm(g_ref - g_sp) / (jnp.linalg.norm(g_ref) + 1e-12))
+        assert rel < 1e-4, rel
