@@ -2955,9 +2955,10 @@ def convolution_reverb(
 def time_stretch(
     x: jnp.ndarray,
     sample_rate: float,
-    rate: float,
+    rate,
     frame_size: int = 2048,
     hop: int = 512,
+    out_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Phase-vocoder time stretch: change duration without changing pitch.
 
@@ -2982,20 +2983,42 @@ def time_stretch(
     within a frame the result is the textbook phase vocoder, not a
     transient-preserving variant.
 
+    Two rate modes:
+
+    * ``out_len=None`` (default): ``rate`` is a STATIC Python float; the
+      output length is ``round(seq_len / rate)`` (shape follows the
+      rate).
+    * ``out_len=<static int>``: the output length is FIXED and ``rate``
+      may be a traced, per-item, fully DIFFERENTIABLE tensor (bs,) — an
+      interior time-warp: output frame ``j`` reads the analysis track at
+      fractional position ``j * rate`` (clipped at the last frame, which
+      freezes if the warp runs past the input). Interpolation of the
+      magnitudes AND of the per-hop phase deviations is a batched
+      piecewise-linear hat matrix applied as one einsum — dense MXU
+      work, no data-dependent gathers — so ``d(output)/d(rate)`` exists
+      almost everywhere and the stretch factor can be LEARNED like any
+      other dasp parameter.
+
     Args:
         x: input audio, shape (bs, chs, seq_len).
         sample_rate: audio sample rate (unused; signature uniformity).
-        rate: stretch factor (static Python float > 0).
+        rate: stretch factor > 0 — static float, or (bs,) tensor with
+            ``out_len`` (rate > 1 speeds up, < 1 slows down).
         frame_size: analysis frame (static; n_fft = 2*frame_size).
         hop: frame hop (static; frame_size must be a multiple of 2*hop).
+        out_len: static output length enabling the differentiable-rate
+            mode.
 
     Returns:
-        Output audio, shape (bs, chs, round(seq_len / rate)).
+        Output audio, shape (bs, chs, round(seq_len / rate)) — or
+        (bs, chs, out_len) when ``out_len`` is given.
     """
     from .ops.tv_filter import tv_frame_count, tv_istft, tv_stft
 
     bs, chs, seq_len = x.shape
     dtype = x.dtype
+    if out_len is not None:
+        return _time_stretch_fixed(x, rate, frame_size, hop, int(out_len))
     rate = float(rate)
     if rate <= 0.0:
         raise ValueError(f"rate must be > 0, got {rate}")
@@ -3024,11 +3047,90 @@ def time_stretch(
         * np.float32(hop / n_fft)  # expected per-hop advance (rad)
     dphi = jnp.angle(X1 * jnp.conj(X0) * jnp.asarray(
         np.exp(-1j * w_bin).astype(np.complex64)))  # princarg(dphi - expected)
-    inc = w_bin + dphi  # true per-hop advance at each output position
-    # accumulate: phi[j] = angle(X0[0]) + sum_{k<j} inc[k]
-    phase = jnp.angle(X0[:, :, :1]) + jnp.concatenate(
-        [jnp.zeros_like(inc[:, :, :1]), jnp.cumsum(inc[:, :, :-1], axis=2)],
-        axis=2,
+    # phi[j] = angle(X0[0]) + j*w_bin + sum_{k<j} dphi[k]. The expected
+    # ramp j*w_bin is huge (2*pi*bin*hops rad) — accumulating it in fp32
+    # costs ~ULP(ramp) per bin per frame of phase noise — but mod 2*pi
+    # it is EXACT integer arithmetic: (j * k * hop) mod n_fft bin-cycles.
+    # Only the small deviations (each in (-pi, pi]) get cumsum'd.
+    phase = (
+        jnp.angle(X0[:, :, :1])
+        + jnp.asarray(_pv_phase_ramp(n_out, n_bins, hop, n_fft))
+        + jnp.concatenate(
+            [jnp.zeros_like(dphi[:, :, :1]), jnp.cumsum(dphi[:, :, :-1], axis=2)],
+            axis=2,
+        )
+    )
+    Y = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    y = tv_istft(Y, out_len, frame_size, hop)
+    return y.astype(dtype)
+
+
+def _pv_phase_ramp(n_out: int, n_bins: int, hop: int, n_fft: int) -> np.ndarray:
+    """The phase vocoder's expected synthesis-phase ramp
+    ``(j * w_bin) mod 2*pi``, computed EXACTLY: ``w_bin = 2*pi*k*hop /
+    n_fft``, so the ramp is ``2*pi * ((j*k*hop) mod n_fft) / n_fft`` —
+    pure integer arithmetic, no fp accumulation error. (n_out, n_bins)
+    float32 numpy."""
+    j = np.arange(n_out, dtype=np.int64)[:, None]
+    step = (np.arange(n_bins, dtype=np.int64) * hop) % n_fft
+    m = (j * step[None, :]) % n_fft
+    return (np.float32(2.0 * np.pi / n_fft) * m).astype(np.float32)
+
+
+def _time_stretch_fixed(x, rate, frame_size: int, hop: int, out_len: int):
+    """Fixed-output-length, differentiable-rate phase vocoder core.
+
+    The analysis-track positions ``tau_j = clip(j * rate, last frame)``
+    are traced; magnitude and per-hop phase-deviation interpolation run
+    as hat-matrix einsums (W[j, i] = relu(1 - |tau_j - i|)) so gradients
+    flow to ``rate`` through the interpolation weights. At integer
+    rates the hats select exactly and this coincides with the static
+    path's frames. rate == 1 reconstructs the input to roundoff (the
+    deviation telescoping makes the synthesis phase equal the analysis
+    phase mod 2*pi).
+    """
+    from .ops.tv_filter import tv_frame_count, tv_istft, tv_stft
+
+    bs, chs, seq_len = x.shape
+    dtype = x.dtype
+    rate_b = _param(rate, bs, dtype).reshape(bs, 1)  # (bs, 1)
+
+    n_fft = 2 * frame_size
+    n_bins = frame_size + 1
+    X = tv_stft(x, frame_size, hop, n_fft)  # (bs, chs, n_frames, n_bins)
+    n_frames = X.shape[2]
+    n_out = tv_frame_count(out_len, frame_size, hop)
+
+    j = jnp.arange(n_out, dtype=dtype)
+    tau = jnp.clip(j[None, :] * rate_b, 0.0, n_frames - 1)  # (bs, n_out)
+
+    def hat(tau, n):
+        grid = jnp.arange(n, dtype=dtype)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(tau[:, :, None] - grid))
+
+    W = hat(tau, n_frames)  # (bs, n_out, n_frames)
+    mag = jnp.einsum("bof,bcfk->bcok", W, jnp.abs(X),
+                     precision=jax.lax.Precision.HIGHEST)
+
+    # per-analysis-hop phase advance, deviation-corrected (see the
+    # static path), interpolated at the warp positions
+    w_bin = np.float32(2.0 * np.pi) * np.arange(n_bins, dtype=np.float32) \
+        * np.float32(hop / n_fft)
+    dev = jnp.angle(X[:, :, 1:] * jnp.conj(X[:, :, :-1]) * jnp.asarray(
+        np.exp(-1j * w_bin).astype(np.complex64)))  # (bs, chs, n_frames-1, n_bins)
+    Wd = hat(jnp.clip(tau, 0.0, max(n_frames - 2, 0)), max(n_frames - 1, 1))
+    dev_o = jnp.einsum("bof,bcfk->bcok", Wd, dev,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    # expected ramp exactly mod 2*pi (integer arithmetic — see the
+    # static path); only the small interpolated deviations accumulate
+    phase = (
+        jnp.angle(X[:, :, :1])
+        + jnp.asarray(_pv_phase_ramp(n_out, n_bins, hop, n_fft))
+        + jnp.concatenate(
+            [jnp.zeros_like(dev_o[:, :, :1]), jnp.cumsum(dev_o[:, :, :-1], axis=2)],
+            axis=2,
+        )
     )
     Y = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
     y = tv_istft(Y, out_len, frame_size, hop)
@@ -3039,30 +3141,63 @@ def time_stretch(
 def pitch_shift_pv(
     x: jnp.ndarray,
     sample_rate: float,
-    semitones: float,
+    semitones,
     frame_size: int = 2048,
     hop: int = 512,
+    max_semitones: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Phase-vocoder pitch shifter: STATIC shift, higher fidelity.
+    """Phase-vocoder pitch shifter (higher fidelity than the delay-line
+    :func:`pitch_shift`, which has periodic crossfade artifacts).
 
     :func:`time_stretch` by ``r = 2^(semitones/12)`` followed by linear
-    resampling back to the original length — the standard PV
-    pitch-shift. Complements :func:`pitch_shift` (the dual-tap
-    delay-line design): that one has a DIFFERENTIABLE, learnable shift
-    amount but periodic crossfade artifacts; this one requires a static
-    ``semitones`` (it sets output shapes) but avoids the crossfade comb
-    entirely. Gradients flow to ``x``.
+    resampling back to the original length — the standard PV pitch
+    shift. Output length is always ``seq_len``.
+
+    Two shift modes:
+
+    * ``max_semitones=None`` (default): ``semitones`` is a static
+      Python float; the intermediate stretch length follows the rate.
+    * ``max_semitones=<static float>``: ``semitones`` may be a traced,
+      per-item, DIFFERENTIABLE tensor (bs,) bounded above by
+      ``max_semitones`` — the intermediate stretch runs in the
+      fixed-length differentiable mode sized for the worst case
+      (``ceil(seq_len * 2^(max(max_semitones, 0)/12))``), and the
+      resample-back reads traced fractional positions ``t * r`` with a
+      linear-interpolation gather (one T-element gather per channel —
+      TPU scalar-core work, the only non-MXU step). Gradients flow to
+      ``semitones`` through both the warp matrices and the resampler.
 
     Args:
         x: input audio, shape (bs, chs, seq_len).
         sample_rate: audio sample rate (unused; signature uniformity).
-        semitones: pitch shift in semitones (static Python float).
+        semitones: pitch shift in semitones — static float, or (bs,)
+            tensor with ``max_semitones``.
         frame_size / hop: PV analysis layout (static).
+        max_semitones: static upper bound enabling the differentiable
+            mode.
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
     """
     bs, chs, seq_len = x.shape
+    if max_semitones is not None:
+        r_max = 2.0 ** (max(float(max_semitones), 0.0) / 12.0)
+        L_s = int(math.ceil(seq_len * r_max))
+        r = 2.0 ** (_param(semitones, bs, x.dtype).reshape(bs) / 12.0)  # (bs,)
+        stretched = time_stretch(
+            x, sample_rate, 1.0 / r, frame_size, hop, out_len=L_s)
+
+        # resample back: out[t] = stretched[t * r], traced linear interp
+        t = jnp.arange(seq_len, dtype=x.dtype)
+        pos = jnp.clip(t[None, :] * r[:, None], 0.0, L_s - 1.001)  # (bs, T)
+        p0 = jnp.floor(pos)
+        frac = (pos - p0)[:, None, :]
+        i0 = p0.astype(jnp.int32)[:, None, :]
+        i0 = jnp.broadcast_to(i0, (bs, chs, seq_len))
+        s0 = jnp.take_along_axis(stretched, i0, axis=-1)
+        s1 = jnp.take_along_axis(stretched, jnp.minimum(i0 + 1, L_s - 1), axis=-1)
+        return ((1.0 - frac) * s0 + frac * s1).astype(x.dtype)
+
     r = 2.0 ** (float(semitones) / 12.0)
     stretched = time_stretch(x, sample_rate, 1.0 / r, frame_size, hop)
 

@@ -63,6 +63,8 @@ __all__ = [
     "Chorus",
     "Flanger",
     "PitchShift",
+    "TimeStretch",
+    "PitchShiftPV",
     "Tremolo",
     "RingModulator",
     "StereoImager",
@@ -970,6 +972,62 @@ class PitchShift(Processor):
             "semitones": (min_semitones, max_semitones),
             "mix": (min_mix, max_mix),
         }
+
+
+class TimeStretch(Processor):
+    """Phase-vocoder time stretch with a LEARNABLE rate
+    (functional.time_stretch in its fixed-output-length mode).
+
+    The output keeps the input's length — an interior time-warp: the
+    synthesis track reads the analysis track at ``j * rate``, clipping
+    (and freezing) at the final frame when ``rate > 1`` runs off the
+    end. ``rate`` gradients flow through the warp's hat-interpolation
+    matrices, so the stretch factor trains like any other parameter."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_rate: float = 0.5,
+        max_rate: float = 2.0,
+        frame_size: int = 2048,
+        hop: int = 512,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.time_stretch(
+            x, *a,
+            **{"frame_size": frame_size, "hop": hop,
+               "out_len": x.shape[-1], **kw},
+        )
+        self.param_ranges = {"rate": (min_rate, max_rate)}
+
+
+class PitchShiftPV(Processor):
+    """Phase-vocoder pitch shifter with a LEARNABLE shift
+    (functional.pitch_shift_pv in its differentiable mode) — the
+    higher-fidelity counterpart of :class:`PitchShift` (no periodic
+    crossfade comb; costs a PV round trip plus one resampling gather).
+
+    The intermediate stretch buffer is sized for ``max_semitones``
+    (static), so raising the ceiling costs memory/compute even for
+    small shifts."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        min_semitones: float = -12.0,
+        max_semitones: float = 12.0,
+        frame_size: int = 2048,
+        hop: int = 512,
+    ):
+        super().__init__()
+        self.sample_rate = sample_rate
+        self.process_fn = lambda x, *a, **kw: F.pitch_shift_pv(
+            x, *a,
+            **{"frame_size": frame_size, "hop": hop,
+               "max_semitones": max_semitones, **kw},
+        )
+        self.param_ranges = {"semitones": (min_semitones, max_semitones)}
 
 
 class DynamicEQ(Processor):

@@ -67,6 +67,8 @@ __all__ = [
     "delay_stream",
     "modulated_delay_stream",
     "pitch_shift_stream",
+    "time_stretch_stream",
+    "pitch_shift_pv_stream",
     "tremolo_stream",
     "ring_modulator_stream",
     "phaser_stream",
@@ -1164,6 +1166,188 @@ def dynamic_eq_stream(
     H = F._dynamic_eq_response(frequency_hz, q_factor, g, n_bins, sample_rate)
     y, ola = _wola_synthesize(X * H[:, None], hop, state["ola"])
     return y.astype(dtype), {"xhist": xhist, "ola": ola, "bal": bal}
+
+
+def _pv_stream_layout(rate: float, K_in: int):
+    """Static frame-layout constants of the streaming phase vocoder.
+
+    (imports are local like the rest of this module)
+
+    K_out output frames per chunk (must divide exactly), D = output-frame
+    delay so every interpolation index lands on an already-analyzed
+    frame, P+1 = carried analysis spectra.
+    """
+    import math
+
+    K_out = round(K_in / rate)
+    if abs(K_out * rate - K_in) > 1e-9 or K_out < 1:
+        raise ValueError(
+            f"chunk frames ({K_in}) / rate ({rate}) must be a positive "
+            f"integer (got {K_in / rate}); pick a chunk length whose "
+            f"frame count divides by the rate"
+        )
+    D = max(1, int(math.ceil(2.0 / rate - 1.0)))
+    P = max(0, int(math.ceil(D * rate)) - 1)
+    return K_out, D, P
+
+
+def time_stretch_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    rate: float,
+    frame_size: int = 2048,
+    hop: int = 512,
+    state=None,
+) -> Tuple[jnp.ndarray, Any]:
+    """Streaming phase-vocoder time stretch (offline
+    :func:`dasp_tpu.functional.time_stretch`, static ``rate``).
+
+    Consumes chunks of ``Tc`` input samples and emits chunks of
+    ``Tc / rate`` output samples (so ``Tc/hop / rate`` must be a
+    positive integer — e.g. hop 512, Tc 10*512, rate 1.25 -> 8 output
+    frames per chunk). The concatenated stream equals the offline
+    render delayed by ``frame_size - hop + D*hop`` samples, where
+    ``D = max(1, ceil(2/rate - 1))`` is the frame lookahead the warp's
+    linear interpolation needs; the first ``D`` output frames are
+    warm-up. Carried state: the WOLA input/overlap tails, the last
+    ``P + 1`` analysis spectra, and the WRAPPED synthesis phase (the
+    expected per-frame advance accumulates EXACTLY via the integer
+    mod-n_fft ramp — see ``functional._pv_phase_ramp`` — so the stream
+    can run forever without fp32 phase staircase).
+    """
+    import math
+
+    import jax
+    import numpy as np
+
+    bs, chs, Tc = x.shape
+    dtype = x.dtype
+    rate = float(rate)
+    if rate <= 0.0:
+        raise ValueError(f"rate must be > 0, got {rate}")
+    if Tc % hop != 0:
+        raise ValueError(f"chunk length {Tc} must be a multiple of hop {hop}.")
+    K_in = Tc // hop
+    K_out, D, P = _pv_stream_layout(rate, K_in)
+
+    n_fft = 2 * frame_size
+    n_bins = frame_size + 1
+    w_bin = np.float32(2.0 * np.pi) * np.arange(n_bins, dtype=np.float32) \
+        * np.float32(hop / n_fft)
+    e_wb = jnp.asarray(np.exp(-1j * w_bin).astype(np.complex64))
+
+    first = state is None
+    if first:
+        state = {
+            "wola_xhist": None,
+            "ola": None,
+            "Xbuf": jnp.zeros((bs, chs, P + 1, n_bins), jnp.complex64),
+            "phi0": jnp.zeros((bs, chs, n_bins), jnp.float32),
+        }
+
+    X, xhist = _wola_analyze(x, frame_size, hop, n_fft, state["wola_xhist"])
+    Xall = jnp.concatenate([state["Xbuf"], X], axis=2)  # (bs, chs, P+1+K_in, n_bins)
+
+    # static interpolation positions: output frame j reads analysis
+    # position (j - D) * rate, = (j - D)*rate + P + 1 in buffer coords
+    # (>= 0 by construction: P + 1 >= D*rate)
+    tau = np.arange(K_out, dtype=np.float64) * rate - D * rate + P + 1
+    i0 = np.floor(tau).astype(np.int64)
+    i1 = i0 + 1
+    frac = jnp.asarray((tau - np.floor(tau)).astype(np.float32))[:, None]
+
+    X0 = jnp.take(Xall, jnp.asarray(i0), axis=2)  # constant-index slices
+    X1 = jnp.take(Xall, jnp.asarray(i1), axis=2)
+    mag = (1.0 - frac) * jnp.abs(X0) + frac * jnp.abs(X1)
+    dev = jnp.angle(X1 * jnp.conj(X0) * e_wb)  # princarg(adv - expected)
+
+    # synthesis phases: carried phi0 + exact mod-2*pi expected ramp +
+    # cumsum of the small deviations
+    ramp = jnp.asarray(F._pv_phase_ramp(K_out + 1, n_bins, hop, n_fft))
+    if first:
+        # the first D output frames are warm-up (they read the zeroed
+        # spectrum buffer): silence them and start the phase bookkeeping
+        # at the true phase of analysis frame 0, so the stream equals
+        # the offline render delayed by frame_size - hop + D*hop exactly
+        warm = jnp.asarray(
+            (np.arange(K_out) >= D).astype(np.float32))[:, None]
+        mag = mag * warm
+        dev = dev * warm
+        ramp = ramp[np.maximum(np.arange(K_out + 1) - D, 0)]
+        phi0 = jnp.angle(X[:, :, :1])  # anchor: phase of analysis frame 0
+    else:
+        phi0 = state["phi0"][:, :, None]
+
+    cum = jnp.concatenate(
+        [jnp.zeros_like(dev[:, :, :1]), jnp.cumsum(dev, axis=2)], axis=2)
+    phase = phi0 + ramp[:K_out] + cum[:, :, :K_out]
+
+    two_pi = np.float32(2.0 * np.pi)
+    phi_next = jnp.mod(
+        phase[:, :, -1] + (ramp[K_out] - ramp[K_out - 1]) + dev[:, :, -1]
+        + np.float32(np.pi),
+        two_pi,
+    ) - np.float32(np.pi)
+
+    Y = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    y, ola = _wola_synthesize(Y, hop, state["ola"])
+
+    new_state = {
+        "wola_xhist": xhist,
+        "ola": ola,
+        "Xbuf": Xall[:, :, -(P + 1):],
+        "phi0": phi_next,
+    }
+    return y.astype(dtype), new_state
+
+
+def pitch_shift_pv_stream(
+    x: jnp.ndarray,
+    sample_rate: float,
+    semitones: float,
+    frame_size: int = 2048,
+    hop: int = 512,
+    state=None,
+) -> Tuple[jnp.ndarray, Any]:
+    """Streaming phase-vocoder pitch shifter (offline
+    :func:`dasp_tpu.functional.pitch_shift_pv`, static ``semitones``):
+    :func:`time_stretch_stream` at ``1/r`` composed with a streaming
+    linear resampler at ``r = 2^(semitones/12)``. Length-preserving
+    (Tc in -> Tc out); requires ``(Tc/hop) * r`` to be an integer —
+    e.g. hop 512, Tc 12*512, r = 2^(7/12) is NOT representable, but
+    chunked rational approximations like r = 1.5 (+7.02 st) are; for
+    arbitrary shifts use the offline effect or the delay-line
+    :func:`pitch_shift_stream`. Additional latency over the stretch
+    stage: ``ceil((2 - r)/r)`` output samples.
+    """
+    import math
+
+    import numpy as np
+
+    bs, chs, Tc = x.shape
+    r = 2.0 ** (float(semitones) / 12.0)
+    if state is None:
+        state = {"stretch": None, "hist": None}
+
+    stretched, st_stretch = time_stretch_stream(
+        x, sample_rate, 1.0 / r, frame_size, hop, state["stretch"])
+    L = stretched.shape[-1]  # = Tc * r
+
+    Dr = max(1, int(math.ceil((2.0 - r) / r)))
+    H = int(math.ceil(Dr * r))
+    hist = state["hist"]
+    if hist is None:
+        hist = jnp.zeros((bs, chs, H), stretched.dtype)
+    buf = jnp.concatenate([hist, stretched], axis=-1)  # (bs, chs, H + L)
+
+    pos = np.arange(Tc, dtype=np.float64) * r - Dr * r + H
+    j0 = np.floor(pos).astype(np.int64)
+    fr = jnp.asarray((pos - np.floor(pos)).astype(np.float32))
+    s0 = jnp.take(buf, jnp.asarray(j0), axis=-1)
+    s1 = jnp.take(buf, jnp.asarray(j0 + 1), axis=-1)
+    y = (1.0 - fr) * s0 + fr * s1
+
+    return y.astype(x.dtype), {"stretch": st_stretch, "hist": buf[..., -H:]}
 
 
 def phaser_stream(

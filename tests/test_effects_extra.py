@@ -1400,11 +1400,15 @@ class TestPhaseVocoder:
         x = _noise(1, 2, 16384)
         y = np.asarray(jax.jit(lambda x: F.time_stretch(x, SR, 1.0))(x))
         # rate 1: integer frame positions, zero phase correction — the
-        # PV reduces to stft->istft through reconstructed phases
-        # (angle -> cumsum -> cos/sin), so fp32 accuracy is ~1e-3 of the
-        # signal scale away from edges
+        # PV reduces to stft->istft through reconstructed phases. The
+        # expected-advance ramp accumulates EXACTLY (integer mod-n_fft
+        # arithmetic, functional._pv_phase_ramp): coherent content
+        # roundtrips to ~1e-5 (it was ~2e-3 when the ramp was cumsum'd
+        # in fp32). Broadband NOISE still carries ~3e-4: near-null bins
+        # take an absolute-FFT-error phase kick that the cumsum then
+        # propagates to later frames of that bin.
         np.testing.assert_allclose(
-            y[..., 2048:-2048], np.asarray(x)[..., 2048:-2048], atol=2e-3
+            y[..., 2048:-2048], np.asarray(x)[..., 2048:-2048], atol=1e-3
         )
 
     def test_pv_pitch_shift_moves_the_tone(self):
@@ -1432,6 +1436,126 @@ class TestPhaseVocoder:
         ))(x)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+    # ---- differentiable fixed-output-length mode (VERDICT r2 #6) ----
+
+    def test_fixed_mode_unity_rate_identity(self):
+        x = _noise(2, 2, 16384)
+        y = jax.jit(lambda x: F.time_stretch(
+            x, SR, jnp.array([1.0, 1.0]), out_len=16384))(x)
+        np.testing.assert_allclose(
+            np.asarray(y)[..., 2048:-4096], np.asarray(x)[..., 2048:-4096],
+            atol=1e-3)  # noise floor — see test_unity_rate_roundtrips
+
+    def test_fixed_mode_matches_static_at_integer_rate(self):
+        x = _noise(1, 1, 16384)
+        ys = jax.jit(lambda x: F.time_stretch(x, SR, 2.0))(x)
+        yf = jax.jit(lambda x: F.time_stretch(
+            x, SR, jnp.array([2.0]), out_len=16384 // 2))(x)
+        m = ys.shape[-1] - 2048
+        np.testing.assert_allclose(
+            np.asarray(yf)[..., 1024:m], np.asarray(ys)[..., 1024:m], atol=1e-6)
+
+    def test_fixed_mode_preserves_pitch_per_item(self):
+        t = 32768
+        n = np.arange(t) / SR
+        x = jnp.asarray(np.stack([
+            0.5 * np.sin(2 * np.pi * 440.0 * n),
+            0.5 * np.sin(2 * np.pi * 660.0 * n),
+        ])[:, None, :].astype(np.float32))  # (2, 1, t)
+        y = np.asarray(jax.jit(lambda x: F.time_stretch(
+            x, SR, jnp.array([1.3, 0.7]), out_len=t))(x))
+        for item, f0 in ((0, 440.0), (1, 660.0)):
+            seg = y[item, 0, 4096:4096 + 16384] * np.hanning(16384)
+            f_peak = np.abs(np.fft.rfft(seg)).argmax() * SR / 16384
+            assert abs(f_peak - f0) < 5.0, (item, f_peak)
+
+    def test_rate_gradient_finite_nonzero(self):
+        x = _noise(2, 1, 8192)
+        target = _noise(2, 1, 8192)
+        g = jax.jit(jax.grad(lambda r: jnp.mean(
+            (F.time_stretch(x, SR, r, out_len=8192) - target) ** 2
+        )))(jnp.array([1.2, 0.9]))
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).min()) > 0
+
+    def test_differentiable_pitch_shift_moves_per_item(self):
+        t = 32768
+        n = np.arange(t) / SR
+        x = jnp.asarray((0.5 * np.sin(2 * np.pi * 440.0 * n))
+                        .astype(np.float32))[None, None, :].repeat(2, 0)
+        semis = jnp.array([4.0, -3.0])
+        y = np.asarray(jax.jit(lambda x, s: F.pitch_shift_pv(
+            x, SR, s, max_semitones=7.0))(x, semis))
+        assert y.shape == (2, 1, t)
+        for item, st in ((0, 4.0), (1, -3.0)):
+            seg = y[item, 0, 4096:4096 + 16384] * np.hanning(16384)
+            f_peak = np.abs(np.fft.rfft(seg)).argmax() * SR / 16384
+            want = 440.0 * 2.0 ** (st / 12.0)
+            assert abs(f_peak - want) < 8.0, (item, f_peak, want)
+        g = jax.jit(jax.grad(lambda s: jnp.mean(F.pitch_shift_pv(
+            x, SR, s, max_semitones=7.0) ** 2)))(semis)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_time_stretch_module_learns_rate(self):
+        """TimeStretch recovers a hidden rate by Adam — the 'full
+        stack' trainability contract every other effect meets."""
+        import optax
+
+        t = 16384
+        x = _noise(1, 1, t)
+        proc = D.TimeStretch(SR, frame_size=1024, hop=256)
+        p_true = 0.62
+        target = proc.process_normalized(
+            x, jnp.full((1, 1), p_true, jnp.float32), clip_params=True)
+
+        @jax.jit
+        def loss_fn(p):
+            y = proc.process_normalized(x, jax.nn.sigmoid(p), clip_params=True)
+            return jnp.mean((y - target) ** 2)
+
+        p = jnp.zeros((1, 1), jnp.float32)
+        opt = optax.adam(0.1)
+        st = opt.init(p)
+        grad = jax.jit(jax.grad(loss_fn))
+        l0 = float(loss_fn(p))
+        for _ in range(60):
+            u, st = opt.update(grad(p), st)
+            p = optax.apply_updates(p, u)
+        l1 = float(loss_fn(p))
+        assert l1 < 0.25 * l0, (l0, l1)
+        got = float(jax.nn.sigmoid(p)[0, 0])
+        assert abs(got - p_true) < 0.12, (got, p_true)
+
+    def test_pitch_shift_pv_module_local_minimum(self):
+        """PitchShiftPV's loss is locally minimized at the true shift
+        with finite nonzero gradients on both sides (the MSE landscape
+        for pitch is too multi-modal for a blind Adam run, but the
+        parameter is trainable near the optimum — the module contract)."""
+        t = 16384
+        n = np.arange(t) / SR
+        # harmonic-rich tone: pitch mismatch is visible to plain MSE
+        x = jnp.asarray(sum(
+            0.3 / k * np.sin(2 * np.pi * 220.0 * k * n) for k in (1, 2, 3)
+        ).astype(np.float32))[None, None, :]
+        proc = D.PitchShiftPV(SR, min_semitones=-5.0, max_semitones=5.0,
+                              frame_size=1024, hop=256)
+        p_true = 0.70
+        target = proc.process_normalized(
+            x, jnp.full((1, 1), p_true, jnp.float32), clip_params=True)
+
+        @jax.jit
+        def loss_fn(p):
+            y = proc.process_normalized(
+                x, jnp.full((1, 1), 1.0, jnp.float32) * p, clip_params=True)
+            return jnp.mean((y - target) ** 2)
+
+        l_true = float(loss_fn(jnp.asarray(p_true)))
+        l_lo = float(loss_fn(jnp.asarray(p_true - 0.04)))
+        l_hi = float(loss_fn(jnp.asarray(p_true + 0.04)))
+        assert l_true < l_lo and l_true < l_hi, (l_lo, l_true, l_hi)
+        g = jax.jit(jax.grad(lambda p: loss_fn(p)))(jnp.asarray(p_true + 0.04))
+        assert np.isfinite(float(g)) and abs(float(g)) > 0
 
 
 class TestStereoImager:

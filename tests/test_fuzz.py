@@ -138,6 +138,14 @@ class TestFuzzNewProcessors:
         _assert_healthy(D.Exciter(SR), _x(2, 8192))
         _assert_healthy(D.Bitcrusher(SR), _x(2, 8192))
 
+    def test_pv_family(self):
+        # learnable-rate phase vocoder: frame 1024/hop 256 keeps the
+        # CPU-suite cost moderate at T=8192
+        _assert_healthy(D.TimeStretch(SR, frame_size=1024, hop=256), _x(2, 8192))
+        _assert_healthy(
+            D.PitchShiftPV(SR, max_semitones=7.0, frame_size=1024, hop=256),
+            _x(2, 8192))
+
     def test_stochastic_and_side_input(self):
         _assert_healthy(D.WowFlutter(SR), _x(2, 8192), key=jax.random.PRNGKey(5))
         ir = jnp.asarray(RNG.standard_normal(256).astype(np.float32) * 0.1)
