@@ -403,8 +403,12 @@ class TestStreamChain:
             y, state = step(x[..., i : i + 512], state)
             outs.append(y)
         y_stream = jnp.concatenate(outs, axis=-1)
+        # measured chain error is ~1.2e-7 (fp32 ULP at this scale); the
+        # per-effect standard (2e-5) holds through composition because
+        # every stage's streaming path is the SAME kernel as its offline
+        # path with carried state, not an approximation of it
         np.testing.assert_allclose(
-            np.asarray(y_stream), np.asarray(offline(x)), atol=1e-3
+            np.asarray(y_stream), np.asarray(offline(x)), atol=2e-5
         )
         assert set(state.keys()) == {"eq", "comp", "lim"}
 
