@@ -117,8 +117,7 @@ def main():
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, x, rand, key):
+    def _step_core(params, batch_stats, opt_state, x, rand, key):
         k_ref, k_out = jax.random.split(key)
         ref = processors["equalizer"].process_normalized(x, rand["eq"], clip_params=True)
         ref = processors["compressor"].process_normalized(ref, rand["comp"], clip_params=True)
@@ -141,6 +140,28 @@ def main():
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, x, rand, key):
+        return _step_core(params, batch_stats, opt_state, x, rand, key)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def synth_train_step(params, batch_stats, opt_state, key):
+        """Device-synthesis feeding mode: the batch (audio + corruption
+        params) is generated ON DEVICE from one PRNG key — the
+        host-independent input path. The corruption chain already runs on
+        device; synthesizing the raw audio there too removes the host
+        from the steady-state loop entirely (keys are O(bytes))."""
+        ks = jax.random.split(key, 7)
+        x = 0.25 * jax.random.normal(ks[0], (bs, 1, 2 * half), jnp.float32)
+        rand = {
+            "eq": jax.random.uniform(ks[1], (bs, 18)),
+            "comp": jax.random.uniform(ks[2], (bs, 6)),
+            "reverb": jax.random.uniform(ks[3], (bs, 25)),
+            "g1": jax.random.uniform(ks[4], (bs, 1, 1), maxval=24.0),
+            "g2": jax.random.uniform(ks[5], (bs, 1, 1), maxval=24.0),
+        }
+        return _step_core(params, batch_stats, opt_state, x, rand, ks[6])
 
     rng = np.random.default_rng(0)
 
@@ -193,14 +214,36 @@ def main():
     eprint(f"device throughput: {steps_per_sec:.3f} steps/s ({dt*1e3:.2f} ms/step), "
            f"final loss {float(loss):.4f}")
 
-    # --- secondary: host-streamed input pipeline ---------------------------
-    # N producer threads synthesize batches; device_prefetch double-buffers
-    # async device_put so transfer overlaps compute (utils.pipeline — the
-    # reference's DataLoader(num_workers=8) analogue). Two rows:
-    #   input_pipeline: batches delivered device-resident per sec, no
-    #     training — proves whether the pipeline can feed the chip;
-    #   host_streamed: the train loop actually fed by that pipeline.
+    # --- secondary A: device-synthesis feeding (host-independent) ----------
+    # The batch is generated on device inside the jitted step; the host
+    # only ships a PRNG key per step. This is the production feeding mode
+    # for synthetic/self-supervised corruption training — by construction
+    # it cannot be host-bound.
+    for i in range(2):
+        params, batch_stats, opt_state, loss = synth_train_step(
+            params, batch_stats, opt_state, jax.random.PRNGKey(200 + i))
+    jax.block_until_ready(loss)
+    n_s = args.steps
+    t0 = time.time()
+    for i in range(n_s):
+        params, batch_stats, opt_state, loss = synth_train_step(
+            params, batch_stats, opt_state, jax.random.PRNGKey(210 + i))
+    jax.block_until_ready((params, loss))
+    synth_sps = n_s / (time.time() - t0)
+    eprint(f"device-synthesis training: {synth_sps:.3f} steps/s "
+           f"({100.0 * synth_sps / steps_per_sec:.0f}% of device-resident)")
+
+    # --- secondary B: host-streamed input pipeline -------------------------
+    # N producer threads synthesize batches (N adapts to the host's cores
+    # — a constant oversubscribes small hosts); device_prefetch
+    # double-buffers async device_put (utils.pipeline — the reference's
+    # DataLoader(num_workers=8) analogue). Per-stage costs are measured
+    # and recorded so the achievable feed rate is explainable from the
+    # host, not asserted.
     from dasp_tpu.utils import device_prefetch, threaded_iterator
+
+    nproc = os.cpu_count() or 1
+    n_workers = max(1, min(8, nproc - 1))
 
     def source(wid):
         srng = np.random.default_rng(1000 + wid)
@@ -215,13 +258,37 @@ def main():
             }
             yield x, rand
 
+    # per-stage: (1) one worker's synthesis time per batch
+    gen_it = source(0)
+    next(gen_it)  # warm allocators
+    t0 = time.time()
+    for _ in range(3):
+        host_batch = next(gen_it)
+    gen_s = (time.time() - t0) / 3
+    # per-stage: (2) host->device transfer time / bandwidth
+    batch_bytes = host_batch[0].nbytes + sum(v.nbytes for v in host_batch[1].values())
+    jax.block_until_ready(jax.device_put(host_batch))  # warm transfer path
+    t0 = time.time()
+    for _ in range(3):
+        jax.block_until_ready(jax.device_put(host_batch))
+    put_s = (time.time() - t0) / 3
+    # conservative estimate: workers generate in parallel; transfers
+    # taken fully serialized at the blocking per-put cost (the async
+    # device_put path pipelines transfers, so the measured feed rate can
+    # exceed this — the blocking measurement includes tunnel RTT)
+    est = min(n_workers / gen_s, 1.0 / put_s) if gen_s > 0 and put_s > 0 else float("inf")
+    eprint(f"pipeline stages (nproc={nproc}, workers={n_workers}): "
+           f"generate {gen_s*1e3:.0f} ms/batch/worker, blocking device_put "
+           f"{put_s*1e3:.0f} ms ({batch_bytes / put_s / 1e9:.2f} GB/s) -> "
+           f"serialized estimate ~{est:.2f} batches/s (async puts pipeline past it)")
+
     # steady-state measurement: consume well past the buffer depth before
     # timing, so the rate reflects sustained production, not buffer drain
     PREFETCH, DEPTH = 6, 2
     n2 = min(args.steps, 32)
     warm2 = PREFETCH + DEPTH
 
-    pipe = device_prefetch(threaded_iterator(source, num_workers=4, prefetch=PREFETCH),
+    pipe = device_prefetch(threaded_iterator(source, num_workers=n_workers, prefetch=PREFETCH),
                            size=DEPTH)
     for _ in range(warm2):
         jax.block_until_ready(next(pipe)[0])
@@ -234,9 +301,10 @@ def main():
     del delivered
     eprint(f"input pipeline alone: {feed_rate:.3f} batches/s "
            f"({'not ' if feed_rate < steps_per_sec else ''}able to feed "
-           f"{steps_per_sec:.2f} steps/s compute)")
+           f"{steps_per_sec:.2f} steps/s compute; use device-synthesis mode "
+           f"when the host is the bottleneck)")
 
-    pipe = device_prefetch(threaded_iterator(source, num_workers=4, prefetch=PREFETCH),
+    pipe = device_prefetch(threaded_iterator(source, num_workers=n_workers, prefetch=PREFETCH),
                            size=DEPTH)
     for i in range(warm2):
         x, rand = next(pipe)
@@ -254,10 +322,22 @@ def main():
 
     report = {
         "device_resident_steps_per_sec": round(steps_per_sec, 4),
+        "device_synth_steps_per_sec": round(synth_sps, 4),
+        "device_synth_pct_of_resident": round(100.0 * synth_sps / steps_per_sec, 1),
         "input_pipeline_batches_per_sec": round(feed_rate, 4),
         "host_streamed_steps_per_sec": round(streamed, 4),
         "batch_size": bs, "clip_len": 2 * half,
-        "pipeline": {"num_workers": 4, "prefetch": PREFETCH, "device_prefetch": DEPTH},
+        "host": {
+            "nproc": nproc,
+            "num_workers": n_workers,
+            "generate_s_per_batch_per_worker": round(gen_s, 4),
+            "device_put_s_per_batch": round(put_s, 4),
+            "transfer_GB_per_s": round(batch_bytes / put_s / 1e9, 3),
+            "batch_bytes": batch_bytes,
+            "serialized_feed_estimate_batches_per_sec": round(est, 3),
+        },
+        "pipeline": {"num_workers": n_workers, "prefetch": PREFETCH,
+                     "device_prefetch": DEPTH},
     }
     try:
         with open(os.path.join(HERE, "benchmarks", "input_pipeline_report.json"), "w") as f:
