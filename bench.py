@@ -62,6 +62,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--length", type=int, default=262144)
     ap.add_argument("--smoke", action="store_true", help="tiny shapes, no baseline")
+    ap.add_argument("--verify", action="store_true",
+                    help="run the on-device verification gate instead of the "
+                         "throughput bench (benchmarks/tpu_verify.py): exact "
+                         "fast paths vs f64/exact references, streaming vs "
+                         "offline, training-scale grads; writes "
+                         "benchmarks/tpu_verify_report.json")
     ap.add_argument("--bf16", action="store_true", default=True,
                     help="bf16 encoder convolutions (MXU mixed precision; the "
                          "TPU-native default — fp32 params/statistics)")
@@ -85,6 +91,13 @@ def main():
                          "block-state formulation, fastest; fsm = reference-parity FFT "
                          "approximation)")
     args = ap.parse_args()
+
+    if args.verify:
+        # delegate before importing jax (the gate owns the device; this
+        # process never initializes a second TPU client)
+        rc = subprocess.call(
+            [sys.executable, os.path.join(HERE, "benchmarks", "tpu_verify.py")])
+        sys.exit(rc)
 
     import jax
     import jax.numpy as jnp
