@@ -22,6 +22,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import dasp_tpu as D  # noqa: E402
+import dasp_tpu.utils  # noqa: E402,F401  (binds D.utils for the loudness case)
 
 SR = 44100
 
@@ -81,8 +82,12 @@ def main():
     ap.add_argument("--length", type=int, default=131072)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--only", default=None,
-                    help="substring filter on case names; measured rows are "
-                         "merged into an existing report instead of replacing it")
+                    help="comma-separated substring filters on case names; "
+                         "measured rows are merged into an existing report "
+                         "instead of replacing it")
+    ap.add_argument("--missing", action="store_true",
+                    help="measure only cases absent from (or failed in) the "
+                         "existing report, merging into it")
     args = ap.parse_args()
 
     bs, T = args.batch_size, args.length
@@ -198,6 +203,15 @@ def main():
             [f(0.0)],  # dummy (the PV shift is static); p keeps the
                        # timing harness's grad path alive
             lambda x, p: D.pitch_shift_pv(x + 0.0 * p[0].reshape(-1, 1, 1), SR, 4.0)),
+        "pitch_shift_pv_diff": (
+            [f(4.0)],  # differentiable traced shift (max_semitones mode)
+            lambda x, p: D.pitch_shift_pv(x, SR, p[0], max_semitones=7.0)),
+        "time_stretch": (
+            [f(1.25)],  # differentiable traced rate, fixed output length
+            lambda x, p: D.time_stretch(x, SR, p[0], out_len=x.shape[-1])),
+        "loudness_normalize": (
+            [f(-14.0)],  # exercises utils.integrated_loudness end-to-end
+            lambda x, p: D.utils.loudness_normalize(x, SR, *p)),
         "tremolo": ([f(4.0), f(0.8)], lambda x, p: D.tremolo(x, SR, *p)),
         "ring_modulator": (
             [f(440.0), f(0.8)],
@@ -279,11 +293,19 @@ def main():
 
     runs = {name: (x0, params, fn, None) for name, (params, fn) in cases.items()}
     runs.update(special)
-    if args.only:
-        runs = {n: r for n, r in runs.items() if args.only in n}
+    if args.only or args.missing:
         if os.path.exists(args.out):  # merge partial measurements
             with open(args.out) as fjson:
                 report["processors"] = json.load(fjson).get("processors", {})
+        if args.only:
+            pats = [p.strip() for p in args.only.split(",") if p.strip()]
+            runs = {n: r for n, r in runs.items() if any(p in n for p in pats)}
+        if args.missing:
+            done = {n for n, row in report["processors"].items()
+                    if "error" not in row}
+            runs = {n: r for n, r in runs.items() if n not in done}
+            print(f"measuring {len(runs)} missing rows: {sorted(runs)}",
+                  file=sys.stderr, flush=True)
     for name, (xc, params, fn, chain) in runs.items():
         try:
             t_fwd = timed(fn, xc, params, iters=args.iters, chain=chain)

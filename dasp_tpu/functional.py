@@ -780,23 +780,32 @@ def sidechain_compressor(
 def _hold_max(g: jnp.ndarray, hold_samples: int) -> jnp.ndarray:
     """Causal moving maximum: ``out[t] = max(g[t-hold..t])``.
 
-    Keeps a gate open for ``hold_samples`` after the level drops. One
-    `lax.reduce_window` max — a dilation, TPU-vectorized, with the
-    usual subgradient-to-the-argmax behavior under AD.
+    Keeps a gate open for ``hold_samples`` after the level drops. Uses
+    the van Herk decomposition: with block size B = hold+1, the window
+    ``[t-hold, t]`` spans at most two B-blocks, so its max is
+    ``max(suffix_max[t-hold], prefix_max[t])`` of per-block cummax
+    passes. Two O(T) cummaxes whose AD is elementwise selects over
+    scans — the obvious alternative, a max ``reduce_window``, has a
+    SelectAndScatter VJP that is serial-in-the-window on TPU and made
+    the gate's gradient ~unbenchmarkable at hold windows of a few
+    hundred samples. Subgradient goes to the argmax either way.
     """
     if hold_samples <= 0:
         return g
-    # init value must be a CONCRETE scalar (numpy, not jnp): under a jit
-    # trace jnp.asarray returns a tracer, JAX's monoid detection then
-    # misses and binds the generic reduce_window, which has no AD rule
-    return lax.reduce_window(
-        g,
-        np.asarray(-np.inf, g.dtype),
-        lax.max,
-        window_dimensions=(1, 1, hold_samples + 1),
-        window_strides=(1, 1, 1),
-        padding=((0, 0), (0, 0), (hold_samples, 0)),
-    )
+    bs, chs, T = g.shape
+    B = hold_samples + 1
+    pad_tail = (-T) % B
+    neg_inf = np.asarray(-np.inf, g.dtype)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, pad_tail)), constant_values=neg_inf)
+    blocks = gp.reshape(bs, chs, -1, B)
+    # prefix max within each block covers [block_start(t), t]; suffix
+    # max covers [s, block_end(s)] — their union is exactly the window.
+    pre = lax.cummax(blocks, axis=3).reshape(bs, chs, -1)[..., :T]
+    suf = lax.cummax(blocks, axis=3, reverse=True).reshape(bs, chs, -1)
+    suf_shifted = jnp.pad(
+        suf, ((0, 0), (0, 0), (hold_samples, 0)), constant_values=neg_inf
+    )[..., :T]
+    return jnp.maximum(pre, suf_shifted)
 
 
 @_scoped("dasp.noise_gate")

@@ -433,7 +433,11 @@ class TestNoiseGate:
         assert lvl_hold > lvl_none * 1.5, (lvl_hold, lvl_none)
 
     def test_grads_finite_and_nonzero(self):
-        x = _noise(2, 2, 8192, scale=0.02)
+        # quiet enough that every 5 ms hold window's max gain sits BELOW
+        # threshold: the hold max routes the subgradient to its argmax,
+        # and above threshold+knee/2 the gain curve is flat (dg/dth = 0),
+        # so louder noise makes the threshold gradient seed-dependent zero
+        x = _noise(2, 2, 8192, scale=0.005)
 
         def loss(x, th, rng):
             kw = self._params(2, threshold_db=th, range_db=rng)
