@@ -373,6 +373,30 @@ class TestSidechainCompressor:
         assert float(jnp.abs(y).mean()) < float(jnp.abs(x).mean())
 
 
+class TestHoldMax:
+    """The van Herk moving-max decomposition vs the windowed definition."""
+
+    @pytest.mark.parametrize("t,hold", [(50, 7), (64, 8), (37, 36),
+                                        (37, 40), (128, 1), (9, 3)])
+    def test_matches_windowed_definition(self, t, hold):
+        g = _noise(2, 1, t, scale=1.0)
+        out = np.asarray(jax.jit(
+            lambda g: F._hold_max(g, hold))(g))
+        gn = np.asarray(g)
+        for i in range(t):
+            want = gn[..., max(0, i - hold): i + 1].max(axis=-1)
+            np.testing.assert_allclose(out[..., i], want, rtol=0, atol=0)
+
+    def test_grad_sum_preserved(self):
+        # max routes the subgradient to the argmax; with unique values
+        # each window contributes its cotangent to exactly one input, so
+        # the total mass of d(sum(out))/dg is the number of windows
+        g = _noise(1, 1, 200, scale=1.0)
+        gr = jax.jit(jax.grad(lambda g: jnp.sum(F._hold_max(g, 11))))(g)
+        assert float(jnp.sum(gr)) == pytest.approx(200.0)
+        assert bool(jnp.isfinite(gr).all())
+
+
 class TestNoiseGate:
     def _params(self, bs=1, **over):
         kw = dict(
