@@ -1,10 +1,12 @@
 """Host-side audio I/O and synthetic audio generation.
 
 The reference examples load wavs with torchaudio (e.g. auto_eq.py:195);
-here wav I/O uses scipy (no torch dependency) and, because the reference's
-datasets (VocalSet, GuitarSet, IDMT) are not bundled, each example can run
-on synthetic audio — plucked-string tones, chirps and filtered noise with
-speech/instrument-like envelopes.
+here the hot paths (decode, clip range reads, batch loading, dataset
+indexing) go through the native C++ runtime (:mod:`dasp_tpu.native`,
+built from ``native/dasp_io.cpp``) with a pure-Python/scipy fallback,
+and, because the reference's datasets (VocalSet, GuitarSet, IDMT) are
+not bundled, each example can run on synthetic audio — plucked-string
+tones, chirps and filtered noise with speech/instrument-like envelopes.
 """
 
 from __future__ import annotations
@@ -15,11 +17,21 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_wav", "save_wav", "synthetic_batch", "index_wav_dataset", "load_clip"]
+from dasp_tpu import native
+
+__all__ = [
+    "load_wav", "save_wav", "synthetic_batch", "index_wav_dataset",
+    "load_clip", "load_clip_batch",
+]
 
 
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a wav file -> (float32 array (channels, samples), sample_rate)."""
+    if native.available():
+        try:
+            return native.wav_read(path)
+        except RuntimeError:
+            pass  # exotic codec (e.g. ADPCM): fall back to scipy
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)
@@ -40,6 +52,9 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
 
 def save_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
     """Write (channels, samples) float32 audio to a 16-bit wav."""
+    if native.available():
+        native.wav_write(path, audio, sample_rate)
+        return
     from scipy.io import wavfile
 
     audio = np.asarray(audio, dtype=np.float32)
@@ -89,23 +104,72 @@ def synthetic_batch(
 def index_wav_dataset(root_dir: str, length: int, silence_threshold: float = 1e-4) -> List[Tuple[str, int]]:
     """Pre-index (file, offset) chunks of ``length`` samples from a
     directory of wavs (the reference's dataset pattern,
-    style_transfer.py:159-213), skipping silent chunks."""
+    style_transfer.py:159-213), skipping silent chunks. Uses the native
+    streaming peak scanner when available (one pass, no whole-file
+    Python decode)."""
     examples = []
     for path in sorted(glob.glob(os.path.join(root_dir, "**/*.wav"), recursive=True)):
         try:
-            audio, _ = load_wav(path)
+            if native.available():
+                peaks = native.chunk_peaks(path, length)
+            else:
+                audio, _ = load_wav(path)
+                n = audio.shape[-1] // length
+                peaks = np.array([
+                    np.abs(audio[:, i * length:(i + 1) * length]).max()
+                    for i in range(n)
+                ])
         except Exception:
             continue
-        n = audio.shape[-1] // length
-        for i in range(n):
-            chunk = audio[:, i * length : (i + 1) * length]
-            if np.abs(chunk).max() >= silence_threshold:
-                examples.append((path, i * length))
+        for i in np.nonzero(peaks >= silence_threshold)[0]:
+            examples.append((path, int(i) * length))
     return examples
 
 
 def load_clip(example: Tuple[str, int], length: int) -> np.ndarray:
-    """Load one pre-indexed chunk -> (channels, length) float32 in [-1, 1]."""
+    """Load one pre-indexed chunk -> (channels, length) float32 in [-1, 1].
+
+    The native path decodes exactly the requested byte range; the
+    fallback decodes the whole file and slices.
+    """
     path, offset = example
+    if native.available():
+        try:
+            audio, _ = native.wav_read(path, offset=offset, frames=length)
+            return np.clip(audio, -1.0, 1.0)
+        except RuntimeError:
+            pass
     audio, _ = load_wav(path)
     return np.clip(audio[:, offset : offset + length], -1.0, 1.0)
+
+
+def load_clip_batch(
+    examples: List[Tuple[str, int]], length: int, channels: int = 1,
+    mono_mix: bool = True, num_threads: int = 0,
+) -> np.ndarray:
+    """Load a batch of pre-indexed clips -> (batch, channels, length).
+
+    Native path: one C++ thread pool fills the contiguous output buffer
+    directly from disk (range reads, no GIL) — the DataLoader-worker
+    analogue for file-backed training. Fallback: sequential
+    :func:`load_clip` + mono mix in numpy.
+    """
+    if native.available():
+        try:
+            out = native.load_batch(examples, length, channels=channels,
+                                    mono_mix=mono_mix, num_threads=num_threads)
+            return np.clip(out, -1.0, 1.0)
+        except RuntimeError:
+            pass
+    out = np.zeros((len(examples), channels, length), dtype=np.float32)
+    for i, (path, offset) in enumerate(examples):
+        audio, _ = load_wav(path)  # raw decode: mix BEFORE the final clip,
+        clip = audio[:, offset : offset + length]  # matching the native path
+        if clip.shape[-1] < length:  # zero-pad short tails like the native path
+            clip = np.pad(clip, ((0, 0), (0, length - clip.shape[-1])))
+        if mono_mix:
+            out[i] = clip.mean(axis=0, keepdims=True)
+        else:
+            take = min(channels, clip.shape[0])
+            out[i, :take] = clip[:take]
+    return np.clip(out, -1.0, 1.0)
