@@ -65,7 +65,11 @@ def build(force: bool = False) -> bool:
     build is atomic (compile to a temp file, rename into place).
     """
     if os.path.exists(_LIB_PATH) and not force:
-        return True
+        try:  # rebuild only when the packaged source is newer than the .so
+            if os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+                return True
+        except OSError:
+            return True
     if not os.path.exists(_SRC):
         return False
     cc = _compiler()

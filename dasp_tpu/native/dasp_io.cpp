@@ -331,8 +331,17 @@ int dasp_load_batch(const char** paths, const int64_t* offsets, int32_t batch,
         for (int c = 1; c < channels; c++) // duplicate mono to extra outs
           std::memcpy(dst + (int64_t)c * frames, dst, sizeof(float) * (size_t)frames);
       } else {
+        int32_t sr, ch, bits, isf;
+        int64_t nf;
+        int rc = dasp_wav_info(paths[i], &sr, &ch, &nf, &bits, &isf);
+        if (rc != 0) { int z = 0; err.compare_exchange_strong(z, rc); continue; }
         int64_t n = read_range(paths[i], offsets[i], frames, channels, dst, nullptr);
         if (n < 0) { int z = 0; err.compare_exchange_strong(z, (int)n); continue; }
+        // file has fewer channels than requested: read_range clamps to
+        // the file's count, so silence the remaining output rows (the
+        // caller's buffer is uninitialized)
+        for (int c = ch; c < channels; c++)
+          std::memset(dst + (int64_t)c * frames, 0, sizeof(float) * (size_t)frames);
       }
     }
   };

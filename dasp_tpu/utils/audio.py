@@ -143,9 +143,21 @@ def load_clip(example: Tuple[str, int], length: int) -> np.ndarray:
     return np.clip(audio[:, offset : offset + length], -1.0, 1.0)
 
 
+_wav_channels_cache: dict = {}
+
+
+def _wav_channels(path: str) -> int:
+    """Channel count from the wav header (native, header-only read), cached."""
+    n = _wav_channels_cache.get(path)
+    if n is None:
+        n = native.wav_info(path)[1]
+        _wav_channels_cache[path] = n
+    return n
+
+
 def load_clip_batch(
     examples: List[Tuple[str, int]], length: int, channels: int = 1,
-    mono_mix: bool = True, num_threads: int = 0,
+    mono_mix: bool = True, num_threads: int = 0, pad_mode: str = "zero",
 ) -> np.ndarray:
     """Load a batch of pre-indexed clips -> (batch, channels, length).
 
@@ -153,11 +165,24 @@ def load_clip_batch(
     directly from disk (range reads, no GIL) — the DataLoader-worker
     analogue for file-backed training. Fallback: sequential
     :func:`load_clip` + mono mix in numpy.
+
+    When a file has fewer channels than requested, ``pad_mode`` picks
+    how the missing rows are filled: ``"zero"`` (silence) or
+    ``"repeat"`` (cycle the source channels — mono files duplicate to
+    every output channel).
     """
+    if pad_mode not in ("zero", "repeat"):
+        raise ValueError(f"pad_mode must be 'zero' or 'repeat', got {pad_mode!r}")
     if native.available():
         try:
             out = native.load_batch(examples, length, channels=channels,
                                     mono_mix=mono_mix, num_threads=num_threads)
+            if pad_mode == "repeat" and not mono_mix and channels > 1:
+                for i, (path, _off) in enumerate(examples):
+                    src = _wav_channels(path)
+                    if 0 < src < channels:
+                        for k in range(src, channels):
+                            out[i, k] = out[i, k % src]
             return np.clip(out, -1.0, 1.0)
         except RuntimeError:
             pass
@@ -170,6 +195,10 @@ def load_clip_batch(
         if mono_mix:
             out[i] = clip.mean(axis=0, keepdims=True)
         else:
-            take = min(channels, clip.shape[0])
+            src = clip.shape[0]
+            take = min(channels, src)
             out[i, :take] = clip[:take]
+            if pad_mode == "repeat" and src > 0:
+                for k in range(take, channels):
+                    out[i, k] = clip[k % src]
     return np.clip(out, -1.0, 1.0)

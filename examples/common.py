@@ -23,7 +23,7 @@ if os.environ.get("JAX_PLATFORMS"):
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-from dasp_tpu.utils.audio import index_wav_dataset, load_clip, synthetic_batch  # noqa: E402
+from dasp_tpu.utils.audio import index_wav_dataset, synthetic_batch  # noqa: E402
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:
@@ -66,12 +66,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 def _batches(args, channels: int, seed: int, examples=None) -> Iterator[np.ndarray]:
     rng = np.random.default_rng(seed)
     if examples is not None:
+        from dasp_tpu.utils.audio import load_clip_batch
         while True:
             idx = rng.choice(len(examples), size=args.batch_size, replace=True)
-            batch = np.stack([load_clip(examples[i], args.length)[:channels] for i in idx])
-            if batch.shape[1] < channels:
-                batch = np.repeat(batch, channels, axis=1)[:, :channels]
-            yield batch.astype(np.float32)
+            # pooled native loader: one contiguous buffer, range reads,
+            # C++ threads (python fallback inside); mono files repeat to
+            # fill a stereo request like the reference channel handling
+            yield load_clip_batch([examples[i] for i in idx], args.length,
+                                  channels=channels, mono_mix=(channels == 1),
+                                  pad_mode="repeat")
     else:
         while True:
             b = synthetic_batch(rng, args.batch_size, args.length, args.sample_rate)

@@ -165,6 +165,29 @@ def test_load_batch_multichannel_no_mix(tmp_path, rng):
     np.testing.assert_array_equal(batch[0], full[:, 100:612])
 
 
+def test_load_clip_batch_pad_mode_repeat(tmp_path, rng, monkeypatch):
+    """Mono source + stereo request: 'repeat' cycles channels, 'zero' pads,
+    and the native path agrees with the python fallback for both."""
+    x = (rng.standard_normal((4096, 1)) * 0.4).astype(np.float32)
+    p = str(tmp_path / "mono.wav")
+    _write_scipy(p, x)
+    examples = [(p, 0), (p, 1000)]
+
+    rep_n = audio_utils.load_clip_batch(examples, 512, channels=2,
+                                        mono_mix=False, pad_mode="repeat")
+    zero_n = audio_utils.load_clip_batch(examples, 512, channels=2,
+                                         mono_mix=False, pad_mode="zero")
+    np.testing.assert_array_equal(rep_n[:, 1], rep_n[:, 0])
+    assert np.all(zero_n[:, 1] == 0.0) and np.any(zero_n[:, 0] != 0.0)
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    rep_p = audio_utils.load_clip_batch(examples, 512, channels=2,
+                                        mono_mix=False, pad_mode="repeat")
+    np.testing.assert_allclose(rep_n, rep_p, atol=1e-6)
+    with pytest.raises(ValueError, match="pad_mode"):
+        audio_utils.load_clip_batch(examples, 512, pad_mode="wrap")
+
+
 def test_error_codes(tmp_path):
     with pytest.raises(RuntimeError, match="cannot open"):
         native.wav_info(str(tmp_path / "missing.wav"))
