@@ -78,7 +78,9 @@ int parse_header(std::FILE* f, WavInfo* info) {
       info->bits = rd_u16(fmt + 14);
       if (info->format == 0xFFFE && take >= 26) // WAVE_FORMAT_EXTENSIBLE
         info->format = rd_u16(fmt + 24);        // first 2 bytes of SubFormat GUID
-      if (size > take && std::fseek(f, (long)(size - take), SEEK_CUR) != 0)
+      // skip the unread remainder plus the RIFF word-alignment pad byte
+      int64_t skip = (int64_t)(size - take) + (size & 1);
+      if (skip > 0 && std::fseek(f, (long)skip, SEEK_CUR) != 0)
         return DASP_E_FORMAT;
       have_fmt = true;
     } else if (std::memcmp(ck, "data", 4) == 0) {
@@ -89,11 +91,15 @@ int parse_header(std::FILE* f, WavInfo* info) {
       int64_t bytes_per_frame = (int64_t)info->channels * (info->bits / 8);
       if (bytes_per_frame <= 0) return DASP_E_FORMAT;
       int64_t data_bytes = size;
-      if (data_bytes == 0 || data_bytes == (int64_t)0xFFFFFFFF) {
-        // Streamed writers leave size 0/-1: use the real file tail.
-        if (std::fseek(f, 0, SEEK_END) != 0) return DASP_E_FORMAT;
-        data_bytes = std::ftell(f) - info->data_offset;
-      }
+      // Streamed writers leave size 0/-1, and truncated files claim
+      // more than exists: clamp to the real file tail so range reads
+      // see only decodable frames.
+      if (std::fseek(f, 0, SEEK_END) != 0) return DASP_E_FORMAT;
+      int64_t tail = std::ftell(f) - info->data_offset;
+      if (tail < 0) tail = 0;
+      if (data_bytes == 0 || data_bytes == (int64_t)0xFFFFFFFF ||
+          data_bytes > tail)
+        data_bytes = tail;
       info->num_frames = data_bytes / bytes_per_frame;
       return 0;
     } else {
@@ -129,8 +135,10 @@ void convert(const unsigned char* raw, const WavInfo& w, int64_t frames,
     } else if (w.format == 1 && w.bits == 24) {
       for (int64_t t = 0; t < frames; t++) {
         const unsigned char* p = src + t * stride;
-        int32_t v = ((int32_t)p[0] << 8) | ((int32_t)p[1] << 16) |
-                    ((int32_t)p[2] << 24);
+        // assemble in unsigned (shifting set bits into a signed sign
+        // bit is UB pre-C++20), then sign-extend via the int32 cast
+        int32_t v = (int32_t)(((uint32_t)p[0] << 8) | ((uint32_t)p[1] << 16) |
+                              ((uint32_t)p[2] << 24));
         dst[t] = (float)(v >> 8) / 8388608.0f;
       }
     } else if (w.format == 1 && w.bits == 32) {
@@ -366,23 +374,30 @@ int64_t dasp_chunk_peaks(const char* path, int64_t chunk_frames,
   int rc = parse_header(f, &w);
   if (rc != 0) { std::fclose(f); return rc; }
   if (!format_supported(w)) { std::fclose(f); return DASP_E_UNSUPP; }
-  std::fclose(f);
-  int64_t num_chunks = w.num_frames / chunk_frames;
+  int64_t num_chunks = w.num_frames / chunk_frames;  // full chunks only
   if (num_chunks > max_chunks) num_chunks = max_chunks;
+  const int64_t stride = (int64_t)w.channels * (w.bits / 8);
+  if (std::fseek(f, (long)w.data_offset, SEEK_SET) != 0) {
+    std::fclose(f);
+    return DASP_E_IO;
+  }
+  std::vector<unsigned char> raw((size_t)(chunk_frames * stride));
   std::vector<float> buf((size_t)w.channels * (size_t)chunk_frames);
+  const size_t total = (size_t)w.channels * (size_t)chunk_frames;
   for (int64_t k = 0; k < num_chunks; k++) {
-    int64_t n = read_range(path, k * chunk_frames, chunk_frames, w.channels,
-                           buf.data(), nullptr);
-    if (n < 0) return n;
-    // full chunks only; zero-padding cannot raise the peak
+    if (std::fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+      std::fclose(f);
+      return DASP_E_IO;
+    }
+    convert(raw.data(), w, chunk_frames, w.channels, buf.data());
     float peak = 0.0f;
-    const size_t total = (size_t)w.channels * (size_t)chunk_frames;
     for (size_t t = 0; t < total; t++) {
       float a = buf[t] < 0 ? -buf[t] : buf[t];
       if (a > peak) peak = a;
     }
     out_peaks[k] = peak;
   }
+  std::fclose(f);
   return num_chunks;
 }
 

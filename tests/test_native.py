@@ -188,6 +188,41 @@ def test_load_clip_batch_pad_mode_repeat(tmp_path, rng, monkeypatch):
         audio_utils.load_clip_batch(examples, 512, pad_mode="wrap")
 
 
+def test_truncated_file_clamps_frames(tmp_path, rng):
+    """A header that claims more data than the file holds must clamp to
+    the decodable frames (truncated downloads are common), with range
+    reads past the real tail zero-filled — not an IO error."""
+    x = (rng.standard_normal((4000, 2)) * 0.5).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    _write_scipy(p, x)
+    size = os.path.getsize(p)
+    with open(p, "r+b") as f:
+        f.truncate(size - 1000 * 2 * 4)  # cut the last 1000 stereo float32 frames
+    sr, ch, nf, _, _ = native.wav_info(p)
+    assert nf == 3000
+    got, _ = native.wav_read(p, offset=2500, frames=1000)
+    np.testing.assert_allclose(got[:, :500], x.T[:, 2500:3000], atol=1e-7)
+    assert np.all(got[:, 500:] == 0.0)
+
+
+def test_odd_sized_fmt_chunk(tmp_path):
+    """RIFF chunks are word-aligned: an odd-size fmt chunk carries a pad
+    byte the parser must skip to stay in sync."""
+    sr, ch = 8000, 1
+    frames = 100
+    data = struct.pack("<%dh" % frames, *range(frames))
+    fmt_body = struct.pack("<HHIIHH", 1, ch, sr, sr * 2, 2, 16) + b"\x00"  # 17 bytes
+    body = (b"fmt " + struct.pack("<I", 17) + fmt_body + b"\x00"  # pad byte
+            + b"data" + struct.pack("<I", len(data)) + data)
+    p = str(tmp_path / "odd.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    got_sr, got_ch, nf, bits, isf = native.wav_info(p)
+    assert (got_sr, got_ch, nf, bits, isf) == (sr, ch, frames, 16, False)
+    got, _ = native.wav_read(p)
+    np.testing.assert_allclose(got[0], np.arange(frames) / 32768.0, atol=1e-7)
+
+
 def test_error_codes(tmp_path):
     with pytest.raises(RuntimeError, match="cannot open"):
         native.wav_info(str(tmp_path / "missing.wav"))
