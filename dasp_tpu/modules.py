@@ -27,6 +27,8 @@ Differences vs the reference (deliberate):
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -111,6 +113,23 @@ class Processor:
 
     def __init__(self):
         pass
+
+    def __init_subclass__(cls, **kw):
+        """Record each instance's constructor arguments (`_init_spec`)
+        so utils.presets can serialize a configured processor/chain to
+        JSON and rebuild it. The most-derived ``__init__`` wins (it runs
+        first); ``super().__init__()`` chains never overwrite it."""
+        super().__init_subclass__(**kw)
+        if "__init__" in cls.__dict__:
+            orig = cls.__dict__["__init__"]
+
+            @functools.wraps(orig)
+            def wrapped(self, *a, __orig=orig, **k):
+                if not hasattr(self, "_init_spec"):
+                    self._init_spec = (type(self).__name__, a, dict(k))
+                __orig(self, *a, **k)
+
+            cls.__init__ = wrapped
 
     @property
     def num_params(self) -> int:

@@ -9,11 +9,19 @@ from .loss import (
     stft_loss,
     stft_magnitude,
 )
-from .audio import index_wav_dataset, load_clip, load_wav, save_wav, synthetic_batch
+from .audio import (
+    index_wav_dataset,
+    load_clip,
+    load_clip_batch,
+    load_wav,
+    save_wav,
+    synthetic_batch,
+)
 from .loudness import integrated_loudness, k_weighting_sos, loudness_normalize
 from .logging import MetricsLogger, load_checkpoint, save_checkpoint
 from .debug import assert_finite, assert_normalized, checked
 from .pipeline import device_prefetch, threaded_iterator
+from .presets import load_preset, save_preset
 
 __all__ = [
     "a_weighting",
@@ -25,6 +33,9 @@ __all__ = [
     "stft_magnitude",
     "index_wav_dataset",
     "load_clip",
+    "load_clip_batch",
+    "load_preset",
+    "save_preset",
     "load_wav",
     "save_wav",
     "synthetic_batch",
