@@ -40,6 +40,16 @@ def next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def next_fast_len(n: int) -> int:
+    """Smallest 2^k or 3*2^k >= n — FFT sizes XLA-TPU decomposes without
+    Bluestein. At the reverb conv's shapes (T+K-1 = 196607) this is 25%
+    fewer transform points than next_pow2 (196608 vs 262144)."""
+    n = int(n)
+    p2 = next_pow2(n)
+    p3 = 3 * next_pow2(-(-n // 3))
+    return min(p2, p3) if p3 >= n else p2
+
+
 def fsm_fft_size(seq_len: int) -> int:
     """FFT size used by the FSM: 2**ceil(log2(2*T - 1)).
 

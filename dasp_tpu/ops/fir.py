@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .fft_filter import next_pow2
+from .fft_filter import next_fast_len, next_pow2
 
 __all__ = ["fft_conv_full", "fft_conv_causal", "fft_correlate_valid", "ola_conv_causal"]
 
@@ -33,7 +33,7 @@ def fft_conv_full(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     broadcast (e.g. x (bs, ch, T) with h (ch, K)).
     """
     T, K = x.shape[-1], h.shape[-1]
-    n_fft = next_pow2(T + K - 1)
+    n_fft = next_fast_len(T + K - 1)
     return _fft_mul(x, h, n_fft)[..., : T + K - 1]
 
 
@@ -44,7 +44,7 @@ def fft_conv_causal(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     (dasp_pytorch/functional.py:570-572): y[n] = sum_k h[k] * x[n-k].
     """
     T = x.shape[-1]
-    n_fft = next_pow2(T + h.shape[-1] - 1)
+    n_fft = next_fast_len(T + h.shape[-1] - 1)
     return _fft_mul(x, h, n_fft)[..., :T]
 
 
@@ -109,7 +109,7 @@ def fft_correlate_valid(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     (dasp_pytorch/functional.py:551-556). Output length ``T - K + 1``.
     """
     T, K = x.shape[-1], h.shape[-1]
-    n_fft = next_pow2(T + K - 1)
+    n_fft = next_fast_len(T + K - 1)
     # correlation with h == convolution with reversed h
     y = _fft_mul(x, jnp.flip(h, axis=-1), n_fft)
     return y[..., K - 1 : T]

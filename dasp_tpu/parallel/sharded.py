@@ -531,12 +531,17 @@ def _mrstft_partial(
         window = jnp.pad(window, (lpad, fft_size - win - lpad))
 
     def mag(sig):
+        # must mirror utils.loss._mag_from_power exactly: the continuous
+        # floor in native mode, auraloss's hard clamp in compat mode
+        from ..utils.loss import _mag_from_power
+
         frames = _frame(sig, fft_size, hop) * window
         if use_dft:
             re, im = _frames_rdft(frames, fft_size)
-            return jnp.sqrt(jnp.clip(re**2 + im**2, eps))
+            return _mag_from_power(re**2 + im**2, eps, not auraloss_compat)
         spec = jnp.fft.rfft(frames, fft_size, axis=-1)
-        return jnp.sqrt(jnp.clip(spec.real**2 + spec.imag**2, eps))
+        return _mag_from_power(spec.real**2 + spec.imag**2, eps,
+                               not auraloss_compat)
 
     mag_hat = mag(wh) * weight
     mag_ref = mag(wy) * weight
@@ -625,7 +630,15 @@ def sharded_multi_resolution_stft_loss(
         hop_sizes = (
             (120, 240, 50) if auraloss_compat else tuple(n // 4 for n in fft_sizes)
         )
-    use_dft = _use_dft(fft_mode)
+
+    def loss_use_dft(n_fft):
+        # auto: CPU -> DFT for layout safety (as before); TPU -> DFT up
+        # to the measured MXU-wins size (utils.loss._prefer_dft)
+        if fft_mode == "auto":
+            from ..utils.loss import _prefer_dft
+
+            return _prefer_dft(n_fft, cpu_fft_workaround=True)
+        return fft_mode == "dft"
     taps = (
         a_weighting_fir_taps(sample_rate)
         if (perceptual_weighting and auraloss_compat)
@@ -648,7 +661,7 @@ def sharded_multi_resolution_stft_loss(
             total = total + _mrstft_partial(
                 yh, yg, fft_size=n_fft, hop=hop, win=win, sp=sp,
                 axis_name=seq_axis_name, w_sc=w_sc, w_log_mag=w_log_mag,
-                w_lin_mag=w_lin_mag, eps=eps, use_dft=use_dft,
+                w_lin_mag=w_lin_mag, eps=eps, use_dft=loss_use_dft(n_fft),
                 auraloss_compat=auraloss_compat, weight=weight,
                 batch_axis_name=batch_axis_name,
                 dp=mesh.shape[batch_axis_name] if batch_axis_name else 1,

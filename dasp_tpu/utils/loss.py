@@ -38,27 +38,66 @@ __all__ = [
 ]
 
 
-def _rdft_mag(frames: jnp.ndarray, n: int, eps: float) -> jnp.ndarray:
+def _mag_from_power(power: jnp.ndarray, eps: float, smooth_floor: bool) -> jnp.ndarray:
+    """|S| from |S|^2 with a log-safety floor.
+
+    ``smooth_floor=True`` uses sqrt(power + eps): continuous everywhere,
+    so fp-level input differences (e.g. the sequence-sharded framing in
+    parallel.sharded) give fp-level gradient differences. The hard
+    clamp sqrt(clip(power, eps)) — auraloss's exact semantics, kept for
+    ``auraloss_compat`` — has a gradient knife-edge at power == eps
+    where one side is 0 and the other 0.5/sqrt(eps).
+    """
+    if smooth_floor:
+        return jnp.sqrt(power + eps)
+    return jnp.sqrt(jnp.clip(power, eps))
+
+
+# DFT-as-matmul pays off on the MXU up to this transform size (measured
+# on a v5e at the training workload: +3.7% whole-step throughput with the
+# default (512, 1024, 2048) resolutions); beyond it the O(n^2) matmul
+# loses to the O(n log n) FFT.
+_DFT_MATMUL_MAX_N = 2048
+
+
+def _rdft_mag(frames: jnp.ndarray, n: int, eps: float,
+              smooth_floor: bool = False) -> jnp.ndarray:
     """rfft magnitude via explicit DFT matmuls (no XLA fft ops).
 
-    XLA-CPU's fft thunk RET_CHECKs row-major operands, but near shard_map
-    regions (sp-sharded training on the virtual CPU mesh) layout
-    assignment feeds the loss FFTs transposed layouts from sp
-    all-gathers — and `with_layout_constraint` cannot force interior op
-    layouts (XLA satisfies the pin with copies while the fft keeps the
-    bad layout). Matmuls are layout-agnostic, so this path sidesteps the
-    thunk entirely. O(n^2) per frame instead of O(n log n), but it only
-    runs in CPU-backend sharded-validation mode (smoke scales); the TPU
-    path keeps true FFTs.
+    Two reasons to prefer matmuls over the fft op:
+
+    * TPU: XLA lowers small batched FFTs to a long chain of
+      reshape/fusion sub-ops well off the hardware roofline, while the
+      MXU eats a dense fp32 (frames x basis) matmul — measured FASTER
+      than the fft path for the loss's transform sizes (see
+      ``_DFT_MATMUL_MAX_N``).
+    * XLA-CPU's fft thunk RET_CHECKs row-major operands, but near
+      shard_map regions (sp-sharded training on the virtual CPU mesh)
+      layout assignment feeds the loss FFTs transposed layouts from sp
+      all-gathers — and `with_layout_constraint` cannot force interior
+      op layouts. Matmuls are layout-agnostic.
+
+    fp32 (Precision.HIGHEST) throughout — bf16 accumulation would poison
+    log-magnitudes of quiet bins.
     """
     m = np.arange(frames.shape[-1])[:, None]
     k = np.arange(n // 2 + 1)[None, :]
     ang = 2.0 * np.pi * m * k / n
     cos_b = jnp.asarray(np.cos(ang).astype(np.float32))
     sin_b = jnp.asarray(np.sin(ang).astype(np.float32))
-    re = frames @ cos_b
-    im = -(frames @ sin_b)
-    return jnp.sqrt(jnp.clip(re**2 + im**2, eps))
+    re = jnp.matmul(frames, cos_b, precision=jax.lax.Precision.HIGHEST)
+    im = -jnp.matmul(frames, sin_b, precision=jax.lax.Precision.HIGHEST)
+    return _mag_from_power(re**2 + im**2, eps, smooth_floor)
+
+
+def _prefer_dft(fft_size: int, cpu_fft_workaround: bool) -> bool:
+    """Backend-aware default for the DFT-matmul spectral path."""
+    backend = jax.default_backend()
+    if backend == "tpu":
+        return fft_size <= _DFT_MATMUL_MAX_N
+    if backend == "cpu":
+        return cpu_fft_workaround
+    return False
 
 
 def _hann(win_length: int, dtype) -> jnp.ndarray:
@@ -106,11 +145,18 @@ def stft_magnitude(
     win_length: int,
     eps: float = 1e-8,
     cpu_fft_workaround: bool = False,
+    smooth_floor: bool = False,
+    use_dft: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Magnitude STFT of (..., T) along the last axis.
 
-    Centre-padded (reflect), periodic Hann window, magnitude clamped at
-    ``eps`` for log safety. Returns (..., n_frames, fft_size // 2 + 1).
+    Centre-padded (reflect), periodic Hann window, magnitude floored at
+    sqrt(eps) for log safety (``smooth_floor`` picks the continuous
+    sqrt(power + eps) form over auraloss's hard clamp — see
+    :func:`_mag_from_power`). ``use_dft=None`` picks the spectral path
+    per backend: DFT matmuls on the MXU for TPU at sizes <=
+    ``_DFT_MATMUL_MAX_N`` (measurably faster than XLA's TPU fft), rfft
+    otherwise. Returns (..., n_frames, fft_size // 2 + 1).
     """
     pad = fft_size // 2
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
@@ -122,11 +168,12 @@ def stft_magnitude(
         win = jnp.pad(win, (lpad, fft_size - win_length - lpad))
     frames = frames * win
 
-    if cpu_fft_workaround and jax.default_backend() == "cpu":
-        return _rdft_mag(frames, fft_size, eps)
+    if use_dft is None:
+        use_dft = _prefer_dft(fft_size, cpu_fft_workaround)
+    if use_dft:
+        return _rdft_mag(frames, fft_size, eps, smooth_floor)
     spec = jnp.fft.rfft(frames, fft_size, axis=-1)
-    mag = jnp.sqrt(jnp.clip(spec.real**2 + spec.imag**2, eps))
-    return mag
+    return _mag_from_power(spec.real**2 + spec.imag**2, eps, smooth_floor)
 
 
 def a_weighting_fir_taps(sample_rate: float, ntaps: int = 101) -> np.ndarray:
@@ -236,8 +283,13 @@ def stft_loss(
         y_hat = fir_prefilter(y_hat, taps)
         y = fir_prefilter(y, taps)
 
-    mag_hat = stft_magnitude(y_hat, fft_size, hop_size, win_length, eps, cpu_fft_workaround)
-    mag = stft_magnitude(y, fft_size, hop_size, win_length, eps, cpu_fft_workaround)
+    # native mode uses the continuous magnitude floor; compat keeps
+    # auraloss's exact hard clamp (golden-pinned)
+    smooth = not auraloss_compat
+    mag_hat = stft_magnitude(y_hat, fft_size, hop_size, win_length, eps,
+                             cpu_fft_workaround, smooth_floor=smooth)
+    mag = stft_magnitude(y, fft_size, hop_size, win_length, eps,
+                         cpu_fft_workaround, smooth_floor=smooth)
 
     if perceptual_weighting and not auraloss_compat:
         assert sample_rate is not None, "perceptual_weighting requires sample_rate"

@@ -266,12 +266,16 @@ class TestShardedWOLA:
     def _xh(self, bs=2, chs=2, cplx=True):
         from dasp_tpu.ops.tv_filter import tv_frame_count
 
+        # fresh generator: the draws must not depend on which tests ran
+        # before (a shared module RNG made one knife-edge grad comparison
+        # pass standalone and fail in the full suite)
+        rng = np.random.default_rng(911)
         n_fft = 4 * self.FS
         n_frames = tv_frame_count(self.T, self.FS, self.HOP)
-        x = jnp.asarray(RNG.standard_normal((bs, chs, self.T)).astype(np.float32))
-        Hr = RNG.standard_normal((bs, n_frames, n_fft // 2 + 1)).astype(np.float32) * 0.3
+        x = jnp.asarray(rng.standard_normal((bs, chs, self.T)).astype(np.float32))
+        Hr = rng.standard_normal((bs, n_frames, n_fft // 2 + 1)).astype(np.float32) * 0.3
         if cplx:
-            Hi = RNG.standard_normal((bs, n_frames, n_fft // 2 + 1)).astype(np.float32) * 0.3
+            Hi = rng.standard_normal((bs, n_frames, n_fft // 2 + 1)).astype(np.float32) * 0.3
             return x, jnp.asarray(Hr + 1j * Hi)
         return x, jnp.asarray(Hr)
 

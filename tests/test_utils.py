@@ -82,6 +82,16 @@ class TestLossInternals:
         g2 = jax.grad(lambda z: multi_resolution_stft_loss(z, y, cpu_fft_workaround=True))(x)
         assert float(jnp.max(jnp.abs(g1 - g2))) < 1e-5
 
+    def test_use_dft_flag_matches_rfft(self):
+        # the TPU default path (DFT matmuls on the MXU for fft_size <=
+        # _DFT_MATMUL_MAX_N) must be numerically equivalent to the rfft
+        # path regardless of backend — exercised here with the explicit
+        # flag since CI runs on CPU where auto keeps rfft
+        x = jnp.asarray(RNG.standard_normal((2, 1, 8192)).astype(np.float32))
+        m1 = stft_magnitude(x, 1024, 256, 600, use_dft=False)
+        m2 = stft_magnitude(x, 1024, 256, 600, use_dft=True)
+        assert float(jnp.max(jnp.abs(m1 - m2))) < 1e-4
+
     def test_auraloss_compat_default_mrstft_golden(self):
         """auraloss_compat=True reproduces auraloss MultiResolutionSTFTLoss()
         defaults (hops 120/240/50, per-item SC) to 1e-4 — golden fixture from
