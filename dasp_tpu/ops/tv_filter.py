@@ -36,9 +36,12 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
+
+from . import dft
 
 __all__ = [
     "tv_frame_count",
@@ -120,7 +123,8 @@ def tv_freq_filter(
     return tv_istft(Y, x.shape[-1], frame_size, hop)
 
 
-def tv_stft(x: jnp.ndarray, frame_size: int, hop: int, n_fft: int) -> jnp.ndarray:
+def tv_stft(x: jnp.ndarray, frame_size: int, hop: int, n_fft: int,
+            use_dft=None) -> jnp.ndarray:
     """Windowed analysis frames of ``x``, transformed: the first half of
     :func:`tv_freq_filter` (see its contract for the framing/COLA rules).
 
@@ -171,10 +175,16 @@ def tv_stft(x: jnp.ndarray, frame_size: int, hop: int, n_fft: int) -> jnp.ndarra
     # periodic Hann: COLA with constant frame_size / (2*hop) at this hop
     frames = frames * jnp.asarray(tv_analysis_window(frame_size, hop))
 
+    if dft.prefer_dft(n_fft) if use_dft is None else use_dft:
+        # small transform on TPU: two MXU matmuls beat the fft lowering,
+        # and the matmul framing skips the zero-pad to n_fft entirely
+        re, im = dft.rdft(frames, n_fft)
+        return jax.lax.complex(re, im)
     return jnp.fft.rfft(frames, n_fft, axis=-1)  # (bs, chs, n_frames, n_bins)
 
 
-def tv_istft(Y: jnp.ndarray, seq_len: int, frame_size: int, hop: int) -> jnp.ndarray:
+def tv_istft(Y: jnp.ndarray, seq_len: int, frame_size: int, hop: int,
+             use_dft=None) -> jnp.ndarray:
     """Inverse of :func:`tv_stft`: irFFT + overlap-add at ``hop`` — the
     second half of :func:`tv_freq_filter`.
 
@@ -188,7 +198,10 @@ def tv_istft(Y: jnp.ndarray, seq_len: int, frame_size: int, hop: int) -> jnp.nda
     """
     bs, chs, n_frames, n_bins = Y.shape
     n_fft = 2 * (n_bins - 1)
-    yf = jnp.fft.irfft(Y, n_fft, axis=-1)  # (bs, chs, n_frames, n_fft)
+    if dft.prefer_dft(n_fft) if use_dft is None else use_dft:
+        yf = dft.irdft(jnp.real(Y), jnp.imag(Y), n_fft)
+    else:
+        yf = jnp.fft.irfft(Y, n_fft, axis=-1)  # (bs, chs, n_frames, n_fft)
 
     # overlap-add at hop: n_fft/hop static diagonal shifts of the
     # block-reshaped frames — pads + adds, no scatter (TPU scatters

@@ -229,26 +229,17 @@ def _ring_halo(x_blk, lh: int, rh: int, axis_name: str):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _rdft_tables(n_fft: int):
-    """(cos, sin) rDFT matrices, (n_fft, n_bins) float32 numpy."""
-    m = np.arange(n_fft)[:, None]
-    k = np.arange(n_fft // 2 + 1)[None, :]
-    ang = 2.0 * np.pi * m * k / n_fft
-    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
-
-
 def _frames_rdft(frames, n_fft: int):
     """rfft of zero-padded frames as two DFT matmuls (re, im).
 
     XLA-CPU's fft thunk RET_CHECKs row-major operands, which layouts
     chosen around shard_map regions violate (see utils.loss._rdft_mag);
-    matmuls are layout-agnostic. Only used on the CPU backend.
+    matmuls are layout-agnostic. Also the fast TPU path for small
+    transforms (ops.dft, fp32 HIGHEST on the MXU).
     """
-    cos_t, sin_t = _rdft_tables(n_fft)
-    L = frames.shape[-1]
-    re = frames @ jnp.asarray(cos_t[:L])
-    im = -(frames @ jnp.asarray(sin_t[:L]))
-    return re, im
+    from ..ops.dft import rdft
+
+    return rdft(frames, n_fft)
 
 
 def _irdft_ola_tables(n_fft: int):

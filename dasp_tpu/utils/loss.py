@@ -53,24 +53,17 @@ def _mag_from_power(power: jnp.ndarray, eps: float, smooth_floor: bool) -> jnp.n
     return jnp.sqrt(jnp.clip(power, eps))
 
 
-# DFT-as-matmul pays off on the MXU up to this transform size (measured
-# on a v5e at the training workload: +3.7% whole-step throughput with the
-# default (512, 1024, 2048) resolutions); beyond it the O(n^2) matmul
-# loses to the O(n log n) FFT.
-_DFT_MATMUL_MAX_N = 2048
-
-
 def _rdft_mag(frames: jnp.ndarray, n: int, eps: float,
               smooth_floor: bool = False) -> jnp.ndarray:
-    """rfft magnitude via explicit DFT matmuls (no XLA fft ops).
+    """rfft magnitude via explicit DFT matmuls (ops.dft; no XLA fft ops).
 
     Two reasons to prefer matmuls over the fft op:
 
     * TPU: XLA lowers small batched FFTs to a long chain of
       reshape/fusion sub-ops well off the hardware roofline, while the
       MXU eats a dense fp32 (frames x basis) matmul — measured FASTER
-      than the fft path for the loss's transform sizes (see
-      ``_DFT_MATMUL_MAX_N``).
+      than the fft path for the loss's transform sizes (+3.7% whole
+      training step on a v5e; see ops.dft.DFT_MATMUL_MAX_N).
     * XLA-CPU's fft thunk RET_CHECKs row-major operands, but near
       shard_map regions (sp-sharded training on the virtual CPU mesh)
       layout assignment feeds the loss FFTs transposed layouts from sp
@@ -80,24 +73,17 @@ def _rdft_mag(frames: jnp.ndarray, n: int, eps: float,
     fp32 (Precision.HIGHEST) throughout — bf16 accumulation would poison
     log-magnitudes of quiet bins.
     """
-    m = np.arange(frames.shape[-1])[:, None]
-    k = np.arange(n // 2 + 1)[None, :]
-    ang = 2.0 * np.pi * m * k / n
-    cos_b = jnp.asarray(np.cos(ang).astype(np.float32))
-    sin_b = jnp.asarray(np.sin(ang).astype(np.float32))
-    re = jnp.matmul(frames, cos_b, precision=jax.lax.Precision.HIGHEST)
-    im = -jnp.matmul(frames, sin_b, precision=jax.lax.Precision.HIGHEST)
+    from ..ops.dft import rdft
+
+    re, im = rdft(frames, n)
     return _mag_from_power(re**2 + im**2, eps, smooth_floor)
 
 
 def _prefer_dft(fft_size: int, cpu_fft_workaround: bool) -> bool:
     """Backend-aware default for the DFT-matmul spectral path."""
-    backend = jax.default_backend()
-    if backend == "tpu":
-        return fft_size <= _DFT_MATMUL_MAX_N
-    if backend == "cpu":
-        return cpu_fft_workaround
-    return False
+    from ..ops.dft import prefer_dft
+
+    return prefer_dft(fft_size, cpu_fallback=cpu_fft_workaround)
 
 
 def _hann(win_length: int, dtype) -> jnp.ndarray:

@@ -515,6 +515,31 @@ class TestTvFilter:
         with pytest.raises(ValueError, match="H has shape"):
             tv_freq_filter(x, jnp.ones((1, 3, 1025), jnp.complex64), 512, 128)
 
+    def test_dft_matmul_path_matches_fft(self):
+        # the TPU spectral path (ops.dft matmuls, auto for n_fft <= 2048)
+        # must match the rfft path: spectra, roundtrip, and gradients —
+        # exercised via the explicit flag since CI runs on CPU
+        from dasp_tpu.ops.tv_filter import tv_istft, tv_stft
+
+        bs, chs, t, L, hop, nfft = 2, 1, 4000, 512, 128, 1024
+        x = _noise(bs, chs, t, scale=0.5)
+        X1 = jax.jit(lambda x: tv_stft(x, L, hop, nfft, use_dft=False))(x)
+        X2 = jax.jit(lambda x: tv_stft(x, L, hop, nfft, use_dft=True))(x)
+        np.testing.assert_allclose(np.asarray(X1.real), np.asarray(X2.real), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(X1.imag), np.asarray(X2.imag), atol=1e-4)
+        y1 = jax.jit(lambda X: tv_istft(X, t, L, hop, use_dft=False))(X1)
+        y2 = jax.jit(lambda X: tv_istft(X, t, L, hop, use_dft=True))(X1)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(x), atol=1e-4)
+
+        def loss(x, flag):
+            X = tv_stft(x, L, hop, nfft, use_dft=flag)
+            return jnp.sum(jnp.abs(X) ** 2)
+
+        g1 = jax.jit(jax.grad(lambda x: loss(x, False)))(x)
+        g2 = jax.jit(jax.grad(lambda x: loss(x, True)))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
 
 class TestPhaser:
     def _p(self, bs=1, **over):
