@@ -95,6 +95,25 @@ def normalize(val, min_val, max_val):
     return (val - min_val) / (max_val - min_val)
 
 
+def _snapshot_arg(v):
+    """Freeze a constructor argument for ``_init_spec`` recording.
+
+    Lists/tuples are snapshotted element-wise into tuples and one-shot
+    iterators are materialized (so presets don't serialize a spec the
+    caller has since mutated or exhausted); scalars, strings, arrays and
+    Processor instances pass through by reference.
+    """
+    if isinstance(v, (str, bytes)) or hasattr(v, "shape"):
+        return v
+    if isinstance(v, dict):
+        return {k: _snapshot_arg(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return tuple(_snapshot_arg(x) for x in v)
+    if hasattr(v, "__next__"):  # one-shot iterator/generator
+        return tuple(v)
+    return v
+
+
 class Processor:
     """Base class: named parameter ranges + normalized-tensor dispatch.
 
@@ -126,8 +145,15 @@ class Processor:
             @functools.wraps(orig)
             def wrapped(self, *a, __orig=orig, **k):
                 if not hasattr(self, "_init_spec"):
+                    # Snapshot sequence args (one-shot iterators, lists the
+                    # caller mutates later) so the recorded spec stays equal
+                    # to what __init__ actually consumed.
+                    a = tuple(_snapshot_arg(v) for v in a)
+                    k = {kk: _snapshot_arg(v) for kk, v in k.items()}
                     self._init_spec = (type(self).__name__, a, dict(k))
-                __orig(self, *a, **k)
+                    __orig(self, *a, **k)
+                else:
+                    __orig(self, *a, **k)
 
             cls.__init__ = wrapped
 

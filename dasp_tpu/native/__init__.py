@@ -41,6 +41,16 @@ _SRC = os.path.join(_HERE, "dasp_io.cpp")
 _LIB_PATH = os.path.join(_HERE, "_dasp_io.so")
 _ABI = 1
 
+
+def _candidate_lib_dirs() -> list:
+    """Places to build/load the .so: package dir first, then a
+    user-writable cache dir (read-only site-packages installs)."""
+    dirs = [_HERE]
+    cache = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    dirs.append(os.path.join(cache, "dasp_tpu"))
+    return dirs
+
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -59,11 +69,15 @@ def _compiler() -> Optional[list]:
 
 
 def build(force: bool = False) -> bool:
-    """Compile native/dasp_io.cpp into dasp_tpu/native/_dasp_io.so.
+    """Compile native/dasp_io.cpp into _dasp_io.so next to this file
+    (or, when the package dir is read-only, under ~/.cache/dasp_tpu).
 
-    Returns True on success. Safe to call from multiple threads; the
-    build is atomic (compile to a temp file, rename into place).
+    Returns True on success, False on ANY failure — no compiler, no
+    writable dir, compile error — so callers always degrade to the
+    pure-Python path. Safe to call from multiple threads; the build is
+    atomic (compile to a temp file, rename into place).
     """
+    global _LIB_PATH
     if os.path.exists(_LIB_PATH) and not force:
         try:  # rebuild only when the packaged source is newer than the .so
             if os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
@@ -75,26 +89,39 @@ def build(force: bool = False) -> bool:
     cc = _compiler()
     if cc is None:
         return False
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
-    os.close(fd)
-    cmd = cc + ["-O2", "-std=c++17", "-fPIC", "-shared", "-pthread",
-                _SRC, "-o", tmp]
-    try:
-        r = subprocess.run(cmd, capture_output=True, timeout=300)
-        if r.returncode != 0:
-            sys.stderr.write(
-                f"dasp_tpu.native: build failed:\n{r.stderr.decode(errors='replace')}\n")
-            os.unlink(tmp)
-            return False
-        os.replace(tmp, _LIB_PATH)  # atomic on POSIX
-        return True
-    except (OSError, subprocess.TimeoutExpired) as e:
-        sys.stderr.write(f"dasp_tpu.native: build failed: {e}\n")
+    for lib_dir in _candidate_lib_dirs():
+        lib_path = os.path.join(lib_dir, "_dasp_io.so")
+        tmp = None
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        return False
+            if os.path.exists(lib_path) and not force and \
+                    os.path.getmtime(lib_path) >= os.path.getmtime(_SRC):
+                _LIB_PATH = lib_path
+                return True
+            os.makedirs(lib_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=lib_dir)
+            os.close(fd)
+            cmd = cc + ["-O2", "-std=c++17", "-fPIC", "-shared", "-pthread",
+                        _SRC, "-o", tmp]
+            r = subprocess.run(cmd, capture_output=True, timeout=300)
+            if r.returncode != 0:
+                sys.stderr.write(
+                    f"dasp_tpu.native: build failed:\n"
+                    f"{r.stderr.decode(errors='replace')}\n")
+                os.unlink(tmp)
+                return False  # compiler error: retrying elsewhere won't help
+            os.replace(tmp, lib_path)  # atomic on POSIX
+            _LIB_PATH = lib_path
+            return True
+        except (OSError, subprocess.TimeoutExpired) as e:
+            # Unwritable dir / fs error: try the next candidate dir.
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+            last_err = e
+    sys.stderr.write(f"dasp_tpu.native: build failed: {last_err}\n")
+    return False
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -236,7 +263,9 @@ def load_batch(examples: Sequence[Tuple[str, int]], frames: int,
                              int(channels), 1 if mono_mix else 0,
                              out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                              int(num_threads))
-    _check(lib, rc, examples[0][0] if batch else "")
+    # The C side reports the first error code across the pool, not which
+    # file raised it; say so rather than blaming examples[0].
+    _check(lib, rc, f"one of {batch} files (first: {examples[0][0]!r})")
     return out
 
 

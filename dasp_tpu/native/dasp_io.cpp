@@ -93,7 +93,9 @@ int parse_header(std::FILE* f, WavInfo* info) {
       int64_t data_bytes = size;
       // Streamed writers leave size 0/-1, and truncated files claim
       // more than exists: clamp to the real file tail so range reads
-      // see only decodable frames.
+      // see only decodable frames. Known limitation: if a streamed
+      // writer appended chunks (LIST/INFO) AFTER an unsized data
+      // chunk, those trailing bytes are treated as audio.
       if (std::fseek(f, 0, SEEK_END) != 0) return DASP_E_FORMAT;
       int64_t tail = std::ftell(f) - info->data_offset;
       if (tail < 0) tail = 0;

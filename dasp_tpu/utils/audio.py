@@ -140,7 +140,10 @@ def load_clip(example: Tuple[str, int], length: int) -> np.ndarray:
         except RuntimeError:
             pass
     audio, _ = load_wav(path)
-    return np.clip(audio[:, offset : offset + length], -1.0, 1.0)
+    clip = np.clip(audio[:, offset : offset + length], -1.0, 1.0)
+    if clip.shape[-1] < length:  # clip overlaps EOF: zero-fill like native
+        clip = np.pad(clip, ((0, 0), (0, length - clip.shape[-1])))
+    return clip
 
 
 _wav_channels_cache: dict = {}
