@@ -31,8 +31,81 @@ import threading
 from typing import Callable, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["threaded_iterator", "device_prefetch"]
+__all__ = ["threaded_iterator", "device_prefetch", "wire_encode",
+           "wire_decode"]
+
+# ---------------------------------------------------------------------------
+# Wire formats: shrink host->device transfer bytes.
+#
+# The streamed-input path is host-bandwidth-bound (the reference hides
+# this behind DataLoader workers + PCIe; on constrained links it is the
+# training bottleneck). Audio datasets are 16-bit PCM on disk, so an
+# int16 wire is BIT-EXACT for file-backed training at half the fp32
+# bytes; bf16 likewise halves bytes for synthetic float sources at ~3
+# significant digits. Encode runs on the host (numpy), decode on the
+# device inside jit — dequantization is one fused multiply on
+# arrival, not a host-side pass.
+# ---------------------------------------------------------------------------
+
+# Wire markers live in dict KEYS (pytree structure), never as string
+# leaves — the encoded tree must survive jax.device_put unmodified.
+_WIRE_BF16 = "__dasp_wire_bf16__"
+_WIRE_I16 = "__dasp_wire_i16__"
+_WIRE_MIN_BYTES = 1 << 14  # don't bother re-encoding small leaves
+
+
+def _is_wire_leaf(x) -> bool:
+    return isinstance(x, dict) and (_WIRE_BF16 in x or _WIRE_I16 in x)
+
+
+def _encode_leaf(x, wire: str):
+    if not (isinstance(x, np.ndarray) and x.dtype == np.float32
+            and x.nbytes >= _WIRE_MIN_BYTES):
+        return x
+    if wire == "bf16":
+        import ml_dtypes
+        return {_WIRE_BF16: x.astype(ml_dtypes.bfloat16)}
+    if wire == "i16":
+        # PCM-grid scale (1/32767) whenever the data fits in [-1, 1]:
+        # round(f32(m/32767) * 32767) == m and IEEE division m/32767
+        # re-rounds to the same f32, so 16-bit-PCM-sourced audio
+        # round-trips BIT-EXACTLY. Larger-range floats fall back to a
+        # per-array max-abs scale (error <= peak/65534). We ship the
+        # INVERSE scale and decode with a true divide — multiplying by
+        # a rounded reciprocal would be off in the last ulp.
+        peak = float(np.max(np.abs(x))) if x.size else 0.0
+        inv = np.float32(32767.0 if peak <= 1.0
+                         else 32767.0 / peak * (1 - 1e-7))
+        q = np.round(x * inv).astype(np.int16)
+        return {_WIRE_I16: q, "inv_scale": inv}
+    raise ValueError(f"unknown wire format {wire!r} (use 'f32', 'bf16', 'i16')")
+
+
+def wire_encode(batch, wire: str = "i16"):
+    """Re-encode the large float32 leaves of a batch pytree for transfer.
+
+    Host-side (numpy). ``wire='i16'`` halves bytes and is bit-exact for
+    16-bit-PCM-sourced audio; ``'bf16'`` halves bytes at reduced
+    mantissa; ``'f32'`` is the identity. Small leaves (< 16 KiB) pass
+    through unchanged. Decode with :func:`wire_decode` on device.
+    """
+    if wire == "f32":
+        return batch
+    return jax.tree.map(lambda x: _encode_leaf(x, wire), batch)
+
+
+def wire_decode(batch):
+    """Decode a :func:`wire_encode`'d pytree back to float32 (trace-safe)."""
+    def dec(x):
+        if not _is_wire_leaf(x):
+            return x
+        if _WIRE_BF16 in x:
+            return x[_WIRE_BF16].astype(jnp.float32)
+        return x[_WIRE_I16].astype(jnp.float32) / x["inv_scale"]
+    return jax.tree.map(dec, batch, is_leaf=_is_wire_leaf)
 
 
 def threaded_iterator(
@@ -81,18 +154,27 @@ def threaded_iterator(
         yield item
 
 
-def device_prefetch(it: Iterator, size: int = 2, device: Optional[object] = None) -> Iterator:
+def device_prefetch(it: Iterator, size: int = 2, device: Optional[object] = None,
+                    wire: str = "f32") -> Iterator:
     """Keep ``size`` batches staged on the device ahead of the consumer.
 
     ``jax.device_put`` dispatches the transfer asynchronously, so while
     the consumer's current step computes, the next batches are already in
     flight over PCIe/ICI. Works on arrays and pytrees of arrays.
+
+    ``wire`` selects the host->device transfer encoding (see
+    :func:`wire_encode`): ``'i16'`` halves bytes and is bit-exact for
+    16-bit-PCM-sourced audio; decode happens on device under jit, so
+    consumers always receive float32 pytrees regardless of ``wire``.
     """
     assert size >= 1
+    decode = jax.jit(wire_decode) if wire != "f32" else (lambda b: b)
     buf: "collections.deque" = collections.deque()
     for b in it:
+        if wire != "f32":
+            b = wire_encode(b, wire)
         buf.append(jax.device_put(b, device))
         if len(buf) >= size:
-            yield buf.popleft()
+            yield decode(buf.popleft())
     while buf:
-        yield buf.popleft()
+        yield decode(buf.popleft())

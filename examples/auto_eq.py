@@ -31,7 +31,7 @@ from dasp_tpu.utils import (
 )
 from dasp_tpu.utils.audio import save_wav
 
-from common import base_parser, batch_iterator
+from common import base_parser, device_batches
 
 MRSTFT_KW = dict(  # auto_eq.py:252-262 configuration
     fft_sizes=(128, 256, 512, 1024, 2048, 4096, 8192),
@@ -141,10 +141,10 @@ def main():
 
     logger = MetricsLogger(log_dir)
     nprng = np.random.default_rng(args.seed + 1)
-    data = batch_iterator(args)
+    data = device_batches(args)  # async staged transfer, int16 wire
 
     for step in range(start, args.steps):
-        x = jnp.asarray(next(data))
+        x = next(data)  # already on device (device_batches)
         rand_params = jnp.asarray(
             nprng.uniform(0, 1, (args.batch_size, equalizer.num_params)).astype(np.float32))
         rand_gain = jnp.asarray(

@@ -25,7 +25,7 @@ import dasp_tpu as D
 from dasp_tpu.models import ParameterNetwork
 from dasp_tpu.utils import MetricsLogger, load_checkpoint, save_checkpoint, stft_loss
 
-from common import base_parser, batch_iterator
+from common import base_parser, device_batches
 
 
 def main():
@@ -129,10 +129,10 @@ def main():
 
     logger = MetricsLogger(log_dir)
     nprng = np.random.default_rng(args.seed + 1)
-    data = batch_iterator(args)
+    data = device_batches(args)  # async staged transfer, int16 wire
 
     for step in range(start, args.steps):
-        x = jnp.asarray(next(data))
+        x = next(data)  # already on device (device_batches)
         rand_params = jnp.asarray(
             nprng.uniform(0, 1, (args.batch_size, processor.num_params)).astype(np.float32))
         params, batch_stats, opt_state, loss, perr = train_step(

@@ -34,7 +34,7 @@ from dasp_tpu.utils import (
 )
 from dasp_tpu.utils.audio import save_wav
 
-from common import base_parser, batch_iterator
+from common import base_parser, device_batches
 
 
 def build(args, mesh=None):
@@ -201,10 +201,10 @@ def main():
     logger = MetricsLogger(log_dir)
     nprng = np.random.default_rng(args.seed + 1)
     key = jax.random.PRNGKey(args.seed + 2)
-    data = batch_iterator(args)
+    data = device_batches(args)  # async staged transfer, int16 wire
 
     for step in range(start, args.steps):
-        x = jnp.asarray(next(data))
+        x = next(data)  # already on device (device_batches)
         if mesh is not None:
             x = shard_batch(x, mesh)
         rand = random_corruption(nprng, args.batch_size, processors)

@@ -32,7 +32,7 @@ import optax
 import dasp_tpu as D
 from dasp_tpu.utils import MetricsLogger, multi_resolution_stft_loss, save_checkpoint
 
-from common import base_parser, batch_iterator
+from common import base_parser, device_batches
 
 MRSTFT_KW = dict(  # virtual_analog.py:288-300 configuration
     fft_sizes=(128, 256, 512, 1024, 2048, 4096, 8192),
@@ -276,7 +276,7 @@ def main():
         return
 
     log_dir = args.log_dir or "outputs/virtual_analog"
-    data = batch_iterator(args)
+    data = device_batches(args)  # async staged transfer, int16 wire
     data_iter = ((next(data), None) for _ in iter(int, 1))
     fit_distortion_model(args, sr, data_iter, log_dir,
                          synth_amp=jax.jit(lambda x: hidden_amp(x, sr)))

@@ -229,6 +229,55 @@ class TestInputPipeline:
             assert isinstance(b["x"], jax.Array)
             np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
 
+    def test_wire_i16_bitexact_for_pcm16(self):
+        # int16 wire must round-trip 16-bit-PCM-sourced audio BIT-exactly
+        from dasp_tpu.utils import wire_decode, wire_encode
+
+        rng = np.random.default_rng(0)
+        pcm = rng.integers(-32768, 32768, size=(2, 1, 8192), dtype=np.int16)
+        x = (pcm.astype(np.float32) / 32767.0)
+        dec = jax.jit(wire_decode)(wire_encode({"x": x}, "i16"))
+        np.testing.assert_array_equal(np.asarray(dec["x"]), x)
+
+    def test_wire_i16_bounded_error_general_floats(self):
+        from dasp_tpu.utils import wire_decode, wire_encode
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((1, 1, 8192)).astype(np.float32) * 3.7
+        dec = np.asarray(jax.jit(wire_decode)(wire_encode([x], "i16"))[0])
+        peak = np.abs(x).max()
+        assert np.abs(dec - x).max() <= peak / 65534 * 1.01
+
+    def test_wire_bf16_and_small_leaf_passthrough(self):
+        from dasp_tpu.utils import wire_decode, wire_encode
+
+        big = np.linspace(-1, 1, 1 << 13, dtype=np.float32)  # 32 KiB
+        small = np.float32(0.123) * np.ones((4,), np.float32)  # < 16 KiB
+        ints = np.arange(5, dtype=np.int32)
+        enc = wire_encode({"big": big, "small": small, "i": ints}, "bf16")
+        assert enc["small"] is small and enc["i"] is ints  # untouched
+        dec = jax.jit(wire_decode)(enc)
+        assert np.asarray(dec["big"]).dtype == np.float32
+        np.testing.assert_allclose(np.asarray(dec["big"]), big, atol=1 / 256)
+        # f32 wire is the identity
+        from dasp_tpu.utils import wire_encode as we
+        assert we({"big": big}, "f32")["big"] is big
+
+    def test_device_prefetch_wire_transparent(self):
+        # consumers receive float32 regardless of the wire encoding
+        from dasp_tpu.utils import device_prefetch
+
+        rng = np.random.default_rng(2)
+        pcm = rng.integers(-32768, 32768, size=(1, 16384), dtype=np.int16)
+        batches = [{"x": pcm.astype(np.float32) / 32767.0,
+                    "n": np.int32(i)} for i in range(4)]
+        out = list(device_prefetch(iter(batches), size=2, wire="i16"))
+        assert len(out) == 4
+        for i, b in enumerate(out):
+            assert b["x"].dtype == np.float32
+            np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+            assert int(b["n"]) == i
+
     def test_batch_iterator_multiworker(self):
         import sys
         sys.path.insert(0, os.path.join(
