@@ -253,7 +253,8 @@ def main():
     # DataLoader(num_workers=8) analogue). Per-stage costs are measured
     # and recorded so the achievable feed rate is explainable from the
     # host, not asserted.
-    from dasp_tpu.utils import device_prefetch, threaded_iterator, wire_encode
+    from dasp_tpu.utils import (device_prefetch, threaded_iterator,
+                                wire_decode, wire_encode)
 
     nproc = os.cpu_count() or 1
     n_workers = max(1, min(8, nproc - 1))
@@ -312,19 +313,22 @@ def main():
     # steady-state measurement: consume well past the buffer depth before
     # timing, so the rate reflects sustained production, not buffer drain.
     # The int16 wire halves bytes on the host->device link (bit-exact for
-    # PCM16-sourced audio); DEPTH=3 keeps multiple puts in flight.
+    # PCM16-sourced audio); DEPTH=3 keeps multiple puts in flight. Decode
+    # happens INSIDE the consumer's jitted step (decode_on_yield=False) —
+    # a separate per-batch decode dispatch serializes with the transfers
+    # on this high-latency tunnel and halves the streamed rate.
     PREFETCH, DEPTH, WIRE = 6, 3, "i16"
     n2 = min(args.steps, 32)
     warm2 = PREFETCH + DEPTH
 
     pipe = device_prefetch(threaded_iterator(source, num_workers=n_workers, prefetch=PREFETCH),
-                           size=DEPTH, wire=WIRE)
+                           size=DEPTH, wire=WIRE, decode_on_yield=False)
     for _ in range(warm2):
-        jax.block_until_ready(next(pipe)[0])
+        jax.block_until_ready(next(pipe))
     t0 = time.time()
     # block once on everything delivered: per-batch sync would add one
     # host<->device round trip per pull and measure RTT, not throughput
-    delivered = [next(pipe)[0] for _ in range(n2)]
+    delivered = [next(pipe) for _ in range(n2)]
     jax.block_until_ready(delivered)
     feed_rate = n2 / (time.time() - t0)
     del delivered
@@ -333,18 +337,21 @@ def main():
            f"{steps_per_sec:.2f} steps/s compute; use device-synthesis mode "
            f"when the host is the bottleneck)")
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step_wire(params, batch_stats, opt_state, enc, key):
+        x, rand = wire_decode(enc)
+        return _step_core(params, batch_stats, opt_state, x, rand, key)
+
     pipe = device_prefetch(threaded_iterator(source, num_workers=n_workers, prefetch=PREFETCH),
-                           size=DEPTH, wire=WIRE)
+                           size=DEPTH, wire=WIRE, decode_on_yield=False)
     for i in range(warm2):
-        x, rand = next(pipe)
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, x, rand, jax.random.PRNGKey(290 + i))
+        params, batch_stats, opt_state, loss = train_step_wire(
+            params, batch_stats, opt_state, next(pipe), jax.random.PRNGKey(290 + i))
     jax.block_until_ready(loss)
     t0 = time.time()
     for i in range(n2):
-        x, rand = next(pipe)
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, x, rand, jax.random.PRNGKey(300 + i))
+        params, batch_stats, opt_state, loss = train_step_wire(
+            params, batch_stats, opt_state, next(pipe), jax.random.PRNGKey(300 + i))
     jax.block_until_ready((params, loss))
     streamed = n2 / (time.time() - t0)
     eprint(f"host-streamed training: {streamed:.3f} steps/s")

@@ -536,7 +536,14 @@ def static_gain_computer(x_db, threshold_db, ratio, knee_db, mode: str) -> jnp.n
 
 
 def _smooth_gain(g_c, alpha_a, alpha_r, smoother):
-    """Smooth a gain-reduction curve with the selected smoother."""
+    """Smooth a gain-reduction curve with the selected smoother.
+
+    ``smoother`` may also be a callable ``(g_c, alpha_attack,
+    alpha_release) -> smoothed`` — the injection point for mesh-sharded
+    smoothing (e.g. ``functools.partial(parallel.sharded_ballistics_smooth,
+    mesh=mesh)``), mirroring the EQ's ``filter_method`` callables."""
+    if callable(smoother):
+        return smoother(g_c, alpha_a, alpha_r)
     if smoother == "exact_pallas":
         # true branching attack/release ballistics in a Pallas kernel —
         # bitwise equal to smoother="exact" and ~1000x faster on TPU
@@ -1929,7 +1936,8 @@ def _frac_delay_gather(x, d):
     return jnp.where(idx >= 0.0, wet, 0.0)  # before the signal started
 
 
-def _frac_delay_matmul(x, taps, dmax: float, block: int) -> jnp.ndarray:
+def _frac_delay_matmul(x, taps, dmax: float, block: int,
+                       gather_fwd: bool = False) -> jnp.ndarray:
     """Time-varying fractional multi-tap delay as per-tile interpolation matmuls.
 
     For each ``block``-sample output tile, the linearly interpolated read
@@ -1960,50 +1968,173 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int) -> jnp.ndarray:
 
     # ext coords: position t of the original signal sits at t + Dm
     x_ext = jnp.pad(x, ((0, 0), (0, 0), (Dm, pad_t)))
-    taps_p = [
-        (
-            jnp.pad(d, ((0, 0), (0, 0), (0, pad_t))),
-            None if g is None else jnp.pad(g, ((0, 0), (0, 0), (0, pad_t))),
-        )
-        for d, g in taps
-    ]
-
-    j = np.arange(B, dtype=np.float32)  # in-tile output offset
-    iota_w = np.arange(W, dtype=np.int32)
-
-    # checkpoint: without it the scan saves every tile's (bs, B, W)
-    # interpolation matrix as a backward residual (gigabytes at reference
-    # scale); rematerializing keeps residuals to the tiny window slices
-    # and the VJP stays a per-tile transposed matmul
-    @jax.checkpoint
-    def tile(k):
-        win = jax.lax.dynamic_slice_in_dim(x_ext, k * B, W, axis=-1)  # (bs, chs, W)
-        t_abs = (k * B).astype(np.float32) + j[None, :]  # (1, B) global time
-        m = 0.0
-        for d_p, g_p in taps_p:
-            d_k = jax.lax.dynamic_slice_in_dim(d_p, k * B, B, axis=-1)[:, 0, :]
-            r = j[None, :] + Dm - d_k  # fractional read pos in window coords
-            i0 = jnp.floor(r)
-            frac = (r - i0)[..., None]  # (bs, B, 1)
-            i0 = i0.astype(jnp.int32)[..., None]  # (bs, B, 1)
-            onehot0 = (iota_w[None, None, :] == i0).astype(x.dtype)
-            onehot1 = (iota_w[None, None, :] == i0 + 1).astype(x.dtype)
-            # tap gain, zeroed before the global signal start (t - d < 0)
-            g_k = (t_abs - d_k >= 0.0).astype(x.dtype)
-            if g_p is not None:
-                g_k = g_k * jax.lax.dynamic_slice_in_dim(
-                    g_p, k * B, B, axis=-1
-                )[:, 0, :]
-            m = m + g_k[..., None] * ((1.0 - frac) * onehot0 + frac * onehot1)
-        wet_k = jnp.einsum(
-            "bjw,bcw->bcj", m, win,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return wet_k
-
-    _, wets = jax.lax.scan(lambda c, k: (c, tile(k)), None, jnp.arange(nb))
-    wet = jnp.moveaxis(wets, 0, 2).reshape(bs, chs, nb * B)
+    d_stk = jnp.stack(
+        [jnp.pad(d, ((0, 0), (0, 0), (0, pad_t)))[:, 0, :] for d, _ in taps]
+    )  # (ntaps, bs, nb*B)
+    g_stk = jnp.stack([
+        jnp.ones((bs, nb * B), x.dtype) if g is None
+        else jnp.pad(g, ((0, 0), (0, 0), (0, pad_t)))[:, 0, :]
+        for _, g in taps
+    ])
+    fn = _frac_delay_tiles_gfwd if gather_fwd else _frac_delay_tiles
+    wet = fn(B, Dm, x_ext, d_stk, g_stk)
     return wet[..., :T]
+
+
+def _fdt_interp_matrix(d_k, g_k, t_abs, W: int, Dm: int, dtype):
+    """(bs, B, W) interpolation matrix for one tile — two nonzeros per
+    row per tap, built from iota comparisons so XLA fuses it into the
+    adjacent dot operand (never materialized in HBM).
+
+    d_k/g_k: (ntaps, bs, B); t_abs: (B,) global output time.
+    """
+    j = np.arange(d_k.shape[-1], dtype=np.float32)
+    iota_w = np.arange(W, dtype=np.int32)
+    m = 0.0
+    for ti in range(d_k.shape[0]):
+        r = j[None, :] + Dm - d_k[ti]  # fractional read pos, window coords
+        i0 = jnp.floor(r)
+        frac = (r - i0)[..., None]  # (bs, B, 1)
+        i0 = i0.astype(jnp.int32)[..., None]
+        onehot0 = (iota_w[None, None, :] == i0).astype(dtype)
+        onehot1 = (iota_w[None, None, :] == i0 + 1).astype(dtype)
+        # tap gain, zeroed before the global signal start (t - d < 0)
+        gv = (t_abs[None, :] - d_k[ti] >= 0.0).astype(dtype) * g_k[ti]
+        m = m + gv[..., None] * ((1.0 - frac) * onehot0 + frac * onehot1)
+    return m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _frac_delay_tiles(B: int, Dm: int, x_ext, d_stk, g_stk):
+    """Tiled interpolation-matmul fractional delay with a custom VJP.
+
+    Forward: per ``B``-sample output tile, contract the fused
+    interpolation matrix against the (Dm+B)-sample input window on the
+    MXU. Backward: the input cotangent is the transposed contraction
+    (also fused+MXU); the delay/gain cotangents are computed DIRECTLY
+    from the interpolation formula (two tiny gathers per tap) —
+    autodiff of the einsum would instead materialize every tile's
+    (bs, B, W) matrix cotangent in HBM, which made these effects'
+    gradients 5-9x their forward cost at reference scale.
+    """
+    return _fdt_fwd(B, Dm, x_ext, d_stk, g_stk)[0]
+
+
+def _fdt_fwd(B: int, Dm: int, x_ext, d_stk, g_stk):
+    bs, chs, T_ext = x_ext.shape
+    W = Dm + B
+    nb = (T_ext - Dm) // B
+    j = np.arange(B, dtype=np.float32)
+
+    def tile(_, k):
+        win = jax.lax.dynamic_slice_in_dim(x_ext, k * B, W, axis=-1)
+        d_k = jax.lax.dynamic_slice_in_dim(d_stk, k * B, B, axis=-1)
+        g_k = jax.lax.dynamic_slice_in_dim(g_stk, k * B, B, axis=-1)
+        t_abs = (k * B).astype(np.float32) + j
+        m = _fdt_interp_matrix(d_k, g_k, t_abs, W, Dm, x_ext.dtype)
+        wet_k = jnp.einsum("bjw,bcw->bcj", m, win,
+                           precision=jax.lax.Precision.HIGHEST)
+        return None, wet_k
+
+    _, wets = jax.lax.scan(tile, None, jnp.arange(nb))
+    wet = jnp.moveaxis(wets, 0, 2).reshape(bs, chs, nb * B)
+    return wet, (x_ext, d_stk, g_stk)
+
+
+def _fdt_bwd(B: int, Dm: int, res, dwet):
+    x_ext, d_stk, g_stk = res
+    bs, chs, T_ext = x_ext.shape
+    W = Dm + B
+    nb = (T_ext - Dm) // B
+    ntaps = d_stk.shape[0]
+    j = np.arange(B, dtype=np.float32)
+    dw_t = jnp.moveaxis(dwet.reshape(bs, chs, nb, B), 2, 0)  # (nb, bs, chs, B)
+
+    def tile_bwd(dx_acc, inp):
+        k, dw_k = inp  # dw_k: (bs, chs, B)
+        win = jax.lax.dynamic_slice_in_dim(x_ext, k * B, W, axis=-1)
+        d_k = jax.lax.dynamic_slice_in_dim(d_stk, k * B, B, axis=-1)
+        g_k = jax.lax.dynamic_slice_in_dim(g_stk, k * B, B, axis=-1)
+        t_abs = (k * B).astype(np.float32) + j
+
+        # input cotangent: transposed contraction, matrix build fused
+        m = _fdt_interp_matrix(d_k, g_k, t_abs, W, Dm, x_ext.dtype)
+        dwin = jnp.einsum("bjw,bcj->bcw", m, dw_k,
+                          precision=jax.lax.Precision.HIGHEST)
+        cur = jax.lax.dynamic_slice_in_dim(dx_acc, k * B, W, axis=-1)
+        dx_acc = jax.lax.dynamic_update_slice_in_dim(
+            dx_acc, cur + dwin, k * B, axis=-1)
+
+        # delay/gain cotangents, directly from
+        #   wet = sum_taps gv * ((1-frac) x[i0] + frac x[i0+1]),
+        #   d(frac)/d(d) = -1 (zero through floor), gv = valid * g
+        dd_k, dg_k = [], []
+        for ti in range(ntaps):
+            r = j[None, :] + Dm - d_k[ti]
+            i0 = jnp.floor(r)
+            frac = (r - i0)[:, None, :]  # (bs, 1, B)
+            i0i = jnp.clip(i0, 0, W - 1).astype(jnp.int32)
+            i1i = jnp.clip(i0 + 1.0, 0, W - 1).astype(jnp.int32)
+            i0b = jnp.broadcast_to(i0i[:, None, :], (bs, chs, B))
+            i1b = jnp.broadcast_to(i1i[:, None, :], (bs, chs, B))
+            x0 = jnp.take_along_axis(win, i0b, axis=-1)
+            x1 = jnp.take_along_axis(win, i1b, axis=-1)
+            valid = (t_abs[None, :] - d_k[ti] >= 0.0).astype(win.dtype)
+            interp = (1.0 - frac) * x0 + frac * x1
+            s_interp = jnp.sum(dw_k * interp, axis=1)  # over channels
+            s_diff = jnp.sum(dw_k * (x1 - x0), axis=1)
+            dg_k.append(valid * s_interp)
+            dd_k.append(-valid * g_k[ti] * s_diff)
+        return dx_acc, (jnp.stack(dd_k), jnp.stack(dg_k))
+
+    dx_ext = jnp.zeros_like(x_ext)
+    dx_ext, (dd_t, dg_t) = jax.lax.scan(
+        tile_bwd, dx_ext, (jnp.arange(nb), dw_t))
+    # (nb, ntaps, bs, B) -> (ntaps, bs, nb*B)
+    dd = jnp.moveaxis(dd_t, 0, 2).reshape(ntaps, bs, nb * B)
+    dg = jnp.moveaxis(dg_t, 0, 2).reshape(ntaps, bs, nb * B)
+    return dx_ext, dd, dg
+
+
+_frac_delay_tiles.defvjp(_fdt_fwd, _fdt_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _frac_delay_tiles_gfwd(B: int, Dm: int, x_ext, d_stk, g_stk):
+    """Gather-forward / tile-matmul-backward fractional delay.
+
+    Same contract as :func:`_frac_delay_tiles`; the forward pass uses
+    linearly interpolated gathers (cheap on the VPU, no tiling) while
+    the backward reuses the tile machinery — the autodiff backward of a
+    gather is a scatter-add, the single slowest pattern on TPU, and it
+    made the bounded-delay gather effects' gradients 5-10x their
+    forward cost. Used whenever a static delay bound exists but the
+    caller prefers the gather forward (pitch_shift(matmul=False))."""
+    return _fdtg_fwd(B, Dm, x_ext, d_stk, g_stk)[0]
+
+
+def _fdtg_fwd(B: int, Dm: int, x_ext, d_stk, g_stk):
+    bs, chs, T_ext = x_ext.shape
+    Tp = T_ext - Dm
+    t = np.arange(Tp, dtype=np.float32)
+    wet = jnp.zeros((bs, chs, Tp), x_ext.dtype)
+    for ti in range(d_stk.shape[0]):
+        r = t[None, :] + Dm - d_stk[ti]  # read pos in ext coords, (bs, Tp)
+        i0 = jnp.floor(r)
+        frac = (r - i0)[:, None, :]
+        i0i = jnp.clip(i0, 0, T_ext - 1).astype(jnp.int32)
+        i1i = jnp.clip(i0 + 1.0, 0, T_ext - 1).astype(jnp.int32)
+        x0 = jnp.take_along_axis(
+            x_ext, jnp.broadcast_to(i0i[:, None, :], (bs, chs, Tp)), axis=-1)
+        x1 = jnp.take_along_axis(
+            x_ext, jnp.broadcast_to(i1i[:, None, :], (bs, chs, Tp)), axis=-1)
+        gv = ((t[None, :] - d_stk[ti] >= 0.0).astype(x_ext.dtype)
+              * g_stk[ti])[:, None, :]
+        wet = wet + gv * ((1.0 - frac) * x0 + frac * x1)
+    return wet, (x_ext, d_stk, g_stk)
+
+
+_frac_delay_tiles_gfwd.defvjp(_fdtg_fwd, _fdt_bwd)
 
 
 def pitch_shift_window_samples(window_ms: float, sample_rate: float) -> int:
@@ -2094,7 +2225,10 @@ def pitch_shift(
     if matmul:
         wet = _frac_delay_matmul(x, taps, float(W), block)
     else:
-        wet = sum(g * _frac_delay_gather(x, d) for d, g in taps)
+        # gather forward, tile-matmul backward (the delay bound W is
+        # always static here, so the scatter-add backward of a plain
+        # gather — 5-10x the forward cost on TPU — is never needed)
+        wet = _frac_delay_matmul(x, taps, float(W), block, gather_fwd=True)
 
     if compensate_latency:
         # compensate the mean W/2-sample latency (zeros shift in at the tail)

@@ -9,10 +9,12 @@ from .mesh import (
     shard_batch,
 )
 from .sharded import (
+    sharded_ballistics_smooth,
     sharded_fft_conv_causal,
     sharded_multi_resolution_stft_loss,
     sharded_sosfilt_coupled,
     sharded_tv_freq_filter,
+    sharded_onepole,
     sharded_tv_power,
 )
 
@@ -27,4 +29,6 @@ __all__ = [
     "sharded_tv_freq_filter",
     "sharded_tv_power",
     "sharded_multi_resolution_stft_loss",
+    "sharded_ballistics_smooth",
+    "sharded_onepole",
 ]

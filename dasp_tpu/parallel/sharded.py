@@ -32,6 +32,8 @@ __all__ = [
     "sharded_tv_freq_filter",
     "sharded_tv_power",
     "sharded_multi_resolution_stft_loss",
+    "sharded_ballistics_smooth",
+    "sharded_onepole",
 ]
 
 
@@ -182,6 +184,176 @@ def sharded_sosfilt_coupled(
     )
     x_b, sos_b = lax.optimization_barrier((x, sos))
     return lax.optimization_barrier(fn(sos_b, x_b))
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel dynamics smoothing (compressor/expander/limiter
+# envelopes). A one-pole y[n] = a[n] y[n-1] + (1-a[n]) g[n] is LINEAR in
+# its initial state, so each device runs its local scan from rest and
+# linearly corrects with its true incoming state:
+#
+#     y(t; y_in) = y_zero(t) + C(t) * y_in,   C(t) = prod_{s<=t} a[s]
+#
+# One tiny all_gather of every shard's affine state map (f_d, P_d) =
+# (y_zero[-1], C[-1]) — two scalars per (bs, ch) over ICI — and each
+# device composes the maps of the shards to its left. The same pattern
+# as sharded_sosfilt_coupled, specialized to first order. The ballistics
+# smoother's "parallel" mode is two such passes plus ONE boundary sample
+# exchanged for its delayed attack/release comparison, so the dynamics
+# stage stays sequence-sharded instead of idling the sp axis
+# (functional._smooth_gain accepts these as callables).
+# ---------------------------------------------------------------------------
+
+
+def _onepole_block(g_blk: jnp.ndarray, alpha_blk: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Per-device exact time-varying one-pole with cross-shard correction.
+
+    g_blk, alpha_blk: (bs, ch, T_local); the recurrence continues across
+    shards exactly as if run unsharded from rest (up to fp32
+    reassociation in the cumprod correction).
+    """
+    from ..ops.iir import onepole_varying
+
+    y_zero = onepole_varying(g_blk, alpha_blk)           # local, from rest
+    C = jnp.cumprod(alpha_blk, axis=-1)                  # dy/dy_in
+    f_loc, P_loc = y_zero[..., -1], C[..., -1]           # shard's affine map
+
+    n = lax.axis_size(axis_name)
+    f_all = lax.all_gather(f_loc, axis_name)             # (n, bs, ch)
+    P_all = lax.all_gather(P_loc, axis_name)
+    y_in = jnp.zeros_like(f_loc)
+    y_ins = []
+    for k in range(n):                                   # n is static, tiny
+        y_ins.append(y_in)
+        y_in = f_all[k] + P_all[k] * y_in
+    d = lax.axis_index(axis_name)
+    y_in_d = lax.dynamic_index_in_dim(jnp.stack(y_ins), d, 0, keepdims=False)
+    return y_zero + C * y_in_d[..., None]
+
+
+def _ballistics_parallel_block(g_blk, aa, ar, axis_name):
+    """Per-device body of the sharded "parallel" ballistics smoother —
+    value-equal to ops.iir.ballistics_smooth(mode="parallel") up to fp32
+    reassociation."""
+    aa_b = jnp.broadcast_to(aa, g_blk.shape).astype(g_blk.dtype)
+    ar_b = jnp.broadcast_to(ar, g_blk.shape).astype(g_blk.dtype)
+    y_a = _onepole_block(g_blk, aa_b, axis_name)         # attack pass
+
+    # the delayed comparison sample crosses the shard boundary
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    prev = lax.ppermute(y_a[..., -1:], axis_name,
+                        perm=[(i, (i + 1) % n) for i in range(n)])
+    prev = jnp.where(idx == 0, jnp.zeros_like(prev), prev)
+    y_prev = jnp.concatenate([prev, y_a[..., :-1]], axis=-1)
+
+    alpha = jnp.where(g_blk < y_prev, aa_b, ar_b)
+    return _onepole_block(g_blk, alpha, axis_name)
+
+
+def sharded_onepole(
+    g: jnp.ndarray,
+    alpha: jnp.ndarray,
+    mesh: Mesh,
+    seq_axis_name: str = "sp",
+    batch_axis_name=None,
+) -> jnp.ndarray:
+    """Exact (time-varying) one-pole smoother with the TIME axis sharded.
+
+    Same recurrence as :func:`dasp_tpu.ops.iir.onepole_varying` from
+    rest; each device scans its T/sp block and linearly corrects with
+    its true incoming state (one tiny all_gather of per-shard affine
+    maps over ICI). ``alpha`` broadcasts against g (constant (bs, 1, 1)
+    coefficients stay replicated; per-sample coefficients shard with g).
+
+    ``batch_axis_name``: mesh axis to ALSO split the batch over.
+    """
+    sp = mesh.shape[seq_axis_name]
+    if sp == 1:
+        from ..ops.iir import onepole_varying
+
+        return onepole_varying(g, alpha)
+    T = g.shape[-1]
+    assert T % sp == 0, f"sequence length {T} not divisible by sp={sp}"
+
+    per_sample = (jnp.ndim(alpha) == g.ndim and alpha.shape[-1] == T)
+    b = batch_axis_name
+    if per_sample:
+        a_spec = P(b, None, seq_axis_name)
+    elif jnp.ndim(alpha) >= 1 and jnp.shape(alpha)[0] == g.shape[0]:
+        a_spec = P(b)  # per-item coefficients split with the batch
+    else:
+        a_spec = P()
+
+    def body(g_blk, a_blk):
+        return _onepole_block(
+            g_blk, jnp.broadcast_to(a_blk, g_blk.shape).astype(g_blk.dtype),
+            seq_axis_name)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(b, None, seq_axis_name), a_spec),
+                   out_specs=P(b, None, seq_axis_name))
+    g_b, a_b = lax.optimization_barrier((g, jnp.asarray(alpha, g.dtype)))
+    return lax.optimization_barrier(fn(g_b, a_b))
+
+
+def sharded_ballistics_smooth(
+    g: jnp.ndarray,
+    alpha_attack: jnp.ndarray,
+    alpha_release: jnp.ndarray,
+    mesh: Mesh,
+    seq_axis_name: str = "sp",
+    mode: str = "parallel",
+    batch_axis_name=None,
+) -> jnp.ndarray:
+    """Sequence-sharded dual-time-constant ballistics smoothing.
+
+    Drop-in for :func:`dasp_tpu.ops.iir.ballistics_smooth` (modes
+    "parallel" and "attack_only"; value-equal up to fp32 reassociation)
+    with the time axis sharded over the mesh's ``seq_axis_name``. Pass
+    ``functools.partial(sharded_ballistics_smooth, mesh=mesh)`` as a
+    processor's ``smoother=`` to keep the dynamics stage sp-sharded in a
+    multi-chip chain (see functional._smooth_gain). The true branching
+    modes ("exact"/"exact_pallas") are inherently sequential across
+    shards and are not offered here — use the unsharded kernels.
+
+    Args:
+        g: gain-reduction curve (bs, ch, T), sp | T.
+        alpha_attack / alpha_release: (bs,)/(bs, 1, 1) coefficients.
+        mesh / seq_axis_name / batch_axis_name: as in
+            :func:`sharded_fft_conv_causal`.
+        mode: "parallel" (default) or "attack_only".
+    """
+    if mode not in ("parallel", "attack_only"):
+        raise ValueError(
+            f"sharded_ballistics_smooth supports modes 'parallel' and "
+            f"'attack_only', got {mode!r} (true branching ballistics are "
+            f"sequential across shards; use the unsharded kernels)")
+    sp = mesh.shape[seq_axis_name]
+    aa = jnp.reshape(alpha_attack, (g.shape[0],) + (1,) * (g.ndim - 1))
+    ar = jnp.reshape(alpha_release, (g.shape[0],) + (1,) * (g.ndim - 1))
+    if sp == 1:
+        from ..ops.iir import ballistics_smooth
+
+        return ballistics_smooth(g, aa, ar, mode=mode)
+    if mode == "attack_only":
+        return sharded_onepole(g, aa, mesh, seq_axis_name,
+                               batch_axis_name=batch_axis_name)
+    T = g.shape[-1]
+    assert T % sp == 0, f"sequence length {T} not divisible by sp={sp}"
+
+    b = batch_axis_name
+    fn = shard_map(
+        partial(_ballistics_parallel_block, axis_name=seq_axis_name),
+        mesh=mesh,
+        # the per-item (bs, 1, 1) coefficients split over the batch axis
+        # alongside g (replicated when no batch axis)
+        in_specs=(P(b, None, seq_axis_name), P(b), P(b)),
+        out_specs=P(b, None, seq_axis_name),
+    )
+    g_b, aa_b, ar_b = lax.optimization_barrier(
+        (g, jnp.asarray(aa, g.dtype), jnp.asarray(ar, g.dtype)))
+    return lax.optimization_barrier(fn(g_b, aa_b, ar_b))
 
 
 # ---------------------------------------------------------------------------

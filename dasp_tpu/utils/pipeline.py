@@ -69,16 +69,25 @@ def _encode_leaf(x, wire: str):
         import ml_dtypes
         return {_WIRE_BF16: x.astype(ml_dtypes.bfloat16)}
     if wire == "i16":
-        # PCM-grid scale (1/32767) whenever the data fits in [-1, 1]:
-        # round(f32(m/32767) * 32767) == m and IEEE division m/32767
-        # re-rounds to the same f32, so 16-bit-PCM-sourced audio
-        # round-trips BIT-EXACTLY. Larger-range floats fall back to a
-        # per-array max-abs scale (error <= peak/65534). We ship the
-        # INVERSE scale and decode with a true divide — multiplying by
-        # a rounded reciprocal would be off in the last ulp.
-        peak = float(np.max(np.abs(x))) if x.size else 0.0
-        inv = np.float32(32767.0 if peak <= 1.0
-                         else 32767.0 / peak * (1 - 1e-7))
+        # PCM-grid scales, chosen to make 16-bit-PCM-sourced audio
+        # round-trip BIT-EXACTLY: wav loaders divide by 32768 (ours,
+        # utils.audio:39 — a power of two, so m/32768 and the encode
+        # m/32768*32768 are both exact in fp32) or by 32767 (m/32767
+        # re-rounds to the same f32 after round-trip). Pick 32768 when
+        # the data fits its grid, else 32767 when it fits [-1, 1];
+        # larger-range floats fall back to a per-array max-abs scale
+        # (error <= peak/65534). We ship the INVERSE scale and decode
+        # with a true divide — multiplying by a rounded reciprocal
+        # would be off in the last ulp.
+        mx = float(np.max(x)) if x.size else 0.0
+        mn = float(np.min(x)) if x.size else 0.0
+        peak = max(mx, -mn)
+        if mx <= 32767.0 / 32768.0 and mn >= -1.0:
+            inv = np.float32(32768.0)  # int16 is asymmetric: -32768 fits
+        elif peak <= 1.0:
+            inv = np.float32(32767.0)
+        else:
+            inv = np.float32(32767.0 / peak * (1 - 1e-7))
         q = np.round(x * inv).astype(np.int16)
         return {_WIRE_I16: q, "inv_scale": inv}
     raise ValueError(f"unknown wire format {wire!r} (use 'f32', 'bf16', 'i16')")
@@ -155,7 +164,7 @@ def threaded_iterator(
 
 
 def device_prefetch(it: Iterator, size: int = 2, device: Optional[object] = None,
-                    wire: str = "f32") -> Iterator:
+                    wire: str = "f32", decode_on_yield: bool = True) -> Iterator:
     """Keep ``size`` batches staged on the device ahead of the consumer.
 
     ``jax.device_put`` dispatches the transfer asynchronously, so while
@@ -164,11 +173,20 @@ def device_prefetch(it: Iterator, size: int = 2, device: Optional[object] = None
 
     ``wire`` selects the host->device transfer encoding (see
     :func:`wire_encode`): ``'i16'`` halves bytes and is bit-exact for
-    16-bit-PCM-sourced audio; decode happens on device under jit, so
-    consumers always receive float32 pytrees regardless of ``wire``.
+    16-bit-PCM-sourced audio. With ``decode_on_yield`` (default) decode
+    happens on device under jit, so consumers always receive float32
+    pytrees regardless of ``wire``. Hot training loops should pass
+    ``decode_on_yield=False`` and call :func:`wire_decode` INSIDE their
+    jitted step instead — one device dispatch per step instead of two
+    (the separate decode dispatch serializes with the transfers on
+    high-latency links), and XLA fuses the dequant into the first
+    consumer of the batch.
     """
     assert size >= 1
-    decode = jax.jit(wire_decode) if wire != "f32" else (lambda b: b)
+    if wire != "f32" and decode_on_yield:
+        decode = jax.jit(wire_decode)
+    else:
+        decode = lambda b: b  # noqa: E731
     buf: "collections.deque" = collections.deque()
     for b in it:
         if wire != "f32":

@@ -45,20 +45,26 @@ def build(args, mesh=None):
     if mesh is not None and mesh.shape.get("sp", 1) > 1:
         from functools import partial
 
-        from dasp_tpu.parallel import sharded_fft_conv_causal, sharded_sosfilt_coupled
+        from dasp_tpu.parallel import (
+            sharded_ballistics_smooth,
+            sharded_fft_conv_causal,
+            sharded_sosfilt_coupled,
+        )
 
-        # sequence-shard BOTH long-sequence hot paths: the reverb's
-        # signal-with-IR convolution (halo exchange) and the EQ's exact
-        # IIR recurrence (coupled block-state chain across chips)
+        # sequence-shard ALL long-sequence hot paths: the reverb's
+        # signal-with-IR convolution (halo exchange), the EQ's exact
+        # IIR recurrence (coupled block-state chain across chips), and
+        # the compressor's envelope smoother (per-shard scans + affine
+        # state-map correction)
         ir_conv = partial(sharded_fft_conv_causal, mesh=mesh)
         kw["eq_filter_method"] = partial(sharded_sosfilt_coupled, mesh=mesh)
+        kw["compressor_smoother"] = partial(
+            sharded_ballistics_smooth, mesh=mesh, batch_axis_name="dp")
         if jax.default_backend() == "cpu":
-            # CPU-backend-only workarounds (NOT sp semantics): XLA-CPU's
+            # CPU-backend-only workaround (NOT sp semantics): XLA-CPU's
             # fft thunk requires row-major layouts, which shard_map-adjacent
-            # FFTs violate — keep the compressor on the scan smoother and
-            # draw reverb noise in the time domain. TPU meshes keep the
-            # faster fsm/frequency paths.
-            kw["compressor_smoother"] = "parallel"
+            # FFTs violate — draw reverb noise in the time domain. TPU
+            # meshes keep the faster frequency path.
             kw["reverb_noise_mode"] = "time"
     if args.smoke:
         processors = make_style_processors(

@@ -129,6 +129,93 @@ class TestShardedIIR:
             sharded_sosfilt_coupled(self._sos(1), jnp.zeros((1, 1, 8000)), mesh)
 
 
+class TestShardedBallistics:
+    """Sequence-sharded dynamics smoothing: per-shard one-pole scans from
+    rest plus a tiny all_gather of affine state maps — the compressor/
+    expander/limiter envelope stage no longer idles the sp axis."""
+
+    def _curve(self, bs=2, T=8192):
+        # a gain-reduction-like curve: mostly 0 with negative dips
+        g = -np.abs(RNG.standard_normal((bs, 1, T))).astype(np.float32) * 6.0
+        aa = np.float32([0.93, 0.999][:bs]).reshape(bs, 1, 1)
+        ar = np.float32([0.9995, 0.99][:bs]).reshape(bs, 1, 1)
+        return jnp.asarray(g), jnp.asarray(aa), jnp.asarray(ar)
+
+    def test_onepole_matches_unsharded(self, devices_ok):
+        from dasp_tpu.ops.iir import onepole_exact
+        from dasp_tpu.parallel import sharded_onepole
+
+        mesh = make_mesh((1, 8))
+        g, aa, _ = self._curve()
+        y_ref = onepole_exact(g, aa)
+        y = jax.jit(lambda g, a: sharded_onepole(g, a, mesh))(g, aa)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-4)
+
+    @pytest.mark.parametrize("shape", [(1, 8), (4, 2)])
+    def test_parallel_mode_matches_unsharded(self, devices_ok, shape):
+        from dasp_tpu.ops.iir import ballistics_smooth
+        from dasp_tpu.parallel import sharded_ballistics_smooth
+
+        mesh = make_mesh(shape)
+        bs = max(2, shape[0])
+        g, aa, ar = self._curve(bs=2, T=8192)
+        g = jnp.tile(g, (bs // 2, 1, 1))
+        aa, ar = jnp.tile(aa, (bs // 2, 1, 1)), jnp.tile(ar, (bs // 2, 1, 1))
+        y_ref = ballistics_smooth(g, aa, ar, mode="parallel")
+        b = "dp" if shape[0] > 1 else None
+        y = jax.jit(lambda g, a, r: sharded_ballistics_smooth(
+            g, a, r, mesh, batch_axis_name=b))(g, aa, ar)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-4)
+
+    def test_gradients_match_unsharded(self, devices_ok):
+        from dasp_tpu.ops.iir import ballistics_smooth
+        from dasp_tpu.parallel import sharded_ballistics_smooth
+
+        mesh = make_mesh((1, 8))
+        g, aa, ar = self._curve(T=2048)
+
+        def loss_sh(g, aa, ar):
+            return jnp.mean(sharded_ballistics_smooth(g, aa, ar, mesh) ** 2)
+
+        def loss_rf(g, aa, ar):
+            return jnp.mean(ballistics_smooth(g, aa, ar, mode="parallel") ** 2)
+
+        gs = jax.jit(jax.grad(loss_sh, argnums=(0, 1, 2)))(g, aa, ar)
+        gr = jax.grad(loss_rf, argnums=(0, 1, 2))(g, aa, ar)
+        for a, b in zip(gs, gr):
+            scale = max(np.abs(np.asarray(b)).max(), 1e-6)
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=5e-4)
+
+    def test_compressor_with_sharded_smoother(self, devices_ok):
+        """functional._smooth_gain's callable injection point: the full
+        compressor with an sp-sharded smoother equals smoother='parallel'."""
+        from functools import partial
+
+        from dasp_tpu.parallel import sharded_ballistics_smooth
+
+        mesh = make_mesh((1, 8))
+        x = jnp.asarray(RNG.standard_normal((2, 2, 8192)).astype(np.float32) * 0.3)
+        kw = dict(threshold_db=-24.0, ratio=4.0, attack_ms=5.0,
+                  release_ms=80.0, knee_db=6.0, makeup_gain_db=0.0)
+        y_ref = D.functional.compressor(x, SR, smoother="parallel", **kw)
+        y = jax.jit(lambda x: D.functional.compressor(
+            x, SR, smoother=partial(sharded_ballistics_smooth, mesh=mesh),
+            **kw))(x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_rejects_exact_mode(self, devices_ok):
+        from dasp_tpu.parallel import sharded_ballistics_smooth
+
+        mesh = make_mesh((1, 8))
+        with pytest.raises(ValueError, match="sequential across shards"):
+            sharded_ballistics_smooth(
+                jnp.zeros((1, 1, 1024)), 0.9, 0.99, mesh, mode="exact")
+
+
 class TestDataParallelTraining:
     def test_dp_step_matches_single_device(self, devices_ok):
         """A jitted Adam step on dp-sharded data reproduces the single-device

@@ -235,9 +235,14 @@ class TestInputPipeline:
 
         rng = np.random.default_rng(0)
         pcm = rng.integers(-32768, 32768, size=(2, 1, 8192), dtype=np.int16)
-        x = (pcm.astype(np.float32) / 32767.0)
+        # /32768 is what wav loaders (incl. utils.audio) produce
+        x = (pcm.astype(np.float32) / 32768.0)
         dec = jax.jit(wire_decode)(wire_encode({"x": x}, "i16"))
         np.testing.assert_array_equal(np.asarray(dec["x"]), x)
+        # /32767-scaled PCM touching full scale is also exact
+        pcm2 = np.concatenate([pcm.ravel(), [32767]]).astype(np.float32) / 32767.0
+        dec2 = np.asarray(jax.jit(wire_decode)(wire_encode([pcm2], "i16"))[0])
+        np.testing.assert_array_equal(dec2, pcm2)
 
     def test_wire_i16_bounded_error_general_floats(self):
         from dasp_tpu.utils import wire_decode, wire_encode
@@ -269,7 +274,7 @@ class TestInputPipeline:
 
         rng = np.random.default_rng(2)
         pcm = rng.integers(-32768, 32768, size=(1, 16384), dtype=np.int16)
-        batches = [{"x": pcm.astype(np.float32) / 32767.0,
+        batches = [{"x": pcm.astype(np.float32) / 32768.0,
                     "n": np.int32(i)} for i in range(4)]
         out = list(device_prefetch(iter(batches), size=2, wire="i16"))
         assert len(out) == 4
