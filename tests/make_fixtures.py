@@ -186,6 +186,63 @@ for k, v in tparams.items():
     rev_out[f"grad_{k}"] = v.grad.detach().numpy()
 save("reverb", rev_out)
 
+# --- full style chain: EQ -> compressor -> reverb -> gain ----------------
+# The composition users actually train (reference
+# examples/style_transfer.py:150-154): every stage through the
+# Processor.process_normalized protocol (normalized (0,1) parameter
+# tensors, module default ranges). The reverb stage runs the functional
+# with explicit num_samples/num_bandpass_taps (the module hardcodes the
+# functional's 65536-sample default, too large for a fixture) and a
+# captured noise draw. Records the chain output and the gradient of
+# mean(y^2) w.r.t. ALL FOUR normalized parameter tensors — gradient flow
+# through the whole composition, not per-effect.
+from dasp_pytorch.modules import (  # noqa: E402
+    Compressor as RefComp,
+    Gain as RefGain,
+    NoiseShapedReverb as RefRev,
+    ParametricEQ as RefEQ,
+)
+
+x = audio(chs=2, t=16384)
+CH_SAMPLES, CH_TAPS = 4096, 1023
+eq_m, comp_m, rev_m, gain_m = RefEQ(SR), RefComp(SR), RefRev(SR), RefGain(SR)
+rng_p = np.random.default_rng(777)
+
+def _norm_params(m):
+    return torch.tensor(
+        rng_p.uniform(0.15, 0.85, (BS, len(m.param_ranges))).astype(np.float32),
+        requires_grad=True,
+    )
+
+t_eq, t_c, t_r, t_g = map(_norm_params, (eq_m, comp_m, rev_m, gain_m))
+
+torch.manual_seed(4321)
+chain_noise = torch.randn(BS * 2, 12, CH_SAMPLES + CH_TAPS - 1)
+
+def _fixed_randn_chain(*args, **kwargs):
+    return chain_noise.clone()
+
+xt = torch.from_numpy(x)
+y = eq_m.process_normalized(xt, t_eq)
+y = comp_m.process_normalized(y, t_c)
+pd = rev_m.denormalize_param_dict(rev_m.extract_param_dict(t_r))
+torch.randn = _fixed_randn_chain
+try:
+    y = dasp_pytorch.noise_shaped_reverberation(
+        y, SR, **pd, num_samples=CH_SAMPLES, num_bandpass_taps=CH_TAPS
+    )
+finally:
+    torch.randn = _orig_randn
+y = gain_m.process_normalized(y, t_g)
+y.square().mean().backward()
+
+chain_out = {"x": x, "y": y.detach().numpy(), "noise": chain_noise.numpy(),
+             "num_samples": np.int64(CH_SAMPLES), "num_taps": np.int64(CH_TAPS)}
+for nm, t in [("eq", t_eq), ("comp", t_c), ("reverb", t_r), ("gain", t_g)]:
+    chain_out[f"param_{nm}"] = t.detach().numpy()
+    chain_out[f"grad_{nm}"] = t.grad.detach().numpy()
+save("style_chain", chain_out)
+
 # --- signal-level fixtures ----------------------------------------------
 # biquad coefficient design, all 5 types
 for ftype in ["high_shelf", "low_shelf", "peaking", "low_pass", "high_pass"]:

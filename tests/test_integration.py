@@ -184,6 +184,60 @@ def test_virtual_analog_amps_recipe(tmp_path):
     assert any(n.endswith("-target.wav") for n in names), names
 
 
+def test_resume_after_kill(tmp_path):
+    """Failure recovery (SURVEY §5): SIGKILL a trainer mid-run, resume
+    from its checkpoint, and assert the run CONTINUES the trajectory
+    (starts at the checkpointed step, never back at 0) and completes."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    log_dir = tmp_path / "run"
+    argv = [sys.executable, "examples/blind_estimation.py", "--smoke",
+            "--steps", "40", "--checkpoint-every", "2",
+            "--log-dir", str(log_dir)]
+
+    proc = subprocess.Popen(argv, cwd=root, env=env,
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    ckpt = log_dir / "ckpt.pkl"
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if ckpt.exists():
+                break
+            if proc.poll() is not None:
+                pytest.fail(f"trainer exited early rc={proc.returncode}")
+            time.sleep(0.5)
+        assert ckpt.exists(), "no checkpoint appeared within the deadline"
+    finally:
+        proc.kill()  # hard kill, by pid — simulates host failure
+        proc.wait()
+
+    # resume: must start at the checkpointed step, finish the short run
+    import pickle
+    with open(ckpt, "rb") as f:
+        ckpt_step = int(pickle.load(f)["step"])
+    out = subprocess.run(
+        argv[:4] + [str(ckpt_step + 4)] + argv[5:] + ["--resume"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "resumed from step" in out.stdout
+    resumed_at = int(out.stdout.split("resumed from step")[1].split()[0])
+    assert resumed_at >= 2, out.stdout
+    # the trajectory continues: every step logged after resume is >= the
+    # resume step (never restarts at 0), and the final loss is finite
+    metrics = [json.loads(l) for l in open(log_dir / "metrics.jsonl")]
+    post = [m for m in metrics if m["step"] >= resumed_at]
+    assert post and all(np.isfinite(m["loss"]) for m in post), metrics
+    steps_printed = [int(s.split()[1]) for s in out.stdout.splitlines()
+                     if s.strip().startswith("step")]
+    assert steps_printed and min(steps_printed) >= resumed_at, out.stdout
+
+
 def test_checked_wrapper_catches_nan():
     from functools import partial
 

@@ -122,6 +122,44 @@ class TestEffectParity:
             assert_close(g, fx[f"grad_{name}"], what=f"reverb:grad_{name}")
 
 
+class TestChainParity:
+    def test_style_chain(self):
+        """Full reference style chain — EQ -> compressor -> reverb -> gain
+        through the Processor.process_normalized protocol (reference
+        examples/style_transfer.py:150-154), output AND the gradients of
+        mean(y^2) w.r.t. ALL FOUR normalized parameter tensors checked
+        through the whole composition (the configuration users actually
+        train), with the reference's reverb noise captured."""
+        fx = load("style_chain")
+        x = jnp.asarray(fx["x"])
+        noise = jnp.asarray(fx["noise"])
+        num_samples = int(fx["num_samples"])
+        num_taps = int(fx["num_taps"])
+
+        eq = D.ParametricEQ(SR)
+        comp = D.Compressor(SR, smoother="fsm")
+        rev = D.NoiseShapedReverb(
+            SR, num_samples=num_samples, num_bandpass_taps=num_taps)
+        gain = D.Gain(SR)
+
+        def chain(x, p):
+            y = eq.process_normalized(x, p["eq"], clip_params=True)
+            y = comp.process_normalized(y, p["comp"], clip_params=True)
+            y = rev.process_normalized(y, p["reverb"], clip_params=True,
+                                       noise=noise)
+            return gain.process_normalized(y, p["gain"], clip_params=True)
+
+        params = split_params(fx)
+        y = jax.jit(chain)(x, params)
+        assert_close(y, fx["y"], what="style_chain:output")
+
+        loss = jax.jit(lambda p: jnp.mean(chain(x, p) ** 2))
+        grads = jax.grad(loss)(params)
+        for name, g in grads.items():
+            assert_close(g, fx[f"grad_{name}"],
+                         what=f"style_chain:grad_{name}")
+
+
 class TestSignalParity:
     @pytest.mark.parametrize(
         "ftype", ["high_shelf", "low_shelf", "peaking", "low_pass", "high_pass"]
