@@ -662,7 +662,7 @@ def expander(
     knee_db,
     makeup_gain_db,
     eps: float = 1e-8,
-    smoother: str = "parallel",
+    smoother: str = "exact_pallas",
 ) -> jnp.ndarray:
     """Downward expander — the dual of :func:`compressor`.
 
@@ -681,7 +681,10 @@ def expander(
         knee_db: softness of the knee (>= 0), shape (bs,).
         makeup_gain_db: output gain in dB, shape (bs,).
         eps: numerical floor for the level detector.
-        smoother: "parallel" (default), "exact", "attack_only" or "fsm".
+        smoother: "exact_pallas" (default — exact branching ballistics in
+            a Pallas kernel, measured faster than the "parallel"
+            approximation on TPU), "parallel", "exact", "attack_only"
+            or "fsm".
 
     Returns:
         Expanded audio, shape (bs, chs, seq_len).
@@ -715,7 +718,7 @@ def sidechain_compressor(
     makeup_gain_db,
     eps: float = 1e-8,
     lookahead_samples: int = 0,
-    smoother: str = "parallel",
+    smoother: str = "exact_pallas",
     sidechain: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Compressor keyed by an EXTERNAL sidechain signal (a "ducker").
@@ -736,9 +739,9 @@ def sidechain_compressor(
         eps: numerical floor for the level detector.
         lookahead_samples: delay the program relative to the gain curve
             (static int).
-        smoother: same options as :func:`compressor`; defaults to true
-            attack/release ballistics ("parallel") — release is what
-            makes ducking breathe back up.
+        smoother: same options as :func:`compressor`; defaults to exact
+            attack/release ballistics ("exact_pallas") — release is
+            what makes ducking breathe back up.
         sidechain: key signal driving the detector, shape
             (bs, any_chs, seq_len) — channel count may differ from ``x``
             (the detector mono-sums), the batch and length must match.
@@ -827,7 +830,7 @@ def noise_gate(
     knee_db,
     eps: float = 1e-8,
     hold_ms: float = 0.0,
-    smoother: str = "parallel",
+    smoother: str = "exact_pallas",
 ) -> jnp.ndarray:
     """Noise gate: a range-limited downward expander with optional hold.
 
@@ -854,7 +857,7 @@ def noise_gate(
         eps: numerical floor for the level detector.
         hold_ms: static open-hold time in milliseconds (not a per-item
             tensor: the hold window is a compiled shape).
-        smoother: "parallel" (default), "exact" or "exact_pallas" — the
+        smoother: "exact_pallas" (default), "exact" or "parallel" — the
             dual-time-constant smoothers. (Attack-only smoothers are not
             offered: a one-coefficient gate cannot both open and close.)
 
@@ -902,7 +905,7 @@ def de_esser(
     knee_db,
     eps: float = 1e-8,
     mode: str = "split",
-    smoother: str = "parallel",
+    smoother: str = "exact_pallas",
     filter_method: str = "coupled",
 ) -> jnp.ndarray:
     """Frequency-selective compressor for taming sibilance (a de-esser).
@@ -927,7 +930,7 @@ def de_esser(
         mode: "split" (gain on the high band only, default) or
             "wideband" (static).
         smoother: dynamics smoother, same options as :func:`compressor`;
-            defaults to true ballistics.
+            defaults to exact ballistics ("exact_pallas").
         filter_method: IIR evaluation path for the crossover/detector
             filters (see :func:`parametric_eq`).
 
@@ -2035,6 +2038,61 @@ def _frac_delay_tiles_ad(B: int, Dm: int, x_ext, d_stk, g_stk):
     return jnp.moveaxis(wets, 0, 2).reshape(bs, chs, nb * B)
 
 
+def _warp_resample_tiles(s, r, out_len: int, r_max: float, block: int = 512):
+    """Linear-interp read of ``s`` at global-slope positions ``t * r``
+    (``out[b, c, t] = s[b, c, t * r_b]``), tiled so the backward pass is
+    contiguous dynamic-slice transposes instead of an element scatter.
+
+    The read positions have a traced per-item slope ``r`` bounded by the
+    STATIC ``r_max``, so an output tile of ``block`` samples reads a
+    window of at most ``ceil(block * r_max) + 2`` input samples whose
+    START is traced but whose SIZE is static — ``lax.dynamic_slice``
+    territory. Each tile contracts a fused hat matrix (two nonzeros per
+    row, built from iota comparisons like :func:`_fdt_interp_matrix`)
+    against its window; the VJP into ``s`` is the transposed contraction
+    accumulated by ``dynamic_update_slice`` — dense block adds, not the
+    (bs, chs, L)-sized scatter that `take_along_axis` autodiff emits,
+    which benchmarked 30-60x off the framework's gradient standard
+    (pitch_shift_pv_diff row, benchmarks/processors_report.json).
+    Positions are clipped to ``[0, L - 1.001]`` (matching the gather
+    path it replaces); gradients flow to ``r`` through the in-window
+    fractional coordinates.
+
+    Args:
+        s: source signal, (bs, chs, L).
+        r: traced read slope, (bs,), 0 < r <= r_max.
+        out_len: static output length T.
+        r_max: static upper bound on ``r``.
+        block: output tile length (static).
+
+    Returns:
+        (bs, chs, out_len) resampled signal.
+    """
+    bs, chs, L = s.shape
+    dtype = s.dtype
+    B = int(block)
+    nb = -(-out_len // B)
+    Ws = min(int(math.ceil(B * float(r_max))) + 2, L)
+    j = np.arange(B, dtype=np.float32)
+    iota_w = np.arange(Ws, dtype=np.float32)
+
+    @jax.checkpoint
+    def tile(k):
+        t = (k * B).astype(np.float32) + j  # (B,) global output time
+        pos = jnp.clip(t[None, :] * r[:, None], 0.0, L - 1.001)  # (bs, B)
+        start = jnp.clip(jnp.floor(pos[:, 0]).astype(jnp.int32), 0, L - Ws)
+        win = jax.vmap(
+            lambda sb, st: jax.lax.dynamic_slice_in_dim(sb, st, Ws, axis=-1)
+        )(s, start)  # (bs, chs, Ws)
+        q = pos - start.astype(dtype)[:, None]  # in-window coords (bs, B)
+        m = jnp.maximum(0.0, 1.0 - jnp.abs(q[:, :, None] - iota_w))  # hat
+        return jnp.einsum("bjw,bcw->bcj", m, win,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    _, out = jax.lax.scan(lambda c, k: (c, tile(k)), None, jnp.arange(nb))
+    return jnp.moveaxis(out, 0, 2).reshape(bs, chs, nb * B)[..., :out_len]
+
+
 def pitch_shift_window_samples(window_ms: float, sample_rate: float) -> int:
     """The (even) delay-line window length W :func:`pitch_shift` uses."""
     if isinstance(sample_rate, jax.core.Tracer):
@@ -2405,15 +2463,15 @@ def limiter(
     makeup_gain_db,
     eps: float = 1e-8,
     lookahead_samples: int = 0,
-    smoother: str = "parallel",
+    smoother: str = "exact_pallas",
 ) -> jnp.ndarray:
     """Feed-forward limiter: the ratio -> infinity corner of :func:`compressor`.
 
     Shares the compressor's sidechain, soft knee and ballistics machinery
     (Giannoulis et al. 2012) with the static curve pinned at the threshold
-    above the knee. Defaults to true attack/release ballistics
-    (``smoother="parallel"``) because release behaviour is what makes a
-    limiter sound like a limiter; with ``lookahead_samples > 0`` the
+    above the knee. Defaults to exact attack/release ballistics
+    (``smoother="exact_pallas"``) because release behaviour is what
+    makes a limiter sound like a limiter; with ``lookahead_samples > 0`` the
     audio is delayed relative to the gain curve so the attack can act
     before the peak.
 
@@ -2427,7 +2485,7 @@ def limiter(
         eps: numerical floor for the level detector.
         lookahead_samples: delay the audio relative to the gain curve
             (static int).
-        smoother: "parallel" (default), "exact", "exact_pallas",
+        smoother: "exact_pallas" (default), "parallel", "exact",
             "attack_only" or "fsm" — same options as :func:`compressor`.
 
     Returns:
@@ -2604,6 +2662,31 @@ def _lr4_three_band_split(x, crossover_low_hz, crossover_high_hz,
 
     sos_lp_lo, sos_hp_lo = lr4_crossover_sos(f_lo, sample_rate, bs, dtype)
     sos_lp_hi, sos_hp_hi = lr4_crossover_sos(f_hi, sample_rate, bs, dtype)
+    if filter_method == "fsm":
+        # The whole LR4 tree is LTI, so under the FSM its two stages
+        # compose in the frequency domain: ONE rfft of x, three composite
+        # band responses (low = LP_lo * (LP_hi + HP_hi) — the phase
+        # compensation allpass folds into the product), ONE 3x-batched
+        # irfft. The staged path below would run a 2x- and a 4x-batched
+        # FFT round-trip (12 bs-units of FFT work vs 4 here) and re-alias
+        # the stage-1 crop; the fused product is both ~3x cheaper and
+        # strictly closer to the exact cascade.
+        from .ops.fft_filter import fft_sosfreqz, fsm_fft_size
+
+        T = x.shape[-1]
+        n_fft = fsm_fft_size(T)
+        H_lp_lo = fft_sosfreqz(sos_lp_lo.astype(dtype), n_fft)  # (bs, nb)
+        H_hp_lo = fft_sosfreqz(sos_hp_lo.astype(dtype), n_fft)
+        H_lp_hi = fft_sosfreqz(sos_lp_hi.astype(dtype), n_fft)
+        H_hp_hi = fft_sosfreqz(sos_hp_hi.astype(dtype), n_fft)
+        H = jnp.stack([
+            H_lp_lo * (H_lp_hi + H_hp_hi),  # low, phase-compensated
+            H_hp_lo * H_lp_hi,              # mid
+            H_hp_lo * H_hp_hi,              # high
+        ])[:, :, None, :]  # (3, bs, 1, nb)
+        X = jnp.fft.rfft(x, n_fft, axis=-1)  # (bs, chs, nb)
+        bands = jnp.fft.irfft(X[None] * H, n_fft, axis=-1)[..., :T]
+        return bands[0], bands[1], bands[2]
     # stage 1: both legs of the f_lo split read the same input — one
     # batched sosfilt call over a doubled batch axis
     low_pre, rest = _apply_sos_batched(
@@ -3226,15 +3309,10 @@ def pitch_shift_pv(
             x, sample_rate, 1.0 / r, frame_size, hop, out_len=L_s)
 
         # resample back: out[t] = stretched[t * r], traced linear interp
-        t = jnp.arange(seq_len, dtype=x.dtype)
-        pos = jnp.clip(t[None, :] * r[:, None], 0.0, L_s - 1.001)  # (bs, T)
-        p0 = jnp.floor(pos)
-        frac = (pos - p0)[:, None, :]
-        i0 = p0.astype(jnp.int32)[:, None, :]
-        i0 = jnp.broadcast_to(i0, (bs, chs, seq_len))
-        s0 = jnp.take_along_axis(stretched, i0, axis=-1)
-        s1 = jnp.take_along_axis(stretched, jnp.minimum(i0 + 1, L_s - 1), axis=-1)
-        return ((1.0 - frac) * s0 + frac * s1).astype(x.dtype)
+        # as tiled dynamic-window hat-matrix contractions — the gather
+        # formulation's backward is a (bs, chs, L_s) scatter-add, which
+        # held this path's gradient 7x below the forward RTF.
+        return _warp_resample_tiles(stretched, r, seq_len, r_max).astype(x.dtype)
 
     r = 2.0 ** (float(semitones) / 12.0)
     stretched = time_stretch(x, sample_rate, 1.0 / r, frame_size, hop)

@@ -481,7 +481,7 @@ class Expander(Processor):
         max_knee_db: float = 12.0,
         min_makeup_gain_db: float = 0.0,
         max_makeup_gain_db: float = 12.0,
-        smoother: str = "parallel",
+        smoother: str = "exact_pallas",
     ):
         super().__init__()
         self.sample_rate = sample_rate
@@ -519,7 +519,7 @@ class SidechainCompressor(Processor):
         max_knee_db: float = 12.0,
         min_makeup_gain_db: float = 0.0,
         max_makeup_gain_db: float = 12.0,
-        smoother: str = "parallel",
+        smoother: str = "exact_pallas",
     ):
         super().__init__()
         self.sample_rate = sample_rate
@@ -558,7 +558,7 @@ class NoiseGate(Processor):
         min_knee_db: float = 0.0,
         max_knee_db: float = 12.0,
         hold_ms: float = 0.0,
-        smoother: str = "parallel",
+        smoother: str = "exact_pallas",
     ):
         super().__init__()
         self.sample_rate = sample_rate
@@ -595,7 +595,7 @@ class DeEsser(Processor):
         min_knee_db: float = 0.0,
         max_knee_db: float = 12.0,
         mode: str = "split",
-        smoother: str = "parallel",
+        smoother: str = "exact_pallas",
         filter_method: str = "coupled",
     ):
         super().__init__()
@@ -1357,7 +1357,7 @@ class Limiter(Processor):
         min_makeup_gain_db: float = 0.0,
         max_makeup_gain_db: float = 12.0,
         lookahead_samples: int = 0,
-        smoother: str = "parallel",
+        smoother: str = "exact_pallas",
     ):
         super().__init__()
         self.sample_rate = sample_rate

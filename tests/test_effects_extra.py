@@ -253,6 +253,33 @@ class TestMultibandCompressor:
         y = jax.jit(F.multiband_compressor)(x, SR, *args)
         assert np.isfinite(np.asarray(y)).all()
 
+    def test_fsm_split_fused_matches_staged(self):
+        # the fsm filter_method composes the whole LR4 tree in ONE FFT
+        # round-trip; it must equal running the two crossover stages as
+        # separate sosfilt_via_fsm calls (up to the stage-1 crop's
+        # re-aliased tail, which is tiny for decaying LR4 IRs)
+        bs, chs, t = 2, 2, 8192
+        x = _noise(bs, chs, t)
+        f_lo, f_hi = _b(250.0, bs), _b(2500.0, bs)
+        fused = jax.jit(
+            lambda x: F._lr4_three_band_split(x, f_lo, f_hi, SR, "fsm"))(x)
+
+        sos_lp_lo, sos_hp_lo = F.lr4_crossover_sos(f_lo, SR, bs, x.dtype)
+        sos_lp_hi, sos_hp_hi = F.lr4_crossover_sos(f_hi, SR, bs, x.dtype)
+        low_pre, rest = F._apply_sos_batched(
+            [sos_lp_lo, sos_hp_lo], [x, x], "fsm")
+        mid, high, lo_lp, lo_hp = F._apply_sos_batched(
+            [sos_lp_hi, sos_hp_hi, sos_lp_hi, sos_hp_hi],
+            [rest, rest, low_pre, low_pre], "fsm")
+        staged = (lo_lp + lo_hp, mid, high)
+        for a, b in zip(fused, staged):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5)
+        # and gradients flow to both crossover frequencies
+        g = jax.grad(lambda f: jnp.sum(
+            F._lr4_three_band_split(x, f, f_hi, SR, "fsm")[0] ** 2))(f_lo)
+        assert np.isfinite(np.asarray(g)).all() and np.any(np.asarray(g) != 0)
+
 
 class TestProcessorWrappers:
     @pytest.mark.parametrize(
@@ -1549,6 +1576,42 @@ class TestPhaseVocoder:
         g = jax.jit(jax.grad(lambda s: jnp.mean(F.pitch_shift_pv(
             x, SR, s, max_semitones=7.0) ** 2)))(semis)
         assert np.isfinite(np.asarray(g)).all()
+
+    def test_warp_resample_tiles_matches_gather(self):
+        # the tiled dynamic-window resampler (scatter-free backward)
+        # must reproduce the plain linear-interp gather bit-for-bit on
+        # the forward pass, and give a close, finite rate gradient
+        bs, chs, L, T = 2, 2, 12288, 8192
+        s = _noise(bs, chs, L)
+        r = jnp.array([1.31, 0.62], jnp.float32)
+
+        def gather_ref(s, r):
+            t = jnp.arange(T, dtype=s.dtype)
+            pos = jnp.clip(t[None, :] * r[:, None], 0.0, L - 1.001)
+            p0 = jnp.floor(pos)
+            frac = (pos - p0)[:, None, :]
+            i0 = jnp.broadcast_to(
+                p0.astype(jnp.int32)[:, None, :], (bs, chs, T))
+            s0 = jnp.take_along_axis(s, i0, axis=-1)
+            s1 = jnp.take_along_axis(s, jnp.minimum(i0 + 1, L - 1), axis=-1)
+            return (1.0 - frac) * s0 + frac * s1
+
+        y_t = jax.jit(lambda s, r: F._warp_resample_tiles(s, r, T, 1.5))(s, r)
+        y_g = jax.jit(gather_ref)(s, r)
+        np.testing.assert_allclose(
+            np.asarray(y_t), np.asarray(y_g), atol=1e-6)
+        g_t = jax.grad(lambda r: jnp.sum(
+            F._warp_resample_tiles(s, r, T, 1.5) ** 2))(r)
+        g_g = jax.grad(lambda r: jnp.sum(gather_ref(s, r) ** 2))(r)
+        # the rate gradient sums T heavily-cancelling t-weighted terms;
+        # fp32 accumulation order separates the two formulations by a
+        # few percent (both sit ~equally far from the float64 value)
+        np.testing.assert_allclose(
+            np.asarray(g_t), np.asarray(g_g), rtol=5e-2)
+        # gradient to the source flows through the tile transpose
+        gs = jax.grad(lambda s: jnp.sum(
+            F._warp_resample_tiles(s, r, T, 1.5) ** 2))(s)
+        assert np.isfinite(np.asarray(gs)).all()
 
     def test_time_stretch_module_learns_rate(self):
         """TimeStretch recovers a hidden rate by Adam — the 'full
