@@ -55,77 +55,42 @@ def get_reference_baseline(target_bs: int) -> float:
     return ref["bs1_steps_per_sec"] / target_bs
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=50, help="timed steps")
-    ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--batch-size", type=int, default=8)
-    ap.add_argument("--length", type=int, default=262144)
-    ap.add_argument("--smoke", action="store_true", help="tiny shapes, no baseline")
-    ap.add_argument("--verify", action="store_true",
-                    help="run the on-device verification gate instead of the "
-                         "throughput bench (benchmarks/tpu_verify.py): exact "
-                         "fast paths vs f64/exact references, streaming vs "
-                         "offline, training-scale grads; writes "
-                         "benchmarks/tpu_verify_report.json")
-    ap.add_argument("--bf16", action="store_true", default=True,
-                    help="bf16 encoder convolutions (MXU mixed precision; the "
-                         "TPU-native default — fp32 params/statistics)")
-    ap.add_argument("--f32", dest="bf16", action="store_false",
-                    help="full fp32 encoder (reference-precision configuration)")
-    ap.add_argument("--prefetch", type=int, default=8,
-                    help="distinct batches staged on device for the throughput loop")
-    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
-                    help="capture a jax.profiler trace of the timed loop into DIR "
-                         "(view with xprof/tensorboard; effects appear as "
-                         "named_scope 'dasp.*' regions)")
-    ap.add_argument("--eq-method", default="block",
-                    choices=["fsm", "exact", "pallas", "block", "coupled"],
-                    help="parametric EQ filter path inside the train step (block = "
-                         "exact block-state MXU formulation, fastest; fsm = "
-                         "reference-parity)")
-    ap.add_argument("--comp-smoother", default="block",
-                    choices=["fsm", "parallel", "attack_only", "pallas", "block",
-                             "exact_pallas"],
-                    help="compressor envelope smoother (block = exact one-pole via the "
-                         "block-state formulation, fastest; fsm = reference-parity FFT "
-                         "approximation)")
-    args = ap.parse_args()
+def build_style_workload(batch_size: int = 8, length: int = 262144,
+                         bf16: bool = True, eq_method: str = "block",
+                         comp_smoother: str = "block", smoke: bool = False):
+    """Construct the reference-scale style-transfer training workload.
 
-    if args.verify:
-        # delegate before importing jax (the gate owns the device; this
-        # process never initializes a second TPU client)
-        rc = subprocess.call(
-            [sys.executable, os.path.join(HERE, "benchmarks", "tpu_verify.py")])
-        sys.exit(rc)
-
+    Returns a dict with the jitted steps (device-resident input,
+    on-device synthesis, i16-wire input), the initialized training
+    state, and the host-side input factories — shared by this script's
+    phases and benchmarks/stream_ab.py (the streamed-input A/B).
+    Reference workload: /root/reference/examples/style_transfer.py:383-409.
+    """
     import jax
     import jax.numpy as jnp
     import optax
 
-    from dasp_tpu.models import StyleTransferNet, apply_style_chain, make_style_processors
-    from dasp_tpu.utils import multi_resolution_stft_loss
+    from dasp_tpu.models import (StyleTransferNet, apply_style_chain,
+                                 make_style_processors)
+    from dasp_tpu.utils import (BatchPacker, multi_resolution_stft_loss,
+                                wire_decode)
 
     sr = 44100
-    dtype = jnp.bfloat16 if args.bf16 else None
-    proc_opts = dict(eq_filter_method=args.eq_method, compressor_smoother=args.comp_smoother)
-    if args.smoke:
-        args.batch_size, args.length = 2, 16384
+    dtype = jnp.bfloat16 if bf16 else None
+    proc_opts = dict(eq_filter_method=eq_method, compressor_smoother=comp_smoother)
+    if smoke:
         processors = make_style_processors(sr, reverb_num_samples=2048, **proc_opts)
         net = StyleTransferNet(embed_dim=32, ch_dim=8, encoder_dilations=(1, 2, 4), dtype=dtype)
     else:
         processors = make_style_processors(sr, reverb_num_samples=65536, **proc_opts)
         net = StyleTransferNet(dtype=dtype)
 
-    bs, half = args.batch_size, args.length // 2
-    dev = jax.devices()[0]
-    eprint(f"device: {dev.platform} ({dev.device_kind}); bs={bs}, half={half}")
+    bs, half = batch_size, length // 2
 
     x0 = jnp.zeros((bs, 1, half), jnp.float32)
     variables = jax.jit(lambda k: net.init(k, x0, x0, train=False))(jax.random.PRNGKey(0))
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    eprint(f"model: {n_params/1e6:.2f}M params")
 
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
@@ -176,6 +141,58 @@ def main():
         }
         return _step_core(params, batch_stats, opt_state, x, rand, ks[6])
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step_wire(params, batch_stats, opt_state, enc, key):
+        """Streamed-input step: decode the i16-wire batch INSIDE the jit
+        (one device dispatch per step; XLA fuses the dequant into the
+        batch's first consumer)."""
+        x, rand = wire_decode(enc)
+        return _step_core(params, batch_stats, opt_state, x, rand, key)
+
+    # The packed streamed path models FILE-BACKED training faithfully:
+    # audio datasets are 16-bit PCM on disk, so the host ships the raw
+    # int16 samples (encode = memcpy, no float quantization pass — on a
+    # contended 1-core host the f32->i16 quantize alone was measured at
+    # 4-77 ms/batch depending on host load) and the device does the one
+    # exact /32768 dequant inside the step.
+    example = (np.zeros((bs, 1, 2 * half), np.int16),
+               {"eq": np.zeros((bs, 18), np.float32),
+                "comp": np.zeros((bs, 6), np.float32),
+                "reverb": np.zeros((bs, 25), np.float32),
+                "g1": np.zeros((bs, 1, 1), np.float32),
+                "g2": np.zeros((bs, 1, 1), np.float32)})
+    packer = BatchPacker(example)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def train_step_pack(params, batch_stats, opt_state, key, buf):
+        """Packed-wire streamed step: the whole batch arrives as ONE
+        int16 buffer (one transfer op — robust to link congestion, see
+        utils.pipeline.BatchPacker) and the PRNG key is CARRIED through
+        the step, so the steady-state loop issues zero per-step host->
+        device ops beyond the batch buffer itself (an eager per-step
+        ``PRNGKey(i)`` is a device round trip on this tunnel)."""
+        key, k_step = jax.random.split(key)
+        x, rand = packer.decode(buf)
+        x = x.astype(jnp.float32) / 32768.0  # exact PCM16 dequant
+        out = _step_core(params, batch_stats, opt_state, x, rand, k_step)
+        return out, key
+
+    def source_pcm(wid):
+        """Host PCM batch producer: int16 audio the way a wav dataset
+        loader delivers it (uniform ±0.25 full-scale noise here; real
+        training swaps in utils.audio.load_clip_batch)."""
+        srng = np.random.default_rng(2000 + wid)
+        while True:
+            x = srng.integers(-8192, 8192, (bs, 1, 2 * half), dtype=np.int16)
+            rand = {
+                "eq": srng.uniform(0, 1, (bs, 18)).astype(np.float32),
+                "comp": srng.uniform(0, 1, (bs, 6)).astype(np.float32),
+                "reverb": srng.uniform(0, 1, (bs, 25)).astype(np.float32),
+                "g1": srng.uniform(0, 24, (bs, 1, 1)).astype(np.float32),
+                "g2": srng.uniform(0, 24, (bs, 1, 1)).astype(np.float32),
+            }
+            yield x, rand
+
     rng = np.random.default_rng(0)
 
     def make_inputs(i):
@@ -188,6 +205,90 @@ def main():
             "g2": jnp.asarray(rng.uniform(0, 24, (bs, 1, 1)).astype(np.float32)),
         }
         return x, rand, jax.random.PRNGKey(i)
+
+    def source(wid):
+        """Host batch producer (one per pipeline worker thread)."""
+        srng = np.random.default_rng(1000 + wid)
+        while True:
+            x = (srng.standard_normal((bs, 1, 2 * half)).astype(np.float32) * 0.25)
+            rand = {
+                "eq": srng.uniform(0, 1, (bs, 18)).astype(np.float32),
+                "comp": srng.uniform(0, 1, (bs, 6)).astype(np.float32),
+                "reverb": srng.uniform(0, 1, (bs, 25)).astype(np.float32),
+                "g1": srng.uniform(0, 24, (bs, 1, 1)).astype(np.float32),
+                "g2": srng.uniform(0, 24, (bs, 1, 1)).astype(np.float32),
+            }
+            yield x, rand
+
+    return dict(bs=bs, half=half, n_params=n_params,
+                params=params, batch_stats=batch_stats, opt_state=opt_state,
+                train_step=train_step, synth_train_step=synth_train_step,
+                train_step_wire=train_step_wire,
+                train_step_pack=train_step_pack, packer=packer,
+                make_inputs=make_inputs, source=source,
+                source_pcm=source_pcm)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50, help="timed steps")
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--length", type=int, default=262144)
+    ap.add_argument("--smoke", action="store_true", help="tiny shapes, no baseline")
+    ap.add_argument("--verify", action="store_true",
+                    help="run the on-device verification gate instead of the "
+                         "throughput bench (benchmarks/tpu_verify.py): exact "
+                         "fast paths vs f64/exact references, streaming vs "
+                         "offline, training-scale grads; writes "
+                         "benchmarks/tpu_verify_report.json")
+    ap.add_argument("--bf16", action="store_true", default=True,
+                    help="bf16 encoder convolutions (MXU mixed precision; the "
+                         "TPU-native default — fp32 params/statistics)")
+    ap.add_argument("--f32", dest="bf16", action="store_false",
+                    help="full fp32 encoder (reference-precision configuration)")
+    ap.add_argument("--prefetch", type=int, default=8,
+                    help="distinct batches staged on device for the throughput loop")
+    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed loop into DIR "
+                         "(view with xprof/tensorboard; effects appear as "
+                         "named_scope 'dasp.*' regions)")
+    ap.add_argument("--eq-method", default="block",
+                    choices=["fsm", "exact", "pallas", "block", "coupled"],
+                    help="parametric EQ filter path inside the train step (block = "
+                         "exact block-state MXU formulation, fastest; fsm = "
+                         "reference-parity)")
+    ap.add_argument("--comp-smoother", default="block",
+                    choices=["fsm", "parallel", "attack_only", "pallas", "block",
+                             "exact_pallas"],
+                    help="compressor envelope smoother (block = exact one-pole via the "
+                         "block-state formulation, fastest; fsm = reference-parity FFT "
+                         "approximation)")
+    args = ap.parse_args()
+
+    if args.verify:
+        # delegate before importing jax (the gate owns the device; this
+        # process never initializes a second TPU client)
+        rc = subprocess.call(
+            [sys.executable, os.path.join(HERE, "benchmarks", "tpu_verify.py")])
+        sys.exit(rc)
+
+    import jax
+
+    if args.smoke:
+        args.batch_size, args.length = 2, 16384
+    w = build_style_workload(args.batch_size, args.length, bf16=args.bf16,
+                             eq_method=args.eq_method,
+                             comp_smoother=args.comp_smoother, smoke=args.smoke)
+    bs, half = w["bs"], w["half"]
+    dev = jax.devices()[0]
+    eprint(f"device: {dev.platform} ({dev.device_kind}); bs={bs}, half={half}")
+    eprint(f"model: {w['n_params']/1e6:.2f}M params")
+    params, batch_stats, opt_state = w["params"], w["batch_stats"], w["opt_state"]
+    train_step, synth_train_step = w["train_step"], w["synth_train_step"]
+    train_step_pack, packer = w["train_step_pack"], w["packer"]
+    make_inputs, source = w["make_inputs"], w["source"]
+    source_pcm = w["source_pcm"]
 
     eprint("compiling + warmup...")
     t0 = time.time()
@@ -219,13 +320,17 @@ def main():
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, x, rand, key)
     jax.block_until_ready((params, opt_state, loss))
+    # value fetch as the true barrier: through the axon tunnel,
+    # block_until_ready alone has returned before the dispatch chain
+    # finished; float() must have the bytes, so it cannot early-complete
+    final_loss = float(loss)
     if args.profile:
         jax.profiler.stop_trace()
         eprint(f"profiler trace written to {args.profile}")
     dt = (time.time() - t0) / args.steps
     steps_per_sec = 1.0 / dt
     eprint(f"device throughput: {steps_per_sec:.3f} steps/s ({dt*1e3:.2f} ms/step), "
-           f"final loss {float(loss):.4f}")
+           f"final loss {final_loss:.4f}")
 
     # --- secondary A: device-synthesis feeding (host-independent) ----------
     # The batch is generated on device inside the jitted step; the host
@@ -242,6 +347,7 @@ def main():
         params, batch_stats, opt_state, loss = synth_train_step(
             params, batch_stats, opt_state, jax.random.PRNGKey(210 + i))
     jax.block_until_ready((params, loss))
+    float(loss)  # value-fetch barrier (see the primary loop)
     synth_sps = n_s / (time.time() - t0)
     eprint(f"device-synthesis training: {synth_sps:.3f} steps/s "
            f"({100.0 * synth_sps / steps_per_sec:.0f}% of device-resident)")
@@ -258,19 +364,6 @@ def main():
 
     nproc = os.cpu_count() or 1
     n_workers = max(1, min(8, nproc - 1))
-
-    def source(wid):
-        srng = np.random.default_rng(1000 + wid)
-        while True:
-            x = (srng.standard_normal((bs, 1, 2 * half)).astype(np.float32) * 0.25)
-            rand = {
-                "eq": srng.uniform(0, 1, (bs, 18)).astype(np.float32),
-                "comp": srng.uniform(0, 1, (bs, 6)).astype(np.float32),
-                "reverb": srng.uniform(0, 1, (bs, 25)).astype(np.float32),
-                "g1": srng.uniform(0, 24, (bs, 1, 1)).astype(np.float32),
-                "g2": srng.uniform(0, 24, (bs, 1, 1)).astype(np.float32),
-            }
-            yield x, rand
 
     # per-stage: (1) one worker's synthesis time per batch
     gen_it = source(0)
@@ -316,13 +409,22 @@ def main():
     # PCM16-sourced audio); DEPTH=3 keeps multiple puts in flight. Decode
     # happens INSIDE the consumer's jitted step (decode_on_yield=False) —
     # a separate per-batch decode dispatch serializes with the transfers
-    # on this high-latency tunnel and halves the streamed rate.
-    PREFETCH, DEPTH, WIRE = 6, 3, "i16"
+    # on this high-latency tunnel and halves the streamed rate. The
+    # PACKED wire ships the whole batch as ONE int16 buffer (one
+    # transfer op per step) and the step carries its own PRNG key — the
+    # configuration that measured both fastest and robust to tunnel
+    # congestion (benchmarks/stream_ab.py; the per-leaf i16 wire hit
+    # 92.8% of resident in a quiet window but fell to 27% under
+    # congestion, while raw bandwidth was unchanged — per-transfer-op
+    # overhead is the congestion-sensitive term).
+    PREFETCH, DEPTH, UPLOAD_THREAD = 6, 3, False
+    WIRE = packer
     n2 = min(args.steps, 32)
     warm2 = PREFETCH + DEPTH
 
-    pipe = device_prefetch(threaded_iterator(source, num_workers=n_workers, prefetch=PREFETCH),
-                           size=DEPTH, wire=WIRE, decode_on_yield=False)
+    pipe = device_prefetch(threaded_iterator(source_pcm, num_workers=n_workers, prefetch=PREFETCH),
+                           size=DEPTH, wire=WIRE, decode_on_yield=False,
+                           upload_thread=UPLOAD_THREAD)
     for _ in range(warm2):
         jax.block_until_ready(next(pipe))
     t0 = time.time()
@@ -330,6 +432,9 @@ def main():
     # host<->device round trip per pull and measure RTT, not throughput
     delivered = [next(pipe) for _ in range(n2)]
     jax.block_until_ready(delivered)
+    # value-fetch barrier on the last batch's smallest leaf (puts are
+    # FIFO through the tunnel, so this bounds all earlier transfers)
+    np.asarray(min(jax.tree.leaves(delivered[-1]), key=lambda a: a.size))
     feed_rate = n2 / (time.time() - t0)
     del delivered
     eprint(f"input pipeline alone: {feed_rate:.3f} batches/s "
@@ -337,22 +442,20 @@ def main():
            f"{steps_per_sec:.2f} steps/s compute; use device-synthesis mode "
            f"when the host is the bottleneck)")
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step_wire(params, batch_stats, opt_state, enc, key):
-        x, rand = wire_decode(enc)
-        return _step_core(params, batch_stats, opt_state, x, rand, key)
-
-    pipe = device_prefetch(threaded_iterator(source, num_workers=n_workers, prefetch=PREFETCH),
-                           size=DEPTH, wire=WIRE, decode_on_yield=False)
+    pipe = device_prefetch(threaded_iterator(source_pcm, num_workers=n_workers, prefetch=PREFETCH),
+                           size=DEPTH, wire=WIRE, decode_on_yield=False,
+                           upload_thread=UPLOAD_THREAD)
+    skey = jax.random.PRNGKey(290)
     for i in range(warm2):
-        params, batch_stats, opt_state, loss = train_step_wire(
-            params, batch_stats, opt_state, next(pipe), jax.random.PRNGKey(290 + i))
+        (params, batch_stats, opt_state, loss), skey = train_step_pack(
+            params, batch_stats, opt_state, skey, next(pipe))
     jax.block_until_ready(loss)
     t0 = time.time()
     for i in range(n2):
-        params, batch_stats, opt_state, loss = train_step_wire(
-            params, batch_stats, opt_state, next(pipe), jax.random.PRNGKey(300 + i))
+        (params, batch_stats, opt_state, loss), skey = train_step_pack(
+            params, batch_stats, opt_state, skey, next(pipe))
     jax.block_until_ready((params, loss))
+    float(loss)  # value-fetch barrier (see the primary loop)
     streamed = n2 / (time.time() - t0)
     eprint(f"host-streamed training: {streamed:.3f} steps/s")
 
@@ -377,13 +480,16 @@ def main():
             "serialized_feed_estimate_batches_per_sec": round(est, 3),
         },
         "pipeline": {"num_workers": n_workers, "prefetch": PREFETCH,
-                     "device_prefetch": DEPTH, "wire": WIRE},
+                     "device_prefetch": DEPTH,
+                     "wire": "packed-pcm16 (BatchPacker, one transfer op/step, int16 PCM source)",
+                     "upload_thread": UPLOAD_THREAD},
     }
-    try:
-        with open(os.path.join(HERE, "benchmarks", "input_pipeline_report.json"), "w") as f:
-            json.dump(report, f, indent=1)
-    except OSError:
-        pass
+    if not args.smoke:  # never overwrite the reference-scale report with smoke numbers
+        try:
+            with open(os.path.join(HERE, "benchmarks", "input_pipeline_report.json"), "w") as f:
+                json.dump(report, f, indent=1)
+        except OSError:
+            pass
 
     if args.smoke:
         vs = float("nan")

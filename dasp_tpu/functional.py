@@ -1939,7 +1939,8 @@ def _frac_delay_gather(x, d):
     return jnp.where(idx >= 0.0, wet, 0.0)  # before the signal started
 
 
-def _frac_delay_matmul(x, taps, dmax: float, block: int) -> jnp.ndarray:
+def _frac_delay_matmul(x, taps, dmax: float, block: int,
+                       chunk: int = 8) -> jnp.ndarray:
     """Time-varying fractional multi-tap delay as per-tile interpolation matmuls.
 
     For each ``block``-sample output tile, the linearly interpolated read
@@ -1960,6 +1961,8 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int) -> jnp.ndarray:
             and tap gain (bs, 1, T) or None for unity. Reads that precede
             the signal start contribute zero.
         dmax: static bound on every d (samples). block: tile length.
+        chunk: tiles evaluated per scan step as one batched einsum
+            (see :func:`_frac_delay_tiles_ad`).
     """
     bs, chs, T = x.shape
     B = int(block)
@@ -1978,16 +1981,18 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int) -> jnp.ndarray:
         else jnp.pad(g, ((0, 0), (0, 0), (0, pad_t)))[:, 0, :]
         for _, g in taps
     ])
-    wet = _frac_delay_tiles_ad(B, Dm, x_ext, d_stk, g_stk)
+    wet = _frac_delay_tiles_ad(B, Dm, x_ext, d_stk, g_stk, chunk=chunk)
     return wet[..., :T]
 
 
 def _fdt_interp_matrix(d_k, g_k, t_abs, W: int, Dm: int, dtype):
-    """(bs, B, W) interpolation matrix for one tile — two nonzeros per
-    row per tap, built from iota comparisons so XLA fuses it into the
-    adjacent dot operand (never materialized in HBM).
+    """(bs, ..., B, W) interpolation matrix — two nonzeros per row per
+    tap, built from iota comparisons so XLA fuses it into the adjacent
+    dot operand (never materialized in HBM).
 
-    d_k/g_k: (ntaps, bs, B); t_abs: (B,) global output time.
+    d_k/g_k: (ntaps, bs, ..., B) — ``...`` is the optional tile-chunk
+    dim; t_abs: (..., B) global output time. All broadcasts below are
+    rank-agnostic over ``...``.
     """
     j = np.arange(d_k.shape[-1], dtype=np.float32)
     iota_w = np.arange(W, dtype=np.int32)
@@ -2005,10 +2010,11 @@ def _fdt_interp_matrix(d_k, g_k, t_abs, W: int, Dm: int, dtype):
     return m
 
 
-def _frac_delay_tiles_ad(B: int, Dm: int, x_ext, d_stk, g_stk):
+def _frac_delay_tiles_ad(B: int, Dm: int, x_ext, d_stk, g_stk,
+                         chunk: int = 8):
     """Tiled interpolation-matmul fractional delay (autodiff VJP).
 
-    jax.checkpoint per tile: without it the scan saves every tile's
+    jax.checkpoint per scan step: without it the scan saves every tile's
     (bs, B, W) interpolation matrix as a backward residual (gigabytes at
     reference scale); rematerializing keeps residuals to the tiny window
     slices. The backward rebuilds the fused matrix and differentiates
@@ -2018,23 +2024,44 @@ def _frac_delay_tiles_ad(B: int, Dm: int, x_ext, d_stk, g_stk):
     einsum won the gradient by 2.6x (XLA fuses the matrix cotangent into
     its consuming reductions; the hand-written gathers and the
     scatter-add backwards were all slower), so this is the single path.
+
+    ``chunk`` tiles are evaluated per scan step as one batched einsum:
+    a single-tile step is a ~50 MFLOP dot — dispatch/latency-bound on
+    the MXU — so grouping tiles cuts the sequential scan length by
+    ``chunk`` at identical total FLOPs (each tile still contracts only
+    its own (B, W) window; within a step the tile windows are STATIC
+    slices of one group window, so no gather is introduced).
+
     x_ext: (bs, chs, Dm + nb*B); d_stk/g_stk: (ntaps, bs, nb*B)."""
     bs, chs, T_ext = x_ext.shape
     W = Dm + B
     nb = (T_ext - Dm) // B
+    chunk = max(1, min(int(chunk), nb))
+    while nb % chunk:  # scan needs equal-size steps; nearest divisor of nb
+        chunk -= 1
     j = np.arange(B, dtype=np.float32)
+    t_rel = (np.arange(chunk, dtype=np.float32) * B)[:, None] + j[None, :]
 
     @jax.checkpoint
-    def tile(k):
-        win = jax.lax.dynamic_slice_in_dim(x_ext, k * B, W, axis=-1)
-        d_k = jax.lax.dynamic_slice_in_dim(d_stk, k * B, B, axis=-1)
-        g_k = jax.lax.dynamic_slice_in_dim(g_stk, k * B, B, axis=-1)
-        t_abs = (k * B).astype(np.float32) + j
+    def tile_group(k0):  # k0: first tile index of the group
+        win_g = jax.lax.dynamic_slice_in_dim(
+            x_ext, k0 * B, Dm + chunk * B, axis=-1)
+        d_g = jax.lax.dynamic_slice_in_dim(d_stk, k0 * B, chunk * B, axis=-1)
+        g_g = jax.lax.dynamic_slice_in_dim(g_stk, k0 * B, chunk * B, axis=-1)
+        wins = jnp.stack(
+            [jax.lax.slice_in_dim(win_g, t * B, t * B + W, axis=-1)
+             for t in range(chunk)], axis=2)  # (bs, chs, chunk, W)
+        d_k = d_g.reshape(d_stk.shape[0], bs, chunk, B)
+        g_k = g_g.reshape(g_stk.shape[0], bs, chunk, B)
+        t_abs = (k0 * B).astype(np.float32) + t_rel  # (chunk, B)
         m = _fdt_interp_matrix(d_k, g_k, t_abs, W, Dm, x_ext.dtype)
-        return jnp.einsum("bjw,bcw->bcj", m, win,
+        return jnp.einsum("bkjw,bckw->bckj", m, wins,
                           precision=jax.lax.Precision.HIGHEST)
 
-    _, wets = jax.lax.scan(lambda c, k: (c, tile(k)), None, jnp.arange(nb))
+    _, wets = jax.lax.scan(
+        lambda c, k0: (c, tile_group(k0)), None,
+        jnp.arange(nb // chunk) * chunk)
+    # (ng, bs, chs, chunk, B) -> (bs, chs, ng, chunk, B) -> (bs, chs, T)
     return jnp.moveaxis(wets, 0, 2).reshape(bs, chs, nb * B)
 
 

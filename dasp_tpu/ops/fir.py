@@ -15,12 +15,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .fft4step import fft_mul_mxu, prefer_fft4
 from .fft_filter import next_fast_len, next_pow2
 
 __all__ = ["fft_conv_full", "fft_conv_causal", "fft_correlate_valid", "ola_conv_causal"]
 
 
 def _fft_mul(x: jnp.ndarray, h: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    if prefer_fft4(n_fft):
+        # long transforms on TPU: 4-step Cooley-Tukey with MXU matmul
+        # stages beats the XLA fft lowering (see ops/fft4step.py)
+        return fft_mul_mxu(x, h, n_fft)
     X = jnp.fft.rfft(x, n_fft, axis=-1)
     H = jnp.fft.rfft(h, n_fft, axis=-1)
     return jnp.fft.irfft(X * H, n_fft, axis=-1)

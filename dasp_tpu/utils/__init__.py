@@ -20,7 +20,8 @@ from .audio import (
 from .loudness import integrated_loudness, k_weighting_sos, loudness_normalize
 from .logging import MetricsLogger, load_checkpoint, save_checkpoint
 from .debug import assert_finite, assert_normalized, checked
-from .pipeline import device_prefetch, threaded_iterator, wire_decode, wire_encode
+from .pipeline import (BatchPacker, device_prefetch, threaded_iterator,
+                       wire_decode, wire_encode)
 from .presets import load_preset, save_preset
 
 __all__ = [
@@ -48,6 +49,7 @@ __all__ = [
     "assert_finite",
     "assert_normalized",
     "checked",
+    "BatchPacker",
     "device_prefetch",
     "threaded_iterator",
     "wire_decode",

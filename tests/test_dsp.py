@@ -272,6 +272,72 @@ class TestFFTConv:
                 np.testing.assert_allclose(np.asarray(y)[i, c], ref, atol=1e-4)
 
 
+class TestFFT4Step:
+    """4-step MXU convolution (ops/fft4step.py) — the TPU path for the
+    reverb-scale transforms, checked here on CPU against numpy."""
+
+    def test_good_split(self):
+        from dasp_tpu.ops.fft4step import good_split
+
+        assert good_split(196608) == (384, 512)  # the reverb conv length
+        assert good_split(65536) == (256, 256)
+        n1, n2 = good_split(1024)
+        assert n1 * n2 == 1024
+        assert good_split(2 * 524287) is None  # large prime cofactor
+
+    @pytest.mark.parametrize("n_fft,T,K", [(1024, 700, 325),
+                                           (1536, 1000, 537),
+                                           (4096, 3000, 1097)])
+    def test_fft_mul_mxu_vs_numpy(self, n_fft, T, K):
+        from dasp_tpu.ops.fft4step import fft_mul_mxu
+
+        x = RNG.standard_normal((2, 2, T)).astype(np.float32)
+        h = RNG.standard_normal((2, 2, K)).astype(np.float32)
+        y = jax.jit(lambda a, b: fft_mul_mxu(a, b, n_fft))(
+            jnp.asarray(x), jnp.asarray(h))
+        assert y.shape == (2, 2, n_fft) and y.dtype == jnp.float32
+        for i in range(2):
+            for c in range(2):
+                ref = np.fft.irfft(np.fft.rfft(x[i, c], n_fft)
+                                   * np.fft.rfft(h[i, c], n_fft), n_fft)
+                np.testing.assert_allclose(np.asarray(y)[i, c], ref,
+                                           atol=2e-3, rtol=1e-5)
+
+    def test_leading_axis_broadcast(self):
+        # fft_correlate_valid-style broadcast: x (bs, 12, T) with h (12, K)
+        from dasp_tpu.ops.fft4step import fft_mul_mxu
+
+        x = RNG.standard_normal((2, 3, 300)).astype(np.float32)
+        h = RNG.standard_normal((3, 40)).astype(np.float32)
+        y = fft_mul_mxu(jnp.asarray(x), jnp.asarray(h), 512)
+        for i in range(2):
+            for c in range(3):
+                ref = np.fft.irfft(np.fft.rfft(x[i, c], 512)
+                                   * np.fft.rfft(h[c], 512), 512)
+                np.testing.assert_allclose(np.asarray(y)[i, c], ref, atol=1e-4)
+
+    def test_gradients_match_fft_path(self):
+        # training runs through the conv: VJPs must agree with jnp.fft's
+        from dasp_tpu.ops.fft4step import fft_mul_mxu
+
+        x = jnp.asarray(RNG.standard_normal((1, 2, 600)).astype(np.float32))
+        h = jnp.asarray(RNG.standard_normal((1, 2, 200)).astype(np.float32))
+
+        def loss_mxu(x, h):
+            return jnp.sum(fft_mul_mxu(x, h, 1024)[..., :600] ** 2)
+
+        def loss_fft(x, h):
+            y = jnp.fft.irfft(jnp.fft.rfft(x, 1024) * jnp.fft.rfft(h, 1024), 1024)
+            return jnp.sum(y[..., :600] ** 2)
+
+        gx1, gh1 = jax.grad(loss_mxu, argnums=(0, 1))(x, h)
+        gx2, gh2 = jax.grad(loss_fft, argnums=(0, 1))(x, h)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   atol=2e-2, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh2),
+                                   atol=2e-2, rtol=1e-4)
+
+
 class TestSpectralBandNoise:
     """noise_mode="frequency" must draw the SAME Gaussian process as
     band-limiting time-domain white noise, for even and odd lengths."""

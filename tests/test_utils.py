@@ -268,6 +268,66 @@ class TestInputPipeline:
         from dasp_tpu.utils import wire_encode as we
         assert we({"big": big}, "f32")["big"] is big
 
+    def test_batch_packer_roundtrip_exact(self):
+        # ONE-buffer wire: PCM16-grid audio, small f32, int scalars and
+        # raw int16 leaves all round-trip EXACTLY through encode ->
+        # device_put -> jitted decode (utils/pipeline.py BatchPacker)
+        from dasp_tpu.utils import BatchPacker
+
+        rng = np.random.default_rng(7)
+        pcm = rng.integers(-32768, 32768, size=(2, 1, 16384), dtype=np.int16)
+        batch = (pcm.astype(np.float32) / 32768.0,
+                 {"eq": rng.uniform(0, 1, (2, 18)).astype(np.float32),
+                  "n": np.int32(7), "u": np.uint32(11), "pcm": pcm})
+        p = BatchPacker(batch)
+        buf = p.encode(batch)
+        assert buf.dtype == np.int16 and buf.shape == (p.num_i16,)
+        assert p.nbytes == 2 * p.num_i16
+        x1, d1 = jax.jit(p.decode)(jnp.asarray(buf))
+        assert x1.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(x1), batch[0])
+        np.testing.assert_array_equal(np.asarray(d1["eq"]), batch[1]["eq"])
+        assert int(d1["n"]) == 7 and d1["n"].dtype == jnp.int32
+        assert int(d1["u"]) == 11 and d1["u"].dtype == jnp.uint32
+        np.testing.assert_array_equal(np.asarray(d1["pcm"]), pcm)
+
+    def test_batch_packer_quantization_bound_and_errors(self):
+        from dasp_tpu.utils import BatchPacker
+
+        rng = np.random.default_rng(8)
+        big = rng.standard_normal((1, 8192)).astype(np.float32) * 37.0
+        p = BatchPacker(big)
+        out = np.asarray(jax.jit(p.decode)(jnp.asarray(p.encode(big))))
+        peak = float(np.max(np.abs(big)))
+        assert np.max(np.abs(out - big)) <= peak / 65000  # ~peak/65534
+
+        with pytest.raises(TypeError, match="unsupported leaf"):
+            BatchPacker(np.zeros(4, np.float64))
+        with pytest.raises(ValueError, match="leaf changed"):
+            p.encode(big.astype(np.float32)[:, :4096])
+
+    def test_device_prefetch_packed_wire(self):
+        from dasp_tpu.utils import BatchPacker, device_prefetch
+
+        rng = np.random.default_rng(9)
+        pcm = rng.integers(-32768, 32768, size=(1, 16384), dtype=np.int16)
+        batches = [{"x": pcm.astype(np.float32) / 32768.0,
+                    "n": np.int32(i)} for i in range(4)]
+        packer = BatchPacker(batches[0])
+        # decode_on_yield: consumers see decoded pytrees
+        out = list(device_prefetch(iter(batches), size=2, wire=packer))
+        assert len(out) == 4
+        for i, b in enumerate(out):
+            np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+            assert int(b["n"]) == i
+        # decode_on_yield=False: consumers see the raw int16 buffers
+        raw = list(device_prefetch(iter(batches), size=2, wire=packer,
+                                   decode_on_yield=False, upload_thread=True))
+        assert all(r.dtype == jnp.int16 and r.shape == (packer.num_i16,)
+                   for r in raw)
+        b0 = jax.jit(packer.decode)(raw[0])
+        np.testing.assert_array_equal(np.asarray(b0["x"]), batches[0]["x"])
+
     def test_device_prefetch_wire_transparent(self):
         # consumers receive float32 regardless of the wire encoding
         from dasp_tpu.utils import device_prefetch
@@ -282,6 +342,32 @@ class TestInputPipeline:
             assert b["x"].dtype == np.float32
             np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
             assert int(b["n"]) == i
+
+    def test_device_prefetch_upload_thread(self):
+        # the dedicated-upload-thread variant must preserve order, values,
+        # decode, and error propagation
+        from dasp_tpu.utils import device_prefetch
+
+        rng = np.random.default_rng(3)
+        pcm = rng.integers(-32768, 32768, size=(1, 16384), dtype=np.int16)
+        batches = [{"x": pcm.astype(np.float32) / 32768.0,
+                    "n": np.int32(i)} for i in range(5)]
+        out = list(device_prefetch(iter(batches), size=2, wire="i16",
+                                   upload_thread=True))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert b["x"].dtype == np.float32
+            np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+            assert int(b["n"]) == i
+
+        def bad():
+            yield batches[0]
+            raise RuntimeError("boom-upload")
+
+        it = device_prefetch(bad(), size=2, upload_thread=True)
+        next(it)
+        with pytest.raises(RuntimeError, match="boom-upload"):
+            list(it)
 
     def test_batch_iterator_multiworker(self):
         import sys
