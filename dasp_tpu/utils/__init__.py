@@ -23,6 +23,9 @@ from .debug import assert_finite, assert_normalized, checked
 from .pipeline import (BatchPacker, device_prefetch, threaded_iterator,
                        wire_decode, wire_encode)
 from .presets import load_preset, save_preset
+from .datasets import (DATASETS, DatasetSpec, DownloadError, acquire,
+                       extract_zip, fetch, sha256_file)
+from .datasets import verify as verify_dataset
 
 __all__ = [
     "a_weighting",
@@ -54,4 +57,12 @@ __all__ = [
     "threaded_iterator",
     "wire_decode",
     "wire_encode",
+    "DATASETS",
+    "DatasetSpec",
+    "DownloadError",
+    "acquire",
+    "extract_zip",
+    "fetch",
+    "sha256_file",
+    "verify_dataset",
 ]

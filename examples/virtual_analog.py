@@ -72,27 +72,18 @@ IDMT_URL = "https://csteinmetz1.github.io/sounds/assets/amps/"
 
 
 def fetch_idmt_amps(audio_dir: str, names) -> None:
-    """Download the IDMT amp pairs (reference virtual_analog.py:377-385,
-    wget replaced with urllib). Already-present files are kept."""
-    import urllib.request
+    """Acquire the IDMT amp pairs via the dataset registry
+    (reference virtual_analog.py:377-385's wget loop, upgraded to
+    resumable verified fetch — dasp_tpu.utils.datasets)."""
+    from dasp_tpu.utils import datasets
 
-    os.makedirs(audio_dir, exist_ok=True)
     files = [IDMT_SRC] + [IDMT_AMPS[n] for n in names]
-    for fname in files:
-        path = os.path.join(audio_dir, fname)
-        if os.path.exists(path):
-            continue
-        url = IDMT_URL + fname
-        print(f"downloading {url}")
-        try:
-            urllib.request.urlretrieve(url, path)
-        except Exception as e:
-            if os.path.exists(path):
-                os.remove(path)
-            raise SystemExit(
-                f"could not download {url} ({e}); place the file at {path} "
-                "manually, or run without --amps for synthetic targets"
-            )
+    try:
+        datasets.acquire("idmt-amps", audio_dir, files=files)
+    except datasets.DownloadError as e:
+        raise SystemExit(
+            f"{e}\nOr run without --amps for synthetic targets."
+        )
 
 
 def paired_chunk_iterator(src, target, length, batch_size, nprng):
