@@ -193,6 +193,44 @@ def build_style_workload(batch_size: int = 8, length: int = 262144,
             }
             yield x, rand
 
+    # Reservoir-streamed path: the host streams only FRESH fresh clips
+    # per step; the batch is gathered from an R-clip device-resident ring
+    # buffer (utils.pipeline.reservoir_put/_sample — the on-device
+    # shuffle-buffer). Wire bytes drop bs/FRESH-fold, lifting the
+    # link-bandwidth cap on the step rate; each clip trains ~bs/FRESH
+    # times with independently redrawn corruption params (the reference
+    # redraws params per step too, ref style_transfer.py:274-299, so no
+    # training pair ever repeats). Corruption params are drawn ON DEVICE
+    # from the carried key, exactly as the reference does on the GPU.
+    from dasp_tpu.utils import reservoir_put, reservoir_sample
+
+    FRESH = max(1, bs // 2)
+    R_CLIPS = 8 * bs
+    res_packer = BatchPacker(np.zeros((FRESH, 1, 2 * half), np.int16))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+    def train_step_reservoir(params, batch_stats, opt_state, key, store, ptr, buf):
+        fresh = res_packer.decode(buf)
+        store, ptr = reservoir_put(store, fresh, ptr)
+        key, k_idx, k_rand, k_step = jax.random.split(key, 4)
+        x = reservoir_sample(store, k_idx, bs).astype(jnp.float32) / 32768.0
+        ks = jax.random.split(k_rand, 5)
+        rand = {
+            "eq": jax.random.uniform(ks[0], (bs, 18)),
+            "comp": jax.random.uniform(ks[1], (bs, 6)),
+            "reverb": jax.random.uniform(ks[2], (bs, 25)),
+            "g1": jax.random.uniform(ks[3], (bs, 1, 1), maxval=24.0),
+            "g2": jax.random.uniform(ks[4], (bs, 1, 1), maxval=24.0),
+        }
+        out = _step_core(params, batch_stats, opt_state, x, rand, k_step)
+        return out, key, store, ptr
+
+    def source_reservoir(wid):
+        """Host producer for the reservoir path: FRESH int16 clips/pull."""
+        srng = np.random.default_rng(3000 + wid)
+        while True:
+            yield srng.integers(-8192, 8192, (FRESH, 1, 2 * half), dtype=np.int16)
+
     rng = np.random.default_rng(0)
 
     def make_inputs(i):
@@ -226,7 +264,10 @@ def build_style_workload(batch_size: int = 8, length: int = 262144,
                 train_step_wire=train_step_wire,
                 train_step_pack=train_step_pack, packer=packer,
                 make_inputs=make_inputs, source=source,
-                source_pcm=source_pcm)
+                source_pcm=source_pcm,
+                train_step_reservoir=train_step_reservoir,
+                source_reservoir=source_reservoir, res_packer=res_packer,
+                reservoir_clips=R_CLIPS, fresh_clips=FRESH)
 
 
 def main():
@@ -459,12 +500,51 @@ def main():
     streamed = n2 / (time.time() - t0)
     eprint(f"host-streamed training: {streamed:.3f} steps/s")
 
+    # --- secondary C: reservoir-streamed training ---------------------------
+    # Device-resident clip reservoir (utils.pipeline.reservoir_put/_sample):
+    # only FRESH clips stream per step; the batch gathers from R resident
+    # clips, so wire bytes/step shrink bs/FRESH-fold — the fix for
+    # link-bandwidth-capped real-data training. Each clip is reused
+    # ~bs/FRESH times with freshly drawn corruption params (never the
+    # same training pair; the reference's own epochs reuse clips too).
+    train_step_res = w["train_step_reservoir"]
+    source_res = w["source_reservoir"]
+    res_packer = w["res_packer"]
+    R_CLIPS, FRESH = w["reservoir_clips"], w["fresh_clips"]
+    rng0 = np.random.default_rng(4000)
+    store = jax.device_put(
+        rng0.integers(-8192, 8192, (R_CLIPS, 1, 2 * half), dtype=np.int16))
+    ptr = jax.device_put(np.int32(0))
+    pipe = device_prefetch(
+        threaded_iterator(source_res, num_workers=n_workers, prefetch=PREFETCH),
+        size=DEPTH, wire=res_packer, decode_on_yield=False,
+        upload_thread=UPLOAD_THREAD)
+    for i in range(warm2):
+        (params, batch_stats, opt_state, loss), skey, store, ptr = train_step_res(
+            params, batch_stats, opt_state, skey, store, ptr, next(pipe))
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for i in range(n2):
+        (params, batch_stats, opt_state, loss), skey, store, ptr = train_step_res(
+            params, batch_stats, opt_state, skey, store, ptr, next(pipe))
+    jax.block_until_ready((params, loss))
+    float(loss)  # value-fetch barrier (see the primary loop)
+    res_streamed = n2 / (time.time() - t0)
+    del store
+    eprint(f"reservoir-streamed training: {res_streamed:.3f} steps/s "
+           f"({FRESH} fresh clips/step into {R_CLIPS} resident, "
+           f"reuse ~{bs / FRESH:.0f}x, "
+           f"{100.0 * res_streamed / steps_per_sec:.0f}% of device-resident)")
+
     report = {
         "device_resident_steps_per_sec": round(steps_per_sec, 4),
         "device_synth_steps_per_sec": round(synth_sps, 4),
         "device_synth_pct_of_resident": round(100.0 * synth_sps / steps_per_sec, 1),
         "input_pipeline_batches_per_sec": round(feed_rate, 4),
         "host_streamed_steps_per_sec": round(streamed, 4),
+        "reservoir_streamed_steps_per_sec": round(res_streamed, 4),
+        "reservoir_streamed_pct_of_resident": round(
+            100.0 * res_streamed / steps_per_sec, 1),
         "batch_size": bs, "clip_len": 2 * half,
         "host": {
             "nproc": nproc,
@@ -482,7 +562,10 @@ def main():
         "pipeline": {"num_workers": n_workers, "prefetch": PREFETCH,
                      "device_prefetch": DEPTH,
                      "wire": "packed-pcm16 (BatchPacker, one transfer op/step, int16 PCM source)",
-                     "upload_thread": UPLOAD_THREAD},
+                     "upload_thread": UPLOAD_THREAD,
+                     "reservoir": {"clips": R_CLIPS, "fresh_per_step": FRESH,
+                                   "reuse_factor": round(bs / FRESH, 1),
+                                   "wire_bytes_per_step": res_packer.nbytes}},
     }
     if not args.smoke:  # never overwrite the reference-scale report with smoke numbers
         try:
@@ -522,6 +605,9 @@ def main():
         "host_streamed_steps_per_sec": round(streamed, 4),
         "device_synth_steps_per_sec": round(synth_sps, 4),
         "host_streamed_pct_of_resident": round(100.0 * streamed / steps_per_sec, 1),
+        "reservoir_streamed_steps_per_sec": round(res_streamed, 4),
+        "reservoir_streamed_pct_of_resident": round(
+            100.0 * res_streamed / steps_per_sec, 1),
     }))
 
 

@@ -20,8 +20,9 @@ from .audio import (
 from .loudness import integrated_loudness, k_weighting_sos, loudness_normalize
 from .logging import MetricsLogger, load_checkpoint, save_checkpoint
 from .debug import assert_finite, assert_normalized, checked
-from .pipeline import (BatchPacker, device_prefetch, threaded_iterator,
-                       wire_decode, wire_encode)
+from .pipeline import (BatchPacker, device_prefetch, reservoir_put,
+                       reservoir_sample, threaded_iterator, wire_decode,
+                       wire_encode)
 from .presets import load_preset, save_preset
 from .datasets import (DATASETS, DatasetSpec, DownloadError, acquire,
                        extract_zip, fetch, sha256_file)
@@ -54,6 +55,8 @@ __all__ = [
     "checked",
     "BatchPacker",
     "device_prefetch",
+    "reservoir_put",
+    "reservoir_sample",
     "threaded_iterator",
     "wire_decode",
     "wire_encode",

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["threaded_iterator", "device_prefetch", "wire_encode",
-           "wire_decode", "BatchPacker"]
+           "wire_decode", "BatchPacker", "reservoir_put", "reservoir_sample"]
 
 # ---------------------------------------------------------------------------
 # Wire formats: shrink host->device transfer bytes.
@@ -220,6 +220,54 @@ class BatchPacker:
             else:  # raw16
                 leaves.append(seg.reshape(shape))
         return jax.tree.unflatten(self.treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident clip reservoir: stream a FRACTION of each batch fresh.
+#
+# When the host->device link is the training bottleneck (this harness's
+# tunnel at ~35 MB/s; any disaggregated accelerator generally), shipping
+# every sample of every batch caps the step rate at
+# link_bandwidth / batch_bytes no matter how well transfers overlap
+# compute. The standard fix is a device-side shuffle buffer: keep R
+# clips resident in HBM (int16 — half the bytes of f32), stream only F
+# fresh clips per step into a rotating window, and gather each batch
+# from random reservoir rows. Wire bytes per step drop by bs/F; each
+# clip is consumed ~bs/F times in expectation before eviction (after
+# R/F steps) — the on-device analogue of a PyTorch shuffle buffer or a
+# tf.data `shuffle(R)` over a re-iterated epoch, with the reuse spread
+# across nearby steps instead of across epochs. For self-supervised
+# corruption training (ref style_transfer.py:271-314) the corruption
+# params are redrawn per step, so a re-sampled clip never yields the
+# same training pair twice.
+#
+# Both functions are pure and trace-safe (call them INSIDE the jitted
+# step; donate the store buffer so the update is in-place in HBM).
+# ---------------------------------------------------------------------------
+
+
+def reservoir_put(store, fresh, ptr):
+    """Rotate ``fresh`` (F leading rows) into the ring buffer at ``ptr``.
+
+    Args:
+        store: device ring buffer, shape ``(R, ...)`` (any dtype; int16
+            recommended for PCM audio — half the HBM and wire bytes).
+        fresh: newly streamed rows, shape ``(F, ...)``, F <= R. R should
+            be a multiple of F so the rotating window never wraps.
+        ptr: int32 scalar (traced ok), the current write offset.
+
+    Returns:
+        ``(store, ptr)`` — updated buffer and the next write offset.
+    """
+    start = (jnp.int32(ptr),) + (jnp.int32(0),) * (store.ndim - 1)
+    store = jax.lax.dynamic_update_slice(store, fresh, start)
+    return store, (ptr + fresh.shape[0]) % store.shape[0]
+
+
+def reservoir_sample(store, key, batch_size: int):
+    """Gather ``batch_size`` uniformly random rows from the reservoir."""
+    idx = jax.random.randint(key, (batch_size,), 0, store.shape[0])
+    return jnp.take(store, idx, axis=0)
 
 
 def threaded_iterator(

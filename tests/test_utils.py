@@ -328,6 +328,37 @@ class TestInputPipeline:
         b0 = jax.jit(packer.decode)(raw[0])
         np.testing.assert_array_equal(np.asarray(b0["x"]), batches[0]["x"])
 
+    def test_reservoir_put_sample(self):
+        # Device shuffle-buffer (utils/pipeline.py reservoir_put/_sample):
+        # rotating window writes land at the right rows, ptr wraps, and
+        # sampled rows are always rows of the current reservoir.
+        from dasp_tpu.utils import reservoir_put, reservoir_sample
+
+        R, F, T = 8, 2, 64
+        store = jnp.zeros((R, 1, T), jnp.int16)
+        ptr = jnp.int32(0)
+
+        @jax.jit
+        def step(store, ptr, fresh):
+            return reservoir_put(store, fresh, ptr)
+
+        rows = []
+        for i in range(R // F + 1):  # one extra -> ptr wraps to 0 and overwrites
+            fresh = np.full((F, 1, T), 100 + i, np.int16)
+            rows.append(fresh)
+            store, ptr = step(store, ptr, fresh)
+        assert int(ptr) == F  # wrapped past R back to F
+        out = np.asarray(store)
+        np.testing.assert_array_equal(out[0:F], rows[-1])   # overwritten
+        np.testing.assert_array_equal(out[F:2 * F], rows[1])
+        np.testing.assert_array_equal(out[R - F:R], rows[R // F - 1])
+
+        batch = np.asarray(jax.jit(
+            lambda s, k: reservoir_sample(s, k, 16))(store, jax.random.PRNGKey(0)))
+        assert batch.shape == (16, 1, T)
+        valid = {int(v) for v in out[:, 0, 0]}
+        assert {int(v) for v in batch[:, 0, 0]} <= valid
+
     def test_device_prefetch_wire_transparent(self):
         # consumers receive float32 regardless of the wire encoding
         from dasp_tpu.utils import device_prefetch
