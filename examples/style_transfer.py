@@ -153,6 +153,14 @@ def main():
                              "and on the virtual CPU mesh (there the MR-STFT loss "
                              "automatically swaps its rffts for DFT matmuls to dodge "
                              "XLA-CPU's row-major-only fft thunk)")
+    parser.add_argument("--reservoir", type=int, default=0, metavar="R",
+                        help="device-resident clip reservoir: keep R clips in HBM, "
+                             "stream only batch_size/2 fresh clips per step and "
+                             "gather each batch from random reservoir rows "
+                             "(utils.pipeline.reservoir_put/_sample). Lifts the "
+                             "host->device bandwidth cap on real-data training — "
+                             "each clip trains ~2x, always with freshly drawn "
+                             "corruption params. 0 disables (stream every sample)")
     args = parser.parse_args()
     if args.smoke:
         args.length = 16384
@@ -207,10 +215,44 @@ def main():
     logger = MetricsLogger(log_dir)
     nprng = np.random.default_rng(args.seed + 1)
     key = jax.random.PRNGKey(args.seed + 2)
-    data = device_batches(args)  # async staged transfer, int16 wire
+
+    if args.reservoir:
+        # Reservoir feeding: only `fresh_n` clips cross the host->device
+        # link per step; the batch is gathered from R resident clips.
+        # The reservoir lives on one device (unsharded); sampled batches
+        # are resharded by shard_batch below when a mesh is active.
+        import copy
+        import functools
+
+        from dasp_tpu.utils import reservoir_put, reservoir_sample
+
+        fresh_n = max(1, args.batch_size // 2)
+        R = max(args.reservoir, 2 * fresh_n)
+        R -= R % fresh_n  # multiple of fresh_n: the write window never wraps
+        fargs = copy.copy(args)
+        fargs.batch_size = fresh_n
+        data = device_batches(fargs)  # (fresh_n, 1, T) clips, int16 wire
+        # jit the store assembly: eager concatenate of device arrays can
+        # stall through the remote-TPU tunnel (see CLAUDE.md)
+        store = jax.jit(lambda parts: jnp.concatenate(parts))(
+            [next(data) for _ in range(R // fresh_n)])
+        ptr = np.int32(0)
+        print(f"reservoir: {R} resident clips, {fresh_n} fresh/step "
+              f"(reuse ~{args.batch_size / fresh_n:.0f}x)")
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def reservoir_step(store, fresh, ptr, k):
+            store, ptr = reservoir_put(store, fresh, ptr)
+            return store, ptr, reservoir_sample(store, k, args.batch_size)
+    else:
+        data = device_batches(args)  # async staged transfer, int16 wire
 
     for step in range(start, args.steps):
-        x = next(data)  # already on device (device_batches)
+        if args.reservoir:
+            key, k_res = jax.random.split(key)
+            store, ptr, x = reservoir_step(store, next(data), ptr, k_res)
+        else:
+            x = next(data)  # already on device (device_batches)
         if mesh is not None:
             x = shard_batch(x, mesh)
         rand = random_corruption(nprng, args.batch_size, processors)
