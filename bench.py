@@ -36,6 +36,54 @@ def eprint(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+class _PhaseTimeout(Exception):
+    pass
+
+
+class _phase_deadline:
+    """Best-effort watchdog for the SECONDARY bench phases.
+
+    The driver runs bench.py unattended at round end; a transient
+    remote-tunnel stall inside an optional phase (input-pipeline /
+    host-streamed / reservoir measurements) must not take the primary
+    headline measurement down with it. SIGALRM interrupts Python-level
+    waits (queue gets, iteration loops); a stall inside an
+    uninterruptible C call can still wedge the process — this narrows
+    the exposure window, it cannot close it.
+    """
+
+    def __init__(self, seconds: int, label: str):
+        self.seconds, self.label = seconds, label
+
+    def __enter__(self):
+        import signal, threading
+        self._armed = (os.name == "posix" and hasattr(signal, "SIGALRM")
+                       and threading.current_thread() is threading.main_thread())
+        if self._armed:
+            def _raise(signum, frame):
+                raise _PhaseTimeout(self.label)
+            self._old = signal.signal(signal.SIGALRM, _raise)
+            signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        if self._armed:
+            import signal
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+def _round_or_none(v, ndigits=4):
+    return round(v, ndigits) if isinstance(v, (int, float)) and np.isfinite(v) else None
+
+
+def _pct_or_none(num, den, ndigits=1):
+    if not (isinstance(num, (int, float)) and isinstance(den, (int, float)) and den):
+        return None
+    return round(100.0 * num / den, ndigits)
+
+
 def get_reference_baseline(target_bs: int) -> float:
     """steps/sec of the torch reference at the target batch size (cached)."""
     if not os.path.exists(REF_CACHE):
@@ -373,25 +421,36 @@ def main():
     eprint(f"device throughput: {steps_per_sec:.3f} steps/s ({dt*1e3:.2f} ms/step), "
            f"final loss {final_loss:.4f}")
 
+    # The primary (headline) number is measured. Everything below is a
+    # SECONDARY phase: each runs under a best-effort watchdog and a
+    # phase that stalls or dies reports None instead of wedging the run
+    # (the driver consumes the final JSON line unattended).
+    synth_sps = feed_rate = streamed = res_streamed = None
+    host_stats = {}
+
     # --- secondary A: device-synthesis feeding (host-independent) ----------
     # The batch is generated on device inside the jitted step; the host
     # only ships a PRNG key per step. This is the production feeding mode
     # for synthetic/self-supervised corruption training — by construction
     # it cannot be host-bound.
-    for i in range(2):
-        params, batch_stats, opt_state, loss = synth_train_step(
-            params, batch_stats, opt_state, jax.random.PRNGKey(200 + i))
-    jax.block_until_ready(loss)
-    n_s = args.steps
-    t0 = time.time()
-    for i in range(n_s):
-        params, batch_stats, opt_state, loss = synth_train_step(
-            params, batch_stats, opt_state, jax.random.PRNGKey(210 + i))
-    jax.block_until_ready((params, loss))
-    float(loss)  # value-fetch barrier (see the primary loop)
-    synth_sps = n_s / (time.time() - t0)
-    eprint(f"device-synthesis training: {synth_sps:.3f} steps/s "
-           f"({100.0 * synth_sps / steps_per_sec:.0f}% of device-resident)")
+    try:
+      with _phase_deadline(900, "device-synthesis"):
+        for i in range(2):
+            params, batch_stats, opt_state, loss = synth_train_step(
+                params, batch_stats, opt_state, jax.random.PRNGKey(200 + i))
+        jax.block_until_ready(loss)
+        n_s = args.steps
+        t0 = time.time()
+        for i in range(n_s):
+            params, batch_stats, opt_state, loss = synth_train_step(
+                params, batch_stats, opt_state, jax.random.PRNGKey(210 + i))
+        jax.block_until_ready((params, loss))
+        float(loss)  # value-fetch barrier (see the primary loop)
+        synth_sps = n_s / (time.time() - t0)
+        eprint(f"device-synthesis training: {synth_sps:.3f} steps/s "
+               f"({100.0 * synth_sps / steps_per_sec:.0f}% of device-resident)")
+    except Exception as e:
+        eprint(f"WATCHDOG: device-synthesis phase abandoned ({e!r})")
 
     # --- secondary B: host-streamed input pipeline -------------------------
     # N producer threads synthesize batches (N adapts to the host's cores
@@ -405,44 +464,65 @@ def main():
 
     nproc = os.cpu_count() or 1
     n_workers = max(1, min(8, nproc - 1))
+    PREFETCH, DEPTH, UPLOAD_THREAD = 6, 3, False
+    WIRE = packer
+    n2 = min(args.steps, 32)
+    warm2 = PREFETCH + DEPTH
 
-    # per-stage: (1) one worker's synthesis time per batch
-    gen_it = source(0)
-    next(gen_it)  # warm allocators
-    t0 = time.time()
-    for _ in range(3):
-        host_batch = next(gen_it)
-    gen_s = (time.time() - t0) / 3
-    # per-stage: (2) host->device transfer time / bandwidth, fp32 vs the
-    # int16 wire (utils.pipeline.wire_encode — bit-exact for PCM16 data)
-    batch_bytes = host_batch[0].nbytes + sum(v.nbytes for v in host_batch[1].values())
-    jax.block_until_ready(jax.device_put(host_batch))  # warm transfer path
-    t0 = time.time()
-    for _ in range(3):
-        jax.block_until_ready(jax.device_put(host_batch))
-    put_s = (time.time() - t0) / 3
-    enc_batch = wire_encode(host_batch, "i16")
-    enc_bytes = sum(v.nbytes for v in jax.tree.leaves(enc_batch))
-    jax.block_until_ready(jax.device_put(enc_batch))  # warm the i16 path too
-    t0 = time.time()
-    for _ in range(3):
-        jax.block_until_ready(jax.device_put(enc_batch))
-    put_i16_s = (time.time() - t0) / 3
-    t0 = time.time()
-    for _ in range(3):
-        wire_encode(host_batch, "i16")
-    enc_s = (time.time() - t0) / 3
-    # conservative estimate: workers generate in parallel; transfers
-    # taken fully serialized at the blocking per-put cost (the async
-    # device_put path pipelines transfers, so the measured feed rate can
-    # exceed this — the blocking measurement includes tunnel RTT)
-    est = min(n_workers / gen_s, 1.0 / put_i16_s) if gen_s > 0 and put_i16_s > 0 else float("inf")
-    eprint(f"pipeline stages (nproc={nproc}, workers={n_workers}): "
-           f"generate {gen_s*1e3:.0f} ms/batch/worker, blocking device_put "
-           f"fp32 {put_s*1e3:.0f} ms ({batch_bytes / put_s / 1e9:.3f} GB/s) / "
-           f"i16 wire {put_i16_s*1e3:.0f} ms ({enc_bytes / put_i16_s / 1e9:.3f} GB/s, "
-           f"encode {enc_s*1e3:.0f} ms) -> "
-           f"serialized estimate ~{est:.2f} batches/s (async puts pipeline past it)")
+    try:
+      with _phase_deadline(900, "input-pipeline stages"):
+        # per-stage: (1) one worker's synthesis time per batch
+        gen_it = source(0)
+        next(gen_it)  # warm allocators
+        t0 = time.time()
+        for _ in range(3):
+            host_batch = next(gen_it)
+        gen_s = (time.time() - t0) / 3
+        # per-stage: (2) host->device transfer time / bandwidth, fp32 vs the
+        # int16 wire (utils.pipeline.wire_encode — bit-exact for PCM16 data)
+        batch_bytes = host_batch[0].nbytes + sum(v.nbytes for v in host_batch[1].values())
+        jax.block_until_ready(jax.device_put(host_batch))  # warm transfer path
+        t0 = time.time()
+        for _ in range(3):
+            jax.block_until_ready(jax.device_put(host_batch))
+        put_s = (time.time() - t0) / 3
+        enc_batch = wire_encode(host_batch, "i16")
+        enc_bytes = sum(v.nbytes for v in jax.tree.leaves(enc_batch))
+        jax.block_until_ready(jax.device_put(enc_batch))  # warm the i16 path too
+        t0 = time.time()
+        for _ in range(3):
+            jax.block_until_ready(jax.device_put(enc_batch))
+        put_i16_s = (time.time() - t0) / 3
+        t0 = time.time()
+        for _ in range(3):
+            wire_encode(host_batch, "i16")
+        enc_s = (time.time() - t0) / 3
+        # conservative estimate: workers generate in parallel; transfers
+        # taken fully serialized at the blocking per-put cost (the async
+        # device_put path pipelines transfers, so the measured feed rate can
+        # exceed this — the blocking measurement includes tunnel RTT)
+        est = min(n_workers / gen_s, 1.0 / put_i16_s) if gen_s > 0 and put_i16_s > 0 else float("inf")
+        eprint(f"pipeline stages (nproc={nproc}, workers={n_workers}): "
+               f"generate {gen_s*1e3:.0f} ms/batch/worker, blocking device_put "
+               f"fp32 {put_s*1e3:.0f} ms ({batch_bytes / put_s / 1e9:.3f} GB/s) / "
+               f"i16 wire {put_i16_s*1e3:.0f} ms ({enc_bytes / put_i16_s / 1e9:.3f} GB/s, "
+               f"encode {enc_s*1e3:.0f} ms) -> "
+               f"serialized estimate ~{est:.2f} batches/s (async puts pipeline past it)")
+        host_stats = {
+            "nproc": nproc,
+            "num_workers": n_workers,
+            "generate_s_per_batch_per_worker": round(gen_s, 4),
+            "device_put_s_per_batch_f32": round(put_s, 4),
+            "device_put_s_per_batch_i16": round(put_i16_s, 4),
+            "wire_encode_s_per_batch": round(enc_s, 4),
+            "transfer_GB_per_s_f32": round(batch_bytes / put_s / 1e9, 3),
+            "transfer_GB_per_s_i16": round(enc_bytes / put_i16_s / 1e9, 3),
+            "batch_bytes_f32": batch_bytes,
+            "batch_bytes_i16": enc_bytes,
+            "serialized_feed_estimate_batches_per_sec": round(est, 3),
+        }
+    except Exception as e:
+        eprint(f"WATCHDOG: input-pipeline stage measurement abandoned ({e!r})")
 
     # steady-state measurement: consume well past the buffer depth before
     # timing, so the rate reflects sustained production, not buffer drain.
@@ -458,47 +538,50 @@ def main():
     # 92.8% of resident in a quiet window but fell to 27% under
     # congestion, while raw bandwidth was unchanged — per-transfer-op
     # overhead is the congestion-sensitive term).
-    PREFETCH, DEPTH, UPLOAD_THREAD = 6, 3, False
-    WIRE = packer
-    n2 = min(args.steps, 32)
-    warm2 = PREFETCH + DEPTH
+    try:
+      with _phase_deadline(900, "input-pipeline feed rate"):
+        pipe = device_prefetch(threaded_iterator(source_pcm, num_workers=n_workers, prefetch=PREFETCH),
+                               size=DEPTH, wire=WIRE, decode_on_yield=False,
+                               upload_thread=UPLOAD_THREAD)
+        for _ in range(warm2):
+            jax.block_until_ready(next(pipe))
+        t0 = time.time()
+        # block once on everything delivered: per-batch sync would add one
+        # host<->device round trip per pull and measure RTT, not throughput
+        delivered = [next(pipe) for _ in range(n2)]
+        jax.block_until_ready(delivered)
+        # value-fetch barrier on the last batch's smallest leaf (puts are
+        # FIFO through the tunnel, so this bounds all earlier transfers)
+        np.asarray(min(jax.tree.leaves(delivered[-1]), key=lambda a: a.size))
+        feed_rate = n2 / (time.time() - t0)
+        del delivered
+        eprint(f"input pipeline alone: {feed_rate:.3f} batches/s "
+               f"({'not ' if feed_rate < steps_per_sec else ''}able to feed "
+               f"{steps_per_sec:.2f} steps/s compute; use device-synthesis mode "
+               f"when the host is the bottleneck)")
+    except Exception as e:
+        eprint(f"WATCHDOG: input-pipeline feed-rate phase abandoned ({e!r})")
 
-    pipe = device_prefetch(threaded_iterator(source_pcm, num_workers=n_workers, prefetch=PREFETCH),
-                           size=DEPTH, wire=WIRE, decode_on_yield=False,
-                           upload_thread=UPLOAD_THREAD)
-    for _ in range(warm2):
-        jax.block_until_ready(next(pipe))
-    t0 = time.time()
-    # block once on everything delivered: per-batch sync would add one
-    # host<->device round trip per pull and measure RTT, not throughput
-    delivered = [next(pipe) for _ in range(n2)]
-    jax.block_until_ready(delivered)
-    # value-fetch barrier on the last batch's smallest leaf (puts are
-    # FIFO through the tunnel, so this bounds all earlier transfers)
-    np.asarray(min(jax.tree.leaves(delivered[-1]), key=lambda a: a.size))
-    feed_rate = n2 / (time.time() - t0)
-    del delivered
-    eprint(f"input pipeline alone: {feed_rate:.3f} batches/s "
-           f"({'not ' if feed_rate < steps_per_sec else ''}able to feed "
-           f"{steps_per_sec:.2f} steps/s compute; use device-synthesis mode "
-           f"when the host is the bottleneck)")
-
-    pipe = device_prefetch(threaded_iterator(source_pcm, num_workers=n_workers, prefetch=PREFETCH),
-                           size=DEPTH, wire=WIRE, decode_on_yield=False,
-                           upload_thread=UPLOAD_THREAD)
-    skey = jax.random.PRNGKey(290)
-    for i in range(warm2):
-        (params, batch_stats, opt_state, loss), skey = train_step_pack(
-            params, batch_stats, opt_state, skey, next(pipe))
-    jax.block_until_ready(loss)
-    t0 = time.time()
-    for i in range(n2):
-        (params, batch_stats, opt_state, loss), skey = train_step_pack(
-            params, batch_stats, opt_state, skey, next(pipe))
-    jax.block_until_ready((params, loss))
-    float(loss)  # value-fetch barrier (see the primary loop)
-    streamed = n2 / (time.time() - t0)
-    eprint(f"host-streamed training: {streamed:.3f} steps/s")
+    try:
+      with _phase_deadline(900, "host-streamed training"):
+        pipe = device_prefetch(threaded_iterator(source_pcm, num_workers=n_workers, prefetch=PREFETCH),
+                               size=DEPTH, wire=WIRE, decode_on_yield=False,
+                               upload_thread=UPLOAD_THREAD)
+        skey = jax.random.PRNGKey(290)
+        for i in range(warm2):
+            (params, batch_stats, opt_state, loss), skey = train_step_pack(
+                params, batch_stats, opt_state, skey, next(pipe))
+        jax.block_until_ready(loss)
+        t0 = time.time()
+        for i in range(n2):
+            (params, batch_stats, opt_state, loss), skey = train_step_pack(
+                params, batch_stats, opt_state, skey, next(pipe))
+        jax.block_until_ready((params, loss))
+        float(loss)  # value-fetch barrier (see the primary loop)
+        streamed = n2 / (time.time() - t0)
+        eprint(f"host-streamed training: {streamed:.3f} steps/s")
+    except Exception as e:
+        eprint(f"WATCHDOG: host-streamed phase abandoned ({e!r})")
 
     # --- secondary C: reservoir-streamed training ---------------------------
     # Device-resident clip reservoir (utils.pipeline.reservoir_put/_sample):
@@ -511,54 +594,47 @@ def main():
     source_res = w["source_reservoir"]
     res_packer = w["res_packer"]
     R_CLIPS, FRESH = w["reservoir_clips"], w["fresh_clips"]
-    rng0 = np.random.default_rng(4000)
-    store = jax.device_put(
-        rng0.integers(-8192, 8192, (R_CLIPS, 1, 2 * half), dtype=np.int16))
-    ptr = jax.device_put(np.int32(0))
-    pipe = device_prefetch(
-        threaded_iterator(source_res, num_workers=n_workers, prefetch=PREFETCH),
-        size=DEPTH, wire=res_packer, decode_on_yield=False,
-        upload_thread=UPLOAD_THREAD)
-    for i in range(warm2):
-        (params, batch_stats, opt_state, loss), skey, store, ptr = train_step_res(
-            params, batch_stats, opt_state, skey, store, ptr, next(pipe))
-    jax.block_until_ready(loss)
-    t0 = time.time()
-    for i in range(n2):
-        (params, batch_stats, opt_state, loss), skey, store, ptr = train_step_res(
-            params, batch_stats, opt_state, skey, store, ptr, next(pipe))
-    jax.block_until_ready((params, loss))
-    float(loss)  # value-fetch barrier (see the primary loop)
-    res_streamed = n2 / (time.time() - t0)
-    del store
-    eprint(f"reservoir-streamed training: {res_streamed:.3f} steps/s "
-           f"({FRESH} fresh clips/step into {R_CLIPS} resident, "
-           f"reuse ~{bs / FRESH:.0f}x, "
-           f"{100.0 * res_streamed / steps_per_sec:.0f}% of device-resident)")
+    try:
+      with _phase_deadline(900, "reservoir-streamed training"):
+        skey = jax.random.PRNGKey(291)
+        rng0 = np.random.default_rng(4000)
+        store = jax.device_put(
+            rng0.integers(-8192, 8192, (R_CLIPS, 1, 2 * half), dtype=np.int16))
+        ptr = jax.device_put(np.int32(0))
+        pipe = device_prefetch(
+            threaded_iterator(source_res, num_workers=n_workers, prefetch=PREFETCH),
+            size=DEPTH, wire=res_packer, decode_on_yield=False,
+            upload_thread=UPLOAD_THREAD)
+        for i in range(warm2):
+            (params, batch_stats, opt_state, loss), skey, store, ptr = train_step_res(
+                params, batch_stats, opt_state, skey, store, ptr, next(pipe))
+        jax.block_until_ready(loss)
+        t0 = time.time()
+        for i in range(n2):
+            (params, batch_stats, opt_state, loss), skey, store, ptr = train_step_res(
+                params, batch_stats, opt_state, skey, store, ptr, next(pipe))
+        jax.block_until_ready((params, loss))
+        float(loss)  # value-fetch barrier (see the primary loop)
+        res_streamed = n2 / (time.time() - t0)
+        del store
+        eprint(f"reservoir-streamed training: {res_streamed:.3f} steps/s "
+               f"({FRESH} fresh clips/step into {R_CLIPS} resident, "
+               f"reuse ~{bs / FRESH:.0f}x, "
+               f"{100.0 * res_streamed / steps_per_sec:.0f}% of device-resident)")
+    except Exception as e:
+        eprint(f"WATCHDOG: reservoir-streamed phase abandoned ({e!r})")
 
     report = {
         "device_resident_steps_per_sec": round(steps_per_sec, 4),
-        "device_synth_steps_per_sec": round(synth_sps, 4),
-        "device_synth_pct_of_resident": round(100.0 * synth_sps / steps_per_sec, 1),
-        "input_pipeline_batches_per_sec": round(feed_rate, 4),
-        "host_streamed_steps_per_sec": round(streamed, 4),
-        "reservoir_streamed_steps_per_sec": round(res_streamed, 4),
-        "reservoir_streamed_pct_of_resident": round(
-            100.0 * res_streamed / steps_per_sec, 1),
+        "device_synth_steps_per_sec": _round_or_none(synth_sps),
+        "device_synth_pct_of_resident": _pct_or_none(synth_sps, steps_per_sec),
+        "input_pipeline_batches_per_sec": _round_or_none(feed_rate),
+        "host_streamed_steps_per_sec": _round_or_none(streamed),
+        "reservoir_streamed_steps_per_sec": _round_or_none(res_streamed),
+        "reservoir_streamed_pct_of_resident": _pct_or_none(
+            res_streamed, steps_per_sec),
         "batch_size": bs, "clip_len": 2 * half,
-        "host": {
-            "nproc": nproc,
-            "num_workers": n_workers,
-            "generate_s_per_batch_per_worker": round(gen_s, 4),
-            "device_put_s_per_batch_f32": round(put_s, 4),
-            "device_put_s_per_batch_i16": round(put_i16_s, 4),
-            "wire_encode_s_per_batch": round(enc_s, 4),
-            "transfer_GB_per_s_f32": round(batch_bytes / put_s / 1e9, 3),
-            "transfer_GB_per_s_i16": round(enc_bytes / put_i16_s / 1e9, 3),
-            "batch_bytes_f32": batch_bytes,
-            "batch_bytes_i16": enc_bytes,
-            "serialized_feed_estimate_batches_per_sec": round(est, 3),
-        },
+        "host": host_stats,
         "pipeline": {"num_workers": n_workers, "prefetch": PREFETCH,
                      "device_prefetch": DEPTH,
                      "wire": "packed-pcm16 (BatchPacker, one transfer op/step, int16 PCM source)",
@@ -567,7 +643,10 @@ def main():
                                    "reuse_factor": round(bs / FRESH, 1),
                                    "wire_bytes_per_step": res_packer.nbytes}},
     }
-    if not args.smoke:  # never overwrite the reference-scale report with smoke numbers
+    # never overwrite the reference-scale report with smoke numbers, nor a
+    # complete prior report with a watchdog-degraded one
+    degraded = any(v is None for v in (synth_sps, feed_rate, streamed, res_streamed))
+    if not args.smoke and not degraded:
         try:
             with open(os.path.join(HERE, "benchmarks", "input_pipeline_report.json"), "w") as f:
                 json.dump(report, f, indent=1)
@@ -602,14 +681,27 @@ def main():
             "vs_a100_sol": "analytic A100 speed-of-light bound, BASELINE.md",
             "vs_a100_realistic": "analytic A100 realistic estimate, BASELINE.md",
         },
-        "host_streamed_steps_per_sec": round(streamed, 4),
-        "device_synth_steps_per_sec": round(synth_sps, 4),
-        "host_streamed_pct_of_resident": round(100.0 * streamed / steps_per_sec, 1),
-        "reservoir_streamed_steps_per_sec": round(res_streamed, 4),
-        "reservoir_streamed_pct_of_resident": round(
-            100.0 * res_streamed / steps_per_sec, 1),
+        "host_streamed_steps_per_sec": _round_or_none(streamed),
+        "device_synth_steps_per_sec": _round_or_none(synth_sps),
+        "host_streamed_pct_of_resident": _pct_or_none(streamed, steps_per_sec),
+        "reservoir_streamed_steps_per_sec": _round_or_none(res_streamed),
+        "reservoir_streamed_pct_of_resident": _pct_or_none(
+            res_streamed, steps_per_sec),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    # The remote-TPU tunnel occasionally drops a compile RPC mid-flight
+    # (JaxRuntimeError: "response body closed before all bytes were
+    # read"). The driver runs this script unattended at round end, so a
+    # transient failure must not cost the whole benchmark: retry the run
+    # a couple of times before surfacing the error.
+    for _attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:
+            if _attempt == 2:
+                raise
+            eprint(f"bench attempt {_attempt + 1} failed ({e!r}); retrying in 30s")
+            time.sleep(30)
