@@ -428,6 +428,18 @@ def main():
     synth_sps = feed_rate = streamed = res_streamed = None
     host_stats = {}
 
+    # The secondary phases donate (params, batch_stats, opt_state) into
+    # their jitted steps; a watchdog _PhaseTimeout that fires mid-call can
+    # leave those names bound to already-donated (deleted) buffers, which
+    # would cascade deleted-buffer errors through every later phase.
+    # Snapshot the state once (never donated) and restore by copy in each
+    # phase's failure handler.
+    _copy_tree = jax.jit(lambda t: jax.tree.map(lambda a: a + 0, t))
+    state_snap = _copy_tree((params, batch_stats, opt_state))
+
+    def _restore_state():
+        return _copy_tree(state_snap)
+
     # --- secondary A: device-synthesis feeding (host-independent) ----------
     # The batch is generated on device inside the jitted step; the host
     # only ships a PRNG key per step. This is the production feeding mode
@@ -451,6 +463,7 @@ def main():
                f"({100.0 * synth_sps / steps_per_sec:.0f}% of device-resident)")
     except Exception as e:
         eprint(f"WATCHDOG: device-synthesis phase abandoned ({e!r})")
+        params, batch_stats, opt_state = _restore_state()
 
     # --- secondary B: host-streamed input pipeline -------------------------
     # N producer threads synthesize batches (N adapts to the host's cores
@@ -582,6 +595,7 @@ def main():
         eprint(f"host-streamed training: {streamed:.3f} steps/s")
     except Exception as e:
         eprint(f"WATCHDOG: host-streamed phase abandoned ({e!r})")
+        params, batch_stats, opt_state = _restore_state()
 
     # --- secondary C: reservoir-streamed training ---------------------------
     # Device-resident clip reservoir (utils.pipeline.reservoir_put/_sample):
@@ -623,6 +637,7 @@ def main():
                f"{100.0 * res_streamed / steps_per_sec:.0f}% of device-resident)")
     except Exception as e:
         eprint(f"WATCHDOG: reservoir-streamed phase abandoned ({e!r})")
+        params, batch_stats, opt_state = _restore_state()
 
     report = {
         "device_resident_steps_per_sec": round(steps_per_sec, 4),
@@ -644,8 +659,10 @@ def main():
                                    "wire_bytes_per_step": res_packer.nbytes}},
     }
     # never overwrite the reference-scale report with smoke numbers, nor a
-    # complete prior report with a watchdog-degraded one
-    degraded = any(v is None for v in (synth_sps, feed_rate, streamed, res_streamed))
+    # complete prior report with a watchdog-degraded one (host_stats empty
+    # means the per-stage phase was abandoned even if the rates survived)
+    degraded = (not host_stats) or any(
+        v is None for v in (synth_sps, feed_rate, streamed, res_streamed))
     if not args.smoke and not degraded:
         try:
             with open(os.path.join(HERE, "benchmarks", "input_pipeline_report.json"), "w") as f:

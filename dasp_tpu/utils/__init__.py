@@ -22,7 +22,7 @@ from .logging import MetricsLogger, load_checkpoint, save_checkpoint
 from .debug import assert_finite, assert_normalized, checked
 from .pipeline import (BatchPacker, device_prefetch, reservoir_put,
                        reservoir_sample, threaded_iterator, wire_decode,
-                       wire_encode)
+                       wire_encode, wire_i16_parts)
 from .presets import load_preset, save_preset
 from .datasets import (DATASETS, DatasetSpec, DownloadError, acquire,
                        extract_zip, fetch, sha256_file)
@@ -60,6 +60,7 @@ __all__ = [
     "threaded_iterator",
     "wire_decode",
     "wire_encode",
+    "wire_i16_parts",
     "DATASETS",
     "DatasetSpec",
     "DownloadError",

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["threaded_iterator", "device_prefetch", "wire_encode",
-           "wire_decode", "BatchPacker", "reservoir_put", "reservoir_sample"]
+           "wire_decode", "wire_i16_parts", "BatchPacker", "reservoir_put",
+           "reservoir_sample"]
 
 # ---------------------------------------------------------------------------
 # Wire formats: shrink host->device transfer bytes.
@@ -110,6 +111,18 @@ def wire_encode(batch, wire: str = "i16"):
     if wire == "f32":
         return batch
     return jax.tree.map(lambda x: _encode_leaf(x, wire), batch)
+
+
+def wire_i16_parts(leaf):
+    """(int16 payload, f32 inverse scale) of an ``'i16'``-wire-encoded leaf.
+
+    For consumers that want to KEEP the quantized form on device (e.g. an
+    int16 clip reservoir — half the HBM of f32) instead of decoding on
+    arrival: dequantize later with ``payload.astype(f32) / inv_scale``.
+    """
+    if not (_is_wire_leaf(leaf) and _WIRE_I16 in leaf):
+        raise ValueError("leaf is not an 'i16' wire-encoded leaf")
+    return leaf[_WIRE_I16], leaf["inv_scale"]
 
 
 def wire_decode(batch):
@@ -259,6 +272,14 @@ def reservoir_put(store, fresh, ptr):
     Returns:
         ``(store, ptr)`` — updated buffer and the next write offset.
     """
+    if store.shape[0] % fresh.shape[0]:
+        # dynamic_update_slice CLAMPS the start index, so a wrapping write
+        # would silently land at row R-F and overwrite the wrong rows;
+        # both shapes are static, so reject the layout at trace time.
+        raise ValueError(
+            f"reservoir size {store.shape[0]} must be a multiple of the "
+            f"fresh-rows count {fresh.shape[0]} (the rotating write window "
+            f"must never wrap)")
     start = (jnp.int32(ptr),) + (jnp.int32(0),) * (store.ndim - 1)
     store = jax.lax.dynamic_update_slice(store, fresh, start)
     return store, (ptr + fresh.shape[0]) % store.shape[0]
