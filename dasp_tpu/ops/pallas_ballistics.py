@@ -45,13 +45,13 @@ __all__ = ["ballistics_pallas"]
 _LANES = 128
 
 
-def _fwd_kernel(g_ref, aa_ref, ar_ref, out_ref, carry_ref):
+def _fwd_kernel(g_ref, aa_ref, ar_ref, y0_ref, out_ref, carry_ref):
     t = pl.program_id(0)
     Tb, L = g_ref.shape
 
     @pl.when(t == 0)
     def _():
-        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+        carry_ref[:, :] = y0_ref[:, :]
 
     aa = aa_ref[:, :]  # (1, L)
     ar = ar_ref[:, :]
@@ -67,7 +67,7 @@ def _fwd_kernel(g_ref, aa_ref, ar_ref, out_ref, carry_ref):
 
 
 def _bwd_kernel(y_ref, g_ref, aa_ref, ar_ref, ct_ref, dg_ref, daa_ref, dar_ref,
-                lam_ref, daa_acc, dar_acc):
+                dy0_ref, lam_ref, daa_acc, dar_acc):
     """Time blocks are fed in REVERSE via the index map; within a block the
     samples run backward. y[n-1] for the first sample of a block is the
     last sample of the PREVIOUS (earlier-in-time) block — read from y_ref
@@ -112,20 +112,23 @@ def _bwd_kernel(y_ref, g_ref, aa_ref, ar_ref, ct_ref, dg_ref, daa_ref, dar_ref,
     def _():
         daa_ref[:, :] = daa_acc[:, :]
         dar_ref[:, :] = dar_acc[:, :]
+        # after the earliest block, the carry is alpha[0] * lam[0] = dL/dy0
+        dy0_ref[:, :] = lam_ref[:, :]
 
 
 def _pad_tm(x, pad_t, pad_l):
     return jnp.pad(x, ((0, pad_t), (0, pad_l)))
 
 
-def _fwd_impl(g, aa, ar, time_block, interpret):
-    # g: (T, R) time-major; aa/ar: (1, R)
+def _fwd_impl(g, aa, ar, y0, time_block, interpret):
+    # g: (T, R) time-major; aa/ar/y0: (1, R)
     T, R = g.shape
     pad_l = (-R) % _LANES
     pad_t = (-T) % time_block
     gp = _pad_tm(g, pad_t, pad_l)
     aap = jnp.pad(aa, ((0, 0), (0, pad_l)))
     arp = jnp.pad(ar, ((0, 0), (0, pad_l)))
+    y0p = jnp.pad(y0, ((0, 0), (0, pad_l)))
     Tp, L = gp.shape
     n_blocks = Tp // time_block
 
@@ -136,21 +139,22 @@ def _fwd_impl(g, aa, ar, time_block, interpret):
             pl.BlockSpec((time_block, L), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((time_block, L), lambda t: (t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, L), g.dtype),
         scratch_shapes=[pltpu.VMEM((1, L), jnp.float32)],
         interpret=interpret,
-    )(gp, aap, arp)
+    )(gp, aap, arp, y0p)
     return y[:T, :R]
 
 
-def _bwd_impl(y, g, aa, ar, ct, time_block, interpret):
+def _bwd_impl(y, g, aa, ar, y0, ct, time_block, interpret):
     T, R = g.shape
     pad_l = (-R) % _LANES
     pad_t = (-T) % time_block
-    # y_prev[n] = y[n-1] (zero at n=0), padded like the rest
-    y_prev = jnp.pad(y, ((1, 0), (0, 0)))[:-1]
+    # y_prev[n] = y[n-1] (the carried-in state y0 at n=0), padded like the rest
+    y_prev = jnp.concatenate([y0, y[:-1]], axis=0)
     yp = _pad_tm(y_prev, pad_t, pad_l)
     gp = _pad_tm(g, pad_t, pad_l)
     ctp = _pad_tm(ct, pad_t, pad_l)
@@ -160,7 +164,7 @@ def _bwd_impl(y, g, aa, ar, ct, time_block, interpret):
     n_blocks = Tp // time_block
     rev = lambda t: (n_blocks - 1 - t, 0)  # noqa: E731
 
-    dg, daa, dar = pl.pallas_call(
+    dg, daa, dar, dy0 = pl.pallas_call(
         _bwd_kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -174,9 +178,11 @@ def _bwd_impl(y, g, aa, ar, ct, time_block, interpret):
             pl.BlockSpec((time_block, L), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, L), g.dtype),
+            jax.ShapeDtypeStruct((1, L), g.dtype),
             jax.ShapeDtypeStruct((1, L), g.dtype),
             jax.ShapeDtypeStruct((1, L), g.dtype),
         ],
@@ -187,22 +193,22 @@ def _bwd_impl(y, g, aa, ar, ct, time_block, interpret):
         ],
         interpret=interpret,
     )(yp, gp, aap, arp, ctp)
-    return dg[:T, :R], daa[:, :R], dar[:, :R]
+    return dg[:T, :R], daa[:, :R], dar[:, :R], dy0[:, :R]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _ballistics_rows(g, aa, ar, time_block, interpret):
-    return _fwd_impl(g, aa, ar, time_block, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ballistics_rows(g, aa, ar, y0, time_block, interpret):
+    return _fwd_impl(g, aa, ar, y0, time_block, interpret)
 
 
-def _b_fwd(g, aa, ar, time_block, interpret):
-    y = _fwd_impl(g, aa, ar, time_block, interpret)
-    return y, (y, g, aa, ar)
+def _b_fwd(g, aa, ar, y0, time_block, interpret):
+    y = _fwd_impl(g, aa, ar, y0, time_block, interpret)
+    return y, (y, g, aa, ar, y0)
 
 
 def _b_bwd(time_block, interpret, res, ct):
-    y, g, aa, ar = res
-    return _bwd_impl(y, g, aa, ar, ct, time_block, interpret)
+    y, g, aa, ar, y0 = res
+    return _bwd_impl(y, g, aa, ar, y0, ct, time_block, interpret)
 
 
 _ballistics_rows.defvjp(_b_fwd, _b_bwd)
@@ -214,7 +220,9 @@ def ballistics_pallas(
     alpha_release: jnp.ndarray,
     time_block: int = 1024,
     interpret: bool | None = None,
-) -> jnp.ndarray:
+    y0: jnp.ndarray | None = None,
+    return_yf: bool = False,
+):
     """Exact branching attack/release smoother on TPU (see module docs).
 
     Args:
@@ -226,9 +234,18 @@ def ballistics_pallas(
             (1024 -> ~4 s per kernel, 4096 -> ~180 s), while runtime barely
             changes; keep it moderate.
         interpret: force interpreter mode (default: off-TPU only).
+        y0: carried envelope state, shape ``g.shape[:-1]`` (None = from
+            rest). Differentiable — chunk-chained evaluation equals the
+            one-shot render bitwise, which is what the sequence-sharded
+            relay (parallel.sharded_ballistics_smooth mode="exact_pallas")
+            and streaming chunk loops rely on.
+        return_yf: also return the final state tuple
+            ``(y[..., -1], y[..., -1])`` (the same convention as
+            ops.iir.ballistics_smooth mode="exact").
 
     Returns:
-        Smoothed curve, same shape as g.
+        Smoothed curve, same shape as g; with ``return_yf`` a tuple
+        ``(y, (yf, yf))``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -237,7 +254,16 @@ def ballistics_pallas(
     rows_tm = g.reshape(bs * ch, T).T  # (T, R) time-major
     aa = jnp.broadcast_to(jnp.asarray(alpha_attack, g.dtype).reshape(bs, 1, 1), (bs, ch, 1))
     ar = jnp.broadcast_to(jnp.asarray(alpha_release, g.dtype).reshape(bs, 1, 1), (bs, ch, 1))
+    if y0 is None:
+        y0_rows = jnp.zeros((1, bs * ch), g.dtype)
+    else:
+        y0_rows = jnp.asarray(y0, g.dtype).reshape(1, bs * ch)
     y = _ballistics_rows(
-        rows_tm, aa.reshape(1, bs * ch), ar.reshape(1, bs * ch), time_block, interpret
+        rows_tm, aa.reshape(1, bs * ch), ar.reshape(1, bs * ch), y0_rows,
+        time_block, interpret
     )
-    return y.T.reshape(bs, ch, T)
+    out = y.T.reshape(bs, ch, T)
+    if return_yf:
+        yf = out[..., -1]
+        return out, (yf, yf)
+    return out

@@ -297,42 +297,103 @@ def sharded_onepole(
     return lax.optimization_barrier(fn(g_b, a_b))
 
 
+def _ballistics_exact_relay_block(g_blk, aa, ar, axis_name, mode):
+    """Per-device body of the sharded EXACT ballistics smoother.
+
+    The branching recursion (alpha picked by comparing g[n] against the
+    true y[n-1]) is nonlinear in its state, so shards cannot run from
+    rest and linearly correct like :func:`_onepole_block`. Instead the
+    scalar envelope state relays sequentially across the sp ring: shard
+    k runs its local exact kernel once its true incoming state arrives
+    from shard k-1 (one (bs, ch, 1) ppermute per hop). Compute per shard
+    is T/sp but serialized by the data dependency — total latency ~ one
+    unsharded scan plus sp tiny hops; g itself stays sharded (memory and
+    all surrounding chain stages keep their sp savings), and the result
+    is BITWISE equal to the unsharded kernel. Each relay step re-runs
+    every shard's kernel with its best-known state (results of shards
+    > k are discarded via jnp.where); on an SPMD mesh the idle shards
+    would stall at the ppermute anyway, so this costs no wall-clock over
+    a masked/conditional formulation and keeps the program collective-
+    uniform.
+    """
+    from ..ops.iir import ballistics_smooth
+    from ..ops.pallas_ballistics import ballistics_pallas
+
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    # derive the initial state/output from the varying input (a fresh
+    # jnp.zeros would be sp-UNvarying and trip shard_map's vma check in
+    # the scan carry / where lattice)
+    y0 = g_blk[..., 0] * 0
+    y_out = jnp.zeros_like(g_blk)
+    for k in range(n):  # n is static and tiny (the sp factor)
+        if mode == "exact_pallas":
+            y_k = ballistics_pallas(g_blk, aa, ar, y0=y0)
+        else:  # "exact": the lax.scan reference kernel
+            y_k = ballistics_smooth(g_blk, aa, ar, mode="exact", y0=(y0, y0))
+        y_out = jnp.where(idx == k, y_k, y_out)
+        yf = lax.ppermute(y_k[..., -1], axis_name, perm=perm)
+        if k + 1 < n:
+            y0 = jnp.where(idx == k + 1, yf, y0)
+    return y_out
+
+
 def sharded_ballistics_smooth(
     g: jnp.ndarray,
     alpha_attack: jnp.ndarray,
     alpha_release: jnp.ndarray,
     mesh: Mesh,
     seq_axis_name: str = "sp",
-    mode: str = "parallel",
+    mode: str = "exact_pallas",
     batch_axis_name=None,
 ) -> jnp.ndarray:
     """Sequence-sharded dual-time-constant ballistics smoothing.
 
-    Drop-in for :func:`dasp_tpu.ops.iir.ballistics_smooth` (modes
-    "parallel" and "attack_only"; value-equal up to fp32 reassociation)
-    with the time axis sharded over the mesh's ``seq_axis_name``. Pass
+    Drop-in for the unsharded smoothers with the time axis sharded over
+    the mesh's ``seq_axis_name``. Pass
     ``functools.partial(sharded_ballistics_smooth, mesh=mesh)`` as a
     processor's ``smoother=`` to keep the dynamics stage sp-sharded in a
-    multi-chip chain (see functional._smooth_gain). The true branching
-    modes ("exact"/"exact_pallas") are inherently sequential across
-    shards and are not offered here — use the unsharded kernels.
+    multi-chip chain (see functional._smooth_gain).
+
+    Modes and their unsharded equivalents:
+
+      * ``"exact_pallas"`` (default) / ``"exact"``: the true branching
+        ballistics — BITWISE equal to ``ops.pallas_ballistics.
+        ballistics_pallas`` / ``ops.iir.ballistics_smooth(mode="exact")``.
+        The scalar state relays sequentially across sp shards (one
+        (bs, ch) ppermute per hop, see :func:`_ballistics_exact_relay_block`)
+        — latency ~ one unsharded scan, memory and the rest of the chain
+        keep their sp savings. The default matches the single-chip
+        dynamics default, so an sp>1 run trains through the SAME numerics
+        as the same script on one chip.
+      * ``"parallel"`` / ``"attack_only"``: the associative two-pass
+        approximation / the attack-only one-pole — value-equal to
+        ``ops.iir.ballistics_smooth`` of the same mode up to fp32
+        reassociation, fully parallel across shards (per-shard scans +
+        affine state-map correction, no serialization).
 
     Args:
         g: gain-reduction curve (bs, ch, T), sp | T.
         alpha_attack / alpha_release: (bs,)/(bs, 1, 1) coefficients.
         mesh / seq_axis_name / batch_axis_name: as in
             :func:`sharded_fft_conv_causal`.
-        mode: "parallel" (default) or "attack_only".
+        mode: "exact_pallas" (default), "exact", "parallel" or
+            "attack_only".
     """
-    if mode not in ("parallel", "attack_only"):
+    if mode not in ("exact_pallas", "exact", "parallel", "attack_only"):
         raise ValueError(
-            f"sharded_ballistics_smooth supports modes 'parallel' and "
-            f"'attack_only', got {mode!r} (true branching ballistics are "
-            f"sequential across shards; use the unsharded kernels)")
+            f"sharded_ballistics_smooth mode must be one of 'exact_pallas', "
+            f"'exact', 'parallel', 'attack_only'; got {mode!r}")
     sp = mesh.shape[seq_axis_name]
     aa = jnp.reshape(alpha_attack, (g.shape[0],) + (1,) * (g.ndim - 1))
     ar = jnp.reshape(alpha_release, (g.shape[0],) + (1,) * (g.ndim - 1))
     if sp == 1:
+        if mode == "exact_pallas":
+            from ..ops.pallas_ballistics import ballistics_pallas
+
+            return ballistics_pallas(g, aa, ar)
         from ..ops.iir import ballistics_smooth
 
         return ballistics_smooth(g, aa, ar, mode=mode)
@@ -343,13 +404,20 @@ def sharded_ballistics_smooth(
     assert T % sp == 0, f"sequence length {T} not divisible by sp={sp}"
 
     b = batch_axis_name
+    body = (partial(_ballistics_parallel_block, axis_name=seq_axis_name)
+            if mode == "parallel"
+            else partial(_ballistics_exact_relay_block,
+                         axis_name=seq_axis_name, mode=mode))
     fn = shard_map(
-        partial(_ballistics_parallel_block, axis_name=seq_axis_name),
+        body,
         mesh=mesh,
         # the per-item (bs, 1, 1) coefficients split over the batch axis
         # alongside g (replicated when no batch axis)
         in_specs=(P(b, None, seq_axis_name), P(b), P(b)),
         out_specs=P(b, None, seq_axis_name),
+        # pallas_call can't declare vma on its out ShapeDtypeStructs, so
+        # the varying-axis lattice check must be off for the relay modes
+        check_vma=(mode == "parallel"),
     )
     g_b, aa_b, ar_b = lax.optimization_barrier(
         (g, jnp.asarray(aa, g.dtype), jnp.asarray(ar, g.dtype)))

@@ -165,7 +165,7 @@ class TestShardedBallistics:
         y_ref = ballistics_smooth(g, aa, ar, mode="parallel")
         b = "dp" if shape[0] > 1 else None
         y = jax.jit(lambda g, a, r: sharded_ballistics_smooth(
-            g, a, r, mesh, batch_axis_name=b))(g, aa, ar)
+            g, a, r, mesh, mode="parallel", batch_axis_name=b))(g, aa, ar)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=2e-5, atol=2e-4)
 
@@ -177,7 +177,8 @@ class TestShardedBallistics:
         g, aa, ar = self._curve(T=2048)
 
         def loss_sh(g, aa, ar):
-            return jnp.mean(sharded_ballistics_smooth(g, aa, ar, mesh) ** 2)
+            return jnp.mean(sharded_ballistics_smooth(
+                g, aa, ar, mesh, mode="parallel") ** 2)
 
         def loss_rf(g, aa, ar):
             return jnp.mean(ballistics_smooth(g, aa, ar, mode="parallel") ** 2)
@@ -191,7 +192,10 @@ class TestShardedBallistics:
 
     def test_compressor_with_sharded_smoother(self, devices_ok):
         """functional._smooth_gain's callable injection point: the full
-        compressor with an sp-sharded smoother equals smoother='parallel'."""
+        compressor with the default sp-sharded smoother now equals the
+        single-chip default smoother='exact_pallas' (the round-5 numerics
+        unification — an sp>1 run trains through the SAME exact dynamics
+        as the same script on one chip)."""
         from functools import partial
 
         from dasp_tpu.parallel import sharded_ballistics_smooth
@@ -200,20 +204,60 @@ class TestShardedBallistics:
         x = jnp.asarray(RNG.standard_normal((2, 2, 8192)).astype(np.float32) * 0.3)
         kw = dict(threshold_db=-24.0, ratio=4.0, attack_ms=5.0,
                   release_ms=80.0, knee_db=6.0, makeup_gain_db=0.0)
-        y_ref = D.functional.compressor(x, SR, smoother="parallel", **kw)
+        y_ref = D.functional.compressor(x, SR, smoother="exact_pallas", **kw)
         y = jax.jit(lambda x: D.functional.compressor(
             x, SR, smoother=partial(sharded_ballistics_smooth, mesh=mesh),
             **kw))(x)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
-                                   rtol=2e-4, atol=2e-4)
+                                   rtol=1e-6, atol=1e-6)
 
-    def test_rejects_exact_mode(self, devices_ok):
+    @pytest.mark.parametrize("shape,mode", [
+        ((1, 8), "exact_pallas"), ((4, 2), "exact_pallas"), ((1, 8), "exact"),
+    ])
+    def test_exact_modes_match_unsharded(self, devices_ok, shape, mode):
+        """The sequence-sharded EXACT relay (state handoff over the sp
+        ring) is bitwise equal to the unsharded branching kernels — the
+        single-/multi-chip dynamics numerics are unified (round-5)."""
+        from dasp_tpu.ops.iir import ballistics_smooth
+        from dasp_tpu.ops.pallas_ballistics import ballistics_pallas
+        from dasp_tpu.parallel import sharded_ballistics_smooth
+
+        mesh = make_mesh(shape)
+        bs = max(2, shape[0])
+        g, aa, ar = self._curve(bs=2, T=4096)
+        g = jnp.tile(g, (bs // 2, 1, 1))
+        aa, ar = jnp.tile(aa, (bs // 2, 1, 1)), jnp.tile(ar, (bs // 2, 1, 1))
+        if mode == "exact_pallas":
+            y_ref = jax.jit(lambda g: ballistics_pallas(g, aa, ar))(g)
+        else:
+            y_ref = ballistics_smooth(g, aa, ar, mode="exact")
+        b = "dp" if shape[0] > 1 else None
+        y = jax.jit(lambda g, a, r: sharded_ballistics_smooth(
+            g, a, r, mesh, mode=mode, batch_axis_name=b))(g, aa, ar)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=0, atol=1e-7)
+
+    def test_exact_relay_gradients_match_unsharded(self, devices_ok):
+        """Gradients through the sharded exact relay (ppermute state
+        handoff) equal the unsharded exact kernel's gradients."""
+        from dasp_tpu.ops.pallas_ballistics import ballistics_pallas
         from dasp_tpu.parallel import sharded_ballistics_smooth
 
         mesh = make_mesh((1, 8))
-        with pytest.raises(ValueError, match="sequential across shards"):
-            sharded_ballistics_smooth(
-                jnp.zeros((1, 1, 1024)), 0.9, 0.99, mesh, mode="exact")
+        g, aa, ar = self._curve(T=2048)
+
+        def loss_sh(g, aa, ar):
+            return jnp.mean(sharded_ballistics_smooth(g, aa, ar, mesh) ** 2)
+
+        def loss_rf(g, aa, ar):
+            return jnp.mean(ballistics_pallas(g, aa, ar) ** 2)
+
+        gs = jax.jit(jax.grad(loss_sh, argnums=(0, 1, 2)))(g, aa, ar)
+        gr = jax.jit(jax.grad(loss_rf, argnums=(0, 1, 2)))(g, aa, ar)
+        for a, b in zip(gs, gr):
+            scale = max(np.abs(np.asarray(b)).max(), 1e-6)
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=1e-6)
 
 
 class TestDataParallelTraining:
