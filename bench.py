@@ -435,9 +435,17 @@ def main():
     # Snapshot the state once (never donated) and restore by copy in each
     # phase's failure handler.
     _copy_tree = jax.jit(lambda t: jax.tree.map(lambda a: a + 0, t))
-    state_snap = _copy_tree((params, batch_stats, opt_state))
+    state_snap = None
+    try:
+      with _phase_deadline(300, "state snapshot"):
+        state_snap = _copy_tree((params, batch_stats, opt_state))
+        jax.block_until_ready(state_snap)
+    except Exception as e:
+        eprint(f"WATCHDOG: state snapshot skipped ({e!r})")
 
     def _restore_state():
+        if state_snap is None:  # no snapshot: keep whatever is bound
+            return params, batch_stats, opt_state
         return _copy_tree(state_snap)
 
     # --- secondary A: device-synthesis feeding (host-independent) ----------
