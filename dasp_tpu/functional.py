@@ -1851,6 +1851,7 @@ def modulated_delay(
     lfo_phase: float = 0.0,
     max_delay_ms: Optional[float] = None,
     block: int = 512,
+    adjoint: str = "auto",
 ) -> jnp.ndarray:
     """LFO-modulated fractional delay — the core of chorus and flanger.
 
@@ -1891,6 +1892,9 @@ def modulated_delay(
         max_delay_ms: static upper bound on ``base_ms + depth_ms``
             enabling the MXU path (see above).
         block: output tile length of the MXU path (static).
+        adjoint: backward strategy of the MXU path (see
+            :func:`_frac_delay_matmul`); "auto" = checkpointed autodiff
+            (the measured winner, benchmarks/fdt_ab_report.json).
 
     Returns:
         Output audio, shape (bs, chs, seq_len). Samples before the
@@ -1909,7 +1913,8 @@ def modulated_delay(
 
     if max_delay_ms is not None:
         dmax = float(max_delay_ms) * sample_rate / 1e3
-        wet = _frac_delay_matmul(x, [(jnp.minimum(d, dmax), None)], dmax, block)
+        wet = _frac_delay_matmul(x, [(jnp.minimum(d, dmax), None)], dmax, block,
+                                 adjoint=adjoint)
     else:
         wet = _frac_delay_gather(x, d)
 
@@ -1940,7 +1945,7 @@ def _frac_delay_gather(x, d):
 
 
 def _frac_delay_matmul(x, taps, dmax: float, block: int,
-                       chunk: int = 8) -> jnp.ndarray:
+                       chunk: int = 8, adjoint: str = "auto") -> jnp.ndarray:
     """Time-varying fractional multi-tap delay as per-tile interpolation matmuls.
 
     For each ``block``-sample output tile, the linearly interpolated read
@@ -1963,6 +1968,18 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int,
         dmax: static bound on every d (samples). block: tile length.
         chunk: tiles evaluated per scan step as one batched einsum
             (see :func:`_frac_delay_tiles_ad`).
+        adjoint: backward-pass strategy — "ad" (checkpointed autodiff of
+            the einsum) or "hybrid" (hand-written VJP, see
+            :func:`_frac_delay_tiles_hybrid`). "auto" = "ad": measured at
+            reference scale on a v5e (benchmarks/fdt_ab_report.json),
+            autodiff WINS — pitch_shift grad 104 ms vs 208 (hand VJP)
+            vs 184 (gather path). Two hand-written variants lost: gather
+            endpoint cotangents pay ~14 ns/element on the TPU scalar
+            core, and stacked quantity-einsums materialize the
+            (ntaps*2, bs, chunk, B, W) matrices XLA otherwise fuses.
+            The per-(B, W)-element fused loop IS the floor for this
+            primitive under XLA; the hybrid stays as the measured
+            record.
     """
     bs, chs, T = x.shape
     B = int(block)
@@ -1981,33 +1998,43 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int,
         else jnp.pad(g, ((0, 0), (0, 0), (0, pad_t)))[:, 0, :]
         for _, g in taps
     ])
-    wet = _frac_delay_tiles_ad(B, Dm, x_ext, d_stk, g_stk, chunk=chunk)
+    if adjoint == "hybrid":
+        wet = _frac_delay_tiles_hybrid(B, Dm, chunk, x_ext, d_stk, g_stk)
+    else:
+        wet = _frac_delay_tiles_ad(B, Dm, x_ext, d_stk, g_stk, chunk=chunk)
     return wet[..., :T]
 
 
 def _fdt_interp_matrix(d_k, g_k, t_abs, W: int, Dm: int, dtype):
     """(bs, ..., B, W) interpolation matrix — two nonzeros per row per
-    tap, built from iota comparisons so XLA fuses it into the adjacent
-    dot operand (never materialized in HBM).
+    tap, built as a HAT function over the window iota so XLA fuses it
+    into the adjacent dot operand (never materialized in HBM).
+
+    ``hat(w) = max(0, 1 - |w - r|)`` evaluated on the integer lattice IS
+    the linear-interpolation row: ``1 - frac`` at ``floor(r)`` and
+    ``frac`` at ``floor(r) + 1``. The matrix build is the VPU-bound term
+    of this primitive (the MXU contraction is a rounding error next to
+    it at these shapes), and the hat form is ~4 elementwise ops per
+    element where the previous floor/compare/select onehot construction
+    was ~10 — measured 1.6x on the whole pitch_shift forward and 1.5x
+    on its gradient at reference scale (benchmarks/fdt_ab_report.json).
+    Gradients w.r.t. ``r`` are identical a.e. (the hat's kinks sit
+    exactly where floor() jumped).
 
     d_k/g_k: (ntaps, bs, ..., B) — ``...`` is the optional tile-chunk
     dim; t_abs: (..., B) global output time. All broadcasts below are
     rank-agnostic over ``...``.
     """
     j = np.arange(d_k.shape[-1], dtype=np.float32)
-    iota_w = np.arange(W, dtype=np.int32)
+    iota_w = np.arange(W, dtype=np.float32)
     m = 0.0
     for ti in range(d_k.shape[0]):
         r = j[None, :] + Dm - d_k[ti]  # fractional read pos, window coords
-        i0 = jnp.floor(r)
-        frac = (r - i0)[..., None]  # (bs, B, 1)
-        i0 = i0.astype(jnp.int32)[..., None]
-        onehot0 = (iota_w[None, None, :] == i0).astype(dtype)
-        onehot1 = (iota_w[None, None, :] == i0 + 1).astype(dtype)
         # tap gain, zeroed before the global signal start (t - d < 0)
         gv = (t_abs[None, :] - d_k[ti] >= 0.0).astype(dtype) * g_k[ti]
-        m = m + gv[..., None] * ((1.0 - frac) * onehot0 + frac * onehot1)
-    return m
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w[None, None, :] - r[..., None]))
+        m = m + gv[..., None] * hat
+    return m.astype(dtype)
 
 
 def _frac_delay_tiles_ad(B: int, Dm: int, x_ext, d_stk, g_stk,
@@ -2063,6 +2090,125 @@ def _frac_delay_tiles_ad(B: int, Dm: int, x_ext, d_stk, g_stk,
         jnp.arange(nb // chunk) * chunk)
     # (ng, bs, chs, chunk, B) -> (bs, chs, ng, chunk, B) -> (bs, chs, T)
     return jnp.moveaxis(wets, 0, 2).reshape(bs, chs, nb * B)
+
+
+def _fdt_adjust_chunk(nb: int, chunk: int) -> int:
+    chunk = max(1, min(int(chunk), nb))
+    while nb % chunk:  # scan needs equal-size steps; nearest divisor of nb
+        chunk -= 1
+    return chunk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _frac_delay_tiles_hybrid(B, Dm, chunk, x_ext, d_stk, g_stk):
+    """:func:`_frac_delay_tiles_ad` with a hand-written VJP.
+
+    Forward is the identical tiled fused-matrix einsum. The backward
+    here replaces the autodiff einsum transpose with:
+
+      * signal cotangent: the TRANSPOSED fused-matrix contraction per
+        tile group (same matrix rebuild trick as the forward — never
+        materialized), overlap-added into the extended timeline by a
+        sequential dynamic-update-slice scan;
+      * delay/gain cotangents: per-tap hat / hat-derivative window
+        contractions with (bs, chs, chunk, B)-sized outputs —
+        ``dg = ct . interp``, ``dd = -ct . g (x1 - x0)`` — evaluated as
+        ONE stacked einsum per tile group, sharing the window slices
+        with the dx pass.
+
+    Numerically equal to the autodiff VJP a.e. (the hat kink sits where
+    floor() jumped; reduction order differs by ~fp32 eps). An earlier
+    variant computed dd/dg via O(T) endpoint GATHERS instead and
+    measured SLOWER than autodiff (pitch_shift grad 144 vs 87 ms —
+    TPU gathers run on the scalar core at ~14 ns/element); the
+    all-contraction form here avoids both the gathers and the dense
+    cotangent."""
+    return _frac_delay_tiles_ad(B, Dm, x_ext, d_stk, g_stk, chunk=chunk)
+
+
+def _fdt_hybrid_fwd(B, Dm, chunk, x_ext, d_stk, g_stk):
+    wet = _frac_delay_tiles_ad(B, Dm, x_ext, d_stk, g_stk, chunk=chunk)
+    return wet, (x_ext, d_stk, g_stk)
+
+
+def _fdt_hybrid_bwd(B, Dm, chunk, res, ct):
+    x_ext, d_stk, g_stk = res
+    bs, chs, T_ext = x_ext.shape
+    nt = d_stk.shape[0]
+    W = Dm + B
+    nb = (T_ext - Dm) // B
+    chunk = _fdt_adjust_chunk(nb, chunk)
+    ng = nb // chunk
+    dtype = x_ext.dtype
+    j = np.arange(B, dtype=np.float32)
+    t_rel = (np.arange(chunk, dtype=np.float32) * B)[:, None] + j[None, :]
+    iota_w = np.arange(W, dtype=np.float32)
+
+    # One scan over tile groups computes ALL cotangents with narrow
+    # outputs: dx via the transposed fused-matrix contraction
+    # (overlap-added into the extended timeline), and per-tap
+    # (interp, endpoint-difference) quantities via hat / hat' window
+    # contractions whose outputs are (bs, chs, chunk, B) — the dense
+    # (B, W) matrix COTANGENT the autodiff transpose materializes (and
+    # re-reads in two reduction passes, plus the checkpoint's rebuilt
+    # matrix: ~2 GB of HBM traffic per tile group at pitch-shift sizes)
+    # never exists here.
+    def scan_body(dx, k0):
+        d_g = jax.lax.dynamic_slice_in_dim(d_stk, k0 * B, chunk * B, axis=-1)
+        g_g = jax.lax.dynamic_slice_in_dim(g_stk, k0 * B, chunk * B, axis=-1)
+        ct_g = jax.lax.dynamic_slice_in_dim(ct, k0 * B, chunk * B, axis=-1)
+        win_g = jax.lax.dynamic_slice_in_dim(
+            x_ext, k0 * B, Dm + chunk * B, axis=-1)
+        wins = jnp.stack(
+            [jax.lax.slice_in_dim(win_g, t * B, t * B + W, axis=-1)
+             for t in range(chunk)], axis=2)  # (bs, chs, chunk, W)
+        d_k = d_g.reshape(nt, bs, chunk, B)
+        g_k = g_g.reshape(nt, bs, chunk, B)
+        ct_k = ct_g.reshape(bs, chs, chunk, B)
+        t_abs = (k0 * B).astype(np.float32) + t_rel
+
+        # dx: m^T ct, overlap-added (stride B, width W) — static pads
+        m = _fdt_interp_matrix(d_k, g_k, t_abs, W, Dm, dtype)
+        contrib = jnp.einsum("bkjw,bckj->bckw", m, ct_k,
+                             precision=jax.lax.Precision.HIGHEST)
+        buf = sum(
+            jnp.pad(contrib[:, :, t],
+                    ((0, 0), (0, 0), (t * B, (chunk - 1 - t) * B)))
+            for t in range(chunk))
+        cur = jax.lax.dynamic_slice_in_dim(dx, k0 * B, Dm + chunk * B, axis=-1)
+        dx = jax.lax.dynamic_update_slice_in_dim(dx, cur + buf, k0 * B, axis=-1)
+
+        # per-tap quantities: value row (hat) and d/dr row (sign inside
+        # the hat support), contracted against the same windows
+        qs = []
+        for ti in range(nt):
+            r = j[None, None, :] + Dm - d_k[ti]  # (bs, chunk, B)
+            delta = iota_w[None, None, None, :] - r[..., None]
+            hat = jnp.maximum(0.0, 1.0 - jnp.abs(delta))
+            dhat = jnp.where(jnp.abs(delta) < 1.0, jnp.sign(delta), 0.0)
+            qs.extend([hat.astype(dtype), dhat.astype(dtype)])
+        q = jnp.einsum("qbkjw,bckw->qbckj", jnp.stack(qs), wins,
+                       precision=jax.lax.Precision.HIGHEST)
+        mask = [(t_abs[None] - d_k[ti] >= 0.0).astype(dtype)
+                for ti in range(nt)]  # (bs, chunk, B)
+        dd_g = jnp.stack([
+            # d hat/dd = -sign(delta); gv = mask * g
+            -jnp.sum(ct_k * q[2 * ti + 1], axis=1) * mask[ti] * g_k[ti]
+            for ti in range(nt)])  # (nt, bs, chunk, B)
+        dg_g = jnp.stack([
+            jnp.sum(ct_k * q[2 * ti], axis=1) * mask[ti]
+            for ti in range(nt)])
+        return dx, (dd_g, dg_g)
+
+    dx, (dd_s, dg_s) = jax.lax.scan(scan_body, jnp.zeros_like(x_ext),
+                                    jnp.arange(ng) * chunk)
+    # (ng, nt, bs, chunk, B) -> (nt, bs, ng*chunk*B)
+    dd = jnp.moveaxis(dd_s, 0, 2).reshape(nt, bs, nb * B)
+    dg = jnp.moveaxis(dg_s, 0, 2).reshape(nt, bs, nb * B)
+    return dx, dd, dg
+
+
+_frac_delay_tiles_hybrid.defvjp(_fdt_hybrid_fwd, _fdt_hybrid_bwd)
 
 
 def _warp_resample_tiles(s, r, out_len: int, r_max: float, block: int = 512):
@@ -2141,6 +2287,7 @@ def pitch_shift(
     block: int = 512,
     matmul: bool = True,
     compensate_latency: bool = True,
+    adjoint: str = "auto",
 ) -> jnp.ndarray:
     """Delay-line pitch shifter, differentiable in the shift amount.
 
@@ -2184,6 +2331,9 @@ def pitch_shift(
             the identity). False keeps the causal form — what
             :func:`dasp_tpu.streaming.pitch_shift_stream` reproduces
             chunk by chunk.
+        adjoint: backward strategy of the matmul path (see
+            :func:`_frac_delay_matmul`); "auto" = checkpointed autodiff
+            (the measured winner, benchmarks/fdt_ab_report.json).
 
     Returns:
         Output audio, shape (bs, chs, seq_len).
@@ -2206,7 +2356,7 @@ def pitch_shift(
         taps.append((W * p, jnp.sin(np.pi * p)))
 
     if matmul:
-        wet = _frac_delay_matmul(x, taps, float(W), block)
+        wet = _frac_delay_matmul(x, taps, float(W), block, adjoint=adjoint)
     else:
         wet = sum(g * _frac_delay_gather(x, d) for d, g in taps)
 

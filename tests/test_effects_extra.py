@@ -81,6 +81,36 @@ class TestModulatedDelay:
         # pre-delay region is zero
         assert np.abs(np.asarray(y)[0, 0, : base_samp - 1]).max() < 1e-5
 
+    def test_hybrid_adjoint_matches_autodiff(self):
+        """The hand-written VJP of the tiled interpolation matmul
+        (functional._frac_delay_tiles_hybrid, the default adjoint) must
+        reproduce the checkpointed-autodiff VJP exactly — same formulas,
+        same tile-local fp32 coordinates (a global-coordinate backward
+        would flip floor/frac near integer read positions)."""
+        x = _noise(2, 2, 6000, scale=0.3)
+        st, mix = _b(3.0, 2), _b(0.8, 2)
+
+        def g(adj):
+            return jax.jit(jax.grad(
+                lambda x, st, mix: jnp.mean(F.pitch_shift(
+                    x, SR, st, mix, window_ms=20.0, adjoint=adj) ** 2),
+                argnums=(0, 1, 2)))(x, st, mix)
+
+        for a, b in zip(g("hybrid"), g("ad")):
+            scale = max(float(jnp.abs(b).max()), 1e-9)
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=2e-6)
+
+        args = (_b(1.7, 2), _b(6.0, 2), _b(11.0, 2), _b(0.8, 2))
+
+        def gm(adj):
+            return jax.jit(jax.grad(
+                lambda x: jnp.mean(F.modulated_delay(
+                    x, SR, *args, max_delay_ms=20.0, adjoint=adj) ** 2)))(x)
+
+        np.testing.assert_allclose(np.asarray(gm("hybrid")),
+                                   np.asarray(gm("ad")), atol=1e-7)
+
     def test_matmul_path_matches_gather_path(self):
         # the MXU per-tile interpolation-matmul path equals the gather
         # path (tolerance covers the gather path's own fp32 n-d
