@@ -1984,6 +1984,18 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int,
     bs, chs, T = x.shape
     B = int(block)
     Dm = int(np.ceil(dmax)) + 1  # left history needed by any tile
+    if adjoint == "auto":
+        # the banded Pallas kernel (O(taps * 384)/sample, delay-bound-
+        # independent; ops/pallas_interp.py) on TPU; the fused-einsum
+        # autodiff tiles elsewhere (the kernel's interpret mode is for
+        # tests, not production CPU use)
+        adjoint = ("pallas"
+                   if jax.default_backend() == "tpu" and B % 128 == 0
+                   and x.dtype == jnp.float32 else "ad")
+    if adjoint == "pallas":
+        # the kernel requires a 128-aligned history bound (rounding UP is
+        # always safe: d <= dmax < Dm still holds)
+        Dm = -(-Dm // 128) * 128
     nb = -(-T // B)
     pad_t = nb * B - T
     W = Dm + B
@@ -1998,7 +2010,11 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int,
         else jnp.pad(g, ((0, 0), (0, 0), (0, pad_t)))[:, 0, :]
         for _, g in taps
     ])
-    if adjoint == "hybrid":
+    if adjoint == "pallas":
+        from .ops.pallas_interp import frac_delay_pallas
+
+        wet = frac_delay_pallas(x_ext, d_stk, g_stk, B, Dm)
+    elif adjoint == "hybrid":
         wet = _frac_delay_tiles_hybrid(B, Dm, chunk, x_ext, d_stk, g_stk)
     else:
         wet = _frac_delay_tiles_ad(B, Dm, x_ext, d_stk, g_stk, chunk=chunk)
