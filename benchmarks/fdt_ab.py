@@ -119,8 +119,8 @@ def main():
         print(f"{name:34s} fwd {f*1e3:8.2f} ms ({audio_s/f:7.1f}x)   "
               f"grad {g*1e3:8.2f} ms ({audio_s/g:7.1f}x)", flush=True)
 
-    # pitch_shift: matmul path, both adjoints, plus the gather path
-    for adj in ("ad", "hybrid"):
+    # pitch_shift: matmul path, all adjoints, plus the gather path
+    for adj in ("pallas", "ad", "hybrid"):
         add(f"pitch_shift[{adj}]",
             lambda c, p, adj=adj: F.pitch_shift(
                 c, SR, p["st"], p["mix"], adjoint=adj),
@@ -133,7 +133,7 @@ def main():
     add("modulated_delay[gather]",
         lambda c, p: F.modulated_delay(c, SR, p["r"], p["d"], p["b"], p["m"]),
         {"r": rate, "d": depth, "b": base, "m": mix})
-    for adj in ("ad", "hybrid"):
+    for adj in ("pallas", "ad", "hybrid"):
         add(f"modulated_delay_matmul[{adj}]",
             lambda c, p, adj=adj: F.modulated_delay(
                 c, SR, p["r"], p["d"], p["b"], p["m"], max_delay_ms=22.0,

@@ -1913,8 +1913,9 @@ def modulated_delay(
 
     if max_delay_ms is not None:
         dmax = float(max_delay_ms) * sample_rate / 1e3
+        # smooth LFO delay: the banded kernel's 3-row fast path
         wet = _frac_delay_matmul(x, [(jnp.minimum(d, dmax), None)], dmax, block,
-                                 adjoint=adjoint)
+                                 adjoint=adjoint, wraps=False)
     else:
         wet = _frac_delay_gather(x, d)
 
@@ -1945,7 +1946,8 @@ def _frac_delay_gather(x, d):
 
 
 def _frac_delay_matmul(x, taps, dmax: float, block: int,
-                       chunk: int = 8, adjoint: str = "auto") -> jnp.ndarray:
+                       chunk: int = 8, adjoint: str = "auto",
+                       wraps: bool = True) -> jnp.ndarray:
     """Time-varying fractional multi-tap delay as per-tile interpolation matmuls.
 
     For each ``block``-sample output tile, the linearly interpolated read
@@ -1985,13 +1987,15 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int,
     B = int(block)
     Dm = int(np.ceil(dmax)) + 1  # left history needed by any tile
     if adjoint == "auto":
-        # the banded Pallas kernel (O(taps * 384)/sample, delay-bound-
-        # independent; ops/pallas_interp.py) on TPU; the fused-einsum
-        # autodiff tiles elsewhere (the kernel's interpret mode is for
-        # tests, not production CPU use)
-        adjoint = ("pallas"
-                   if jax.default_backend() == "tpu" and B % 128 == 0
-                   and x.dtype == jnp.float32 else "ad")
+        # checkpointed-autodiff einsum tiles: the measured winner at the
+        # framework's window sizes (W ~ 1.5-3.2k). The banded Pallas
+        # kernel (adjoint="pallas", ops/pallas_interp.py) does
+        # delay-bound-INDEPENDENT work per sample but is Mosaic
+        # issue-latency-bound at these sizes (fdt_ab_report.json:
+        # modulated fwd 21.6 vs 8.7 ms, pitch 83 vs 19.8) — it becomes
+        # the right path only for delay bounds far beyond the shipped
+        # effects' (W >> 10k, where O(W) per sample explodes).
+        adjoint = "ad"
     if adjoint == "pallas":
         # the kernel requires a 128-aligned history bound (rounding UP is
         # always safe: d <= dmax < Dm still holds)
@@ -2013,7 +2017,7 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int,
     if adjoint == "pallas":
         from .ops.pallas_interp import frac_delay_pallas
 
-        wet = frac_delay_pallas(x_ext, d_stk, g_stk, B, Dm)
+        wet = frac_delay_pallas(x_ext, d_stk, g_stk, B, Dm, wraps)
     elif adjoint == "hybrid":
         wet = _frac_delay_tiles_hybrid(B, Dm, chunk, x_ext, d_stk, g_stk)
     else:
