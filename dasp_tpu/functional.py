@@ -2304,7 +2304,7 @@ def pitch_shift(
     semitones,
     mix=1.0,
     window_ms: float = 60.0,
-    block: int = 512,
+    block: int = 256,
     matmul: bool = True,
     compensate_latency: bool = True,
     adjoint: str = "auto",
@@ -2342,7 +2342,9 @@ def pitch_shift(
             shape (bs,).
         mix: dry/wet mix on [0, 1] (1 = fully shifted), shape (bs,).
         window_ms: delay-line window length in milliseconds (static).
-        block: MXU-path tile length (static).
+        block: MXU-path tile length (static). 256 measured best at
+            the 60 ms window (per-sample cost ~ window + block; see
+            benchmarks/fdt_ab_report.json sweep).
         matmul: evaluate the taps on the MXU via
             :func:`_frac_delay_matmul` (both taps share one contraction);
             False uses the gather path (any delay, VPU-bound).
