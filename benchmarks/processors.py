@@ -286,7 +286,16 @@ def main():
             "artifacts); grad rows differentiate w.r.t. BOTH audio and effect "
             "parameters (the training-relevant cost); every row carries a "
             "small additive overhead from the RMS renorm + loop plumbing, so "
-            "sub-5ms rows are upper bounds"
+            "sub-5ms rows are upper bounds. Rows vary up to ~70% between "
+            "sessions from tunnel congestion — compare rows within one "
+            "report, not across reports. '*_gather' rows and the bare "
+            "'modulated_delay' row measure the unbounded-delay GATHER "
+            "fallback (TPU gathers run on the scalar core); the shipped "
+            "defaults are the matmul rows ('pitch_shift', "
+            "'modulated_delay_matmul' — what the Chorus/Flanger/PitchShifter "
+            "module wrappers use, which always have a static delay bound). "
+            "The full adjoint-strategy A/B for this family lives in "
+            "fdt_ab_report.json."
         ),
         "processors": {},
     }
