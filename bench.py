@@ -421,6 +421,37 @@ def main():
     eprint(f"device throughput: {steps_per_sec:.3f} steps/s ({dt*1e3:.2f} ms/step), "
            f"final loss {final_loss:.4f}")
 
+    # --- MFU: model FLOPs per step (XLA cost analysis of the compiled
+    # program) / measured step time / chip peak. The denominator is the
+    # chip's bf16 matmul peak — conservative for this step, whose DSP
+    # matmuls run fp32 (multi-pass on the MXU, so the hardware does MORE
+    # work per logical FLOP than the ratio credits).
+    _PEAK_BF16_TFLOPS = {
+        # per-chip dense bf16 peaks (public TPU specs)
+        "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+        "TPU v5": 459.0, "TPU v5p": 459.0,
+        "TPU v4": 275.0, "TPU v6 lite": 918.0, "TPU v6e": 918.0,
+    }
+    flops_per_step = achieved_tflops = mfu = None
+    try:
+      with _phase_deadline(600, "cost analysis / MFU"):
+        x, rand, key = staged[0]
+        ca = train_step.lower(
+            params, batch_stats, opt_state, x, rand, key).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops_per_step = float(ca.get("flops", 0.0)) or None
+        if flops_per_step:
+            achieved_tflops = flops_per_step / dt / 1e12
+            peak = _PEAK_BF16_TFLOPS.get(dev.device_kind)
+            mfu = achieved_tflops / peak if peak else None
+            eprint(f"cost analysis: {flops_per_step/1e12:.3f} TFLOP/step -> "
+                   f"{achieved_tflops:.1f} TFLOP/s achieved"
+                   + (f", MFU {100*mfu:.1f}% of {peak:.0f} TFLOP/s bf16 peak"
+                      if mfu is not None else ""))
+    except Exception as e:
+        eprint(f"WATCHDOG: cost-analysis phase abandoned ({e!r})")
+
     # The primary (headline) number is measured. Everything below is a
     # SECONDARY phase: each runs under a best-effort watchdog and a
     # phase that stalls or dies reports None instead of wedging the run
@@ -712,6 +743,9 @@ def main():
         "reservoir_streamed_steps_per_sec": _round_or_none(res_streamed),
         "reservoir_streamed_pct_of_resident": _pct_or_none(
             res_streamed, steps_per_sec),
+        "flops_per_step": _round_or_none(flops_per_step, 0),
+        "achieved_tflops": _round_or_none(achieved_tflops, 2),
+        "mfu": _round_or_none(mfu, 4),
     }))
 
 
