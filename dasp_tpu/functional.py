@@ -1863,9 +1863,15 @@ def modulated_delay(
 
     Two evaluation paths:
 
-      * ``max_delay_ms=None`` (default): linearly interpolated gathers —
-        fully dynamic, any delay, but TPU gathers are VPU-bound and the
-        backward pass is a scatter-add.
+      * ``max_delay_ms=None`` (default): if ``depth_ms``/``base_ms`` are
+        CONCRETE (python numbers, numpy, or closed-over constants —
+        e.g. a fixed-parameter chain), the static bound is derived from
+        them and the MXU path below is used automatically. Traced
+        parameters (jit arguments, network outputs) fall back to
+        linearly interpolated gathers — fully dynamic, any delay, but
+        TPU gathers are VPU-bound and the backward pass is a
+        scatter-add; pass ``max_delay_ms`` (as the ``Chorus``/``Flanger``
+        wrappers do from their parameter ranges) to stay on the MXU.
       * ``max_delay_ms=<static bound>``: MXU path. The signal is split
         into ``block``-sample output tiles; each tile contracts a
         one-hot-plus-frac interpolation matrix (built from iota
@@ -1902,6 +1908,17 @@ def modulated_delay(
     """
     bs, chs, seq_len = x.shape
     dtype = x.dtype
+
+    if max_delay_ms is None and not any(
+            isinstance(v, jax.core.Tracer) for v in (depth_ms, base_ms)):
+        # concrete depth/base: the static bound the MXU path needs is
+        # derivable right here — give the bare functional call the same
+        # fast path the module wrappers get from their parameter ranges
+        # (traced parameters under jit keep the fully dynamic gather
+        # path; same function value either way)
+        max_delay_ms = float(np.max(np.asarray(base_ms))
+                             + np.max(np.asarray(depth_ms))) + 1e-3
+
     rate_hz = _param(rate_hz, bs, dtype)
     depth_ms = _param(depth_ms, bs, dtype)
     base_ms = _param(base_ms, bs, dtype)

@@ -81,6 +81,21 @@ class TestModulatedDelay:
         # pre-delay region is zero
         assert np.abs(np.asarray(y)[0, 0, : base_samp - 1]).max() < 1e-5
 
+    def test_concrete_params_auto_derive_mxu_bound(self):
+        """Concrete depth/base (fixed-parameter chains) derive the MXU
+        path's static delay bound automatically — identical to passing
+        max_delay_ms explicitly; traced parameters keep the dynamic
+        gather path (values agree to kink tolerance)."""
+        x = _noise(2, 1, 6000, scale=0.3)
+        y_auto = jax.jit(lambda x: F.modulated_delay(x, SR, 1.5, 6.0, 11.0, 0.5))(x)
+        y_exp = jax.jit(lambda x: F.modulated_delay(
+            x, SR, 1.5, 6.0, 11.0, 0.5, max_delay_ms=17.000001))(x)
+        np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_exp))
+        args = tuple(jnp.full((2,), v) for v in (1.5, 6.0, 11.0, 0.5))
+        y_tr = jax.jit(lambda x, *a: F.modulated_delay(x, SR, *a))(x, *args)
+        np.testing.assert_allclose(np.asarray(y_tr), np.asarray(y_auto),
+                                   atol=2e-3)
+
     def test_hybrid_adjoint_matches_autodiff(self):
         """The hand-written VJP of the tiled interpolation matmul
         (functional._frac_delay_tiles_hybrid, the default adjoint) must
