@@ -2004,15 +2004,21 @@ def _frac_delay_matmul(x, taps, dmax: float, block: int,
     B = int(block)
     Dm = int(np.ceil(dmax)) + 1  # left history needed by any tile
     if adjoint == "auto":
-        # checkpointed-autodiff einsum tiles: the measured winner at the
-        # framework's window sizes (W ~ 1.5-3.2k). The banded Pallas
-        # kernel (adjoint="pallas", ops/pallas_interp.py) does
-        # delay-bound-INDEPENDENT work per sample but is Mosaic
-        # issue-latency-bound at these sizes (fdt_ab_report.json:
-        # modulated fwd 21.6 vs 8.7 ms, pitch 83 vs 19.8) — it becomes
-        # the right path only for delay bounds far beyond the shipped
-        # effects' (W >> 10k, where O(W) per sample explodes).
-        adjoint = "ad"
+        # Dispatch by window size (measured crossover, v5e at reference
+        # scale — benchmarks/fdt_ab_report.json "crossover" sweep): the
+        # dense checkpointed-autodiff einsum does O(W) work per sample
+        # and wins while W is small (20 ms bound: fwd 9.3 vs 23.9 ms);
+        # the banded Pallas kernel (ops/pallas_interp.py) does
+        # bound-INDEPENDENT work (~23 ms fwd / 39 ms grad at ANY bound)
+        # and wins beyond W ~ 4.5k for smooth delays (120 ms bound:
+        # grad 39 vs 59 ms; 500 ms: 39 vs 217). Wrapping (pitch-style)
+        # taps pay the kernel's extra bimodal row set, pushing their
+        # crossover to W ~ 17k — beyond any practical shifter window.
+        threshold = 16384 if wraps else 4608
+        use_pallas = (jax.default_backend() == "tpu" and B % 128 == 0
+                      and x.dtype == jnp.float32
+                      and Dm + B >= threshold)
+        adjoint = "pallas" if use_pallas else "ad"
     if adjoint == "pallas":
         # the kernel requires a 128-aligned history bound (rounding UP is
         # always safe: d <= dmax < Dm still holds)

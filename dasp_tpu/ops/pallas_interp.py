@@ -21,16 +21,16 @@ values), control flow a fused XLA loop cannot express. Work per output
 sample drops from O(W) to O(taps * rows * 128 / _JB), independent of the
 delay bound.
 
-MEASURED OUTCOME (v5e, reference scale; benchmarks/fdt_ab_report.json):
-the kernel is correct (interpret + real-TPU equality vs the einsum
-path) but Mosaic issue/latency-bound at the shipped effects' window
-sizes — modulated_delay fwd 21.6 ms vs 8.7 for the fused XLA einsum,
-pitch_shift 83 vs 19.8 — its (16, 128)-granular loop retires ~10x fewer
-elements/cycle than XLA's dense fused loop. It is therefore NOT the
-default (adjoint="auto" resolves to the autodiff einsum); it becomes
-the winning path only for delay bounds far beyond the current effects
-(W >> 10k, where the dense path's O(W)/sample explodes while this stays
-O(rows * 128 / 16)). Kept as the scaling path and measured record.
+MEASURED OUTCOME (v5e, reference scale; benchmarks/fdt_ab_report.json
+incl. the "crossover_sweep"): the kernel's cost is delay-bound-
+INDEPENDENT (~23 ms fwd / 39 ms grad at 8x2x131072 for ANY bound) but
+Mosaic issue-latency-bound at (16, 128) granularity, so the dense XLA
+einsum — O(W)/sample but ~10x better element throughput — wins at small
+windows (20 ms bound: fwd 9.3 vs 23.9 ms) and loses beyond W ~ 4.5k
+(120 ms bound: grad 39 vs 59 ms; 500 ms: 39 vs 217). functional's
+adjoint="auto" dispatches on that crossover: smooth (wraps=False)
+delays switch here at W >= 4608; wrapping pitch-style taps pay the
+bimodal row set and stay dense below W ~ 16k.
 
 Row selection is HOISTED out of the kernel: a cheap XLA pre-pass
 computes each (tap, block)'s candidate window rows — 3 min-anchored
